@@ -1,0 +1,47 @@
+"""Deterministic float aggregation helpers.
+
+Distributed double summation is order-dependent (last-bit drift between runs
+and between engines), which breaks value-hash comparison against the DuckDB
+oracle. Every float aggregate exposed by this engine's query surface is
+therefore *decimal-anchored*: the per-row double expression (deterministic
+IEEE arithmetic, identical in Spark and DuckDB) is rounded into a fixed-scale
+DECIMAL, summed exactly (decimal addition is associative), and the exact
+result cast back to DOUBLE. Both engines then produce bit-identical values
+in any execution order — correctness does not depend on partitioning,
+which is precisely what a 100 TB deployment needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: default anchor type: 4 fractional digits, 18 total — plenty for TPC-H-ish
+#: money columns; the Spark sum widens to DECIMAL(28,4) internally.
+ANCHOR_TYPE = "decimal(18,4)"
+#: wider anchor for products of doubles (more fractional digits retained).
+ANCHOR_TYPE_WIDE = "decimal(27,8)"
+
+
+def dsum(expr: Column | str, wide: bool = False) -> Column:
+    """Exact (order-independent) SUM of a double expression, as DOUBLE."""
+    col = F.col(expr) if isinstance(expr, str) else expr
+    anchor = ANCHOR_TYPE_WIDE if wide else ANCHOR_TYPE
+    return F.sum(col.cast(anchor)).cast("double")
+
+
+def davg(expr: Column | str, wide: bool = False) -> Column:
+    """Order-independent AVG: exact decimal sum ÷ count, in double."""
+    col = F.col(expr) if isinstance(expr, str) else expr
+    return dsum(col, wide=wide) / F.count(col)
+
+
+def sql_dsum(expr: str, wide: bool = False) -> str:
+    """Oracle-side twin of :func:`dsum` (ANSI SQL text for DuckDB)."""
+    anchor = ANCHOR_TYPE_WIDE if wide else ANCHOR_TYPE
+    return f"CAST(SUM(CAST(({expr}) AS {anchor.upper()})) AS DOUBLE)"
+
+
+def sql_davg(expr: str, wide: bool = False) -> str:
+    """Oracle-side twin of :func:`davg`."""
+    return f"({sql_dsum(expr, wide)} / COUNT({expr}))"

@@ -1,0 +1,223 @@
+"""Document deduplication families (exact → near-dup), designed for 100 TB.
+
+Four strategies, in increasing recall / cost order:
+
+- **exact**: content hash (sha256) groupBy — one shuffle on the hash,
+  map-side combine; the canonical survivor is the min id (deterministic).
+- **n-gram Jaccard**: exact set similarity over word shingles via an
+  inverted-index self-join (shingle → docs), which is the scalable form —
+  no O(n²) cross join; cost is Σ postings² per shingle, controlled by
+  dropping ultra-frequent shingles.
+- **MinHash + LSH**: K md5-based min-hashes per document, banded so that
+  only documents agreeing on a whole band become candidate pairs; exact
+  Jaccard verifies candidates. Shuffle volume is O(docs × bands), not
+  O(docs²) — this is the 100 TB path.
+- **SimHash**: 32-bit majority fingerprint over token hashes; near-dups
+  agree on most bits (pairs within small Hamming distance). Computed via
+  explode + groupBy (no UDF).
+
+All hashing is md5-hex based (not ``xxhash64``) so the DuckDB oracle can
+reproduce results bit-for-bit; md5 here is a *fingerprint*, not security.
+
+Embedding-cosine near-dup lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_engineering_datawarehousingandetlpipeline_spark.operators.text import (
+    tokens,
+    word_shingles,
+)
+
+#: MinHash signature size and LSH banding (4 bands × 2 rows → s-curve @ ~0.5).
+MINHASH_PERMS = 8
+LSH_BAND_ROWS = 2
+
+#: SimHash fingerprint width (bits). 32 keeps the bit loop cheap and the
+#: arithmetic exactly representable in both engines.
+SIMHASH_BITS = 32
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: content hash → copies + canonical (min id)."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("canonical_doc_id"),
+        )
+    )
+
+
+def _distinct_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token) postings list — the inverted-index building block."""
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    shingle_width: int = 2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs above ``threshold``.
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle, count common shingles per pair, then
+    ``jaccard = common / (|A| + |B| − common)``. The join shuffles on the
+    shingle (a scalable key); the pair aggregation shuffles on (a, b).
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_width)).alias("shingles"),
+    )
+    sizes = shingled.select("doc", F.size("shingles").alias("n_shingles"))
+    postings = shingled.select("doc", F.explode("shingles").alias("shingle"))
+    left = postings.select(F.col("doc").alias("doc_a"), "shingle")
+    right = postings.select(F.col("doc").alias("doc_b"), "shingle")
+    common = (
+        left.join(right, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"doc": "doc_a", "n_shingles": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_shingles": "n_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    perms: int = MINHASH_PERMS,
+) -> DataFrame:
+    """K min-hashes per document: ``min(md5(seed || '|' || token))``.
+
+    Computed per-row from the distinct-token array — no explode, no
+    shuffle; K column expressions inside one codegen stage. Hex-string min
+    is a valid MinHash order and is engine-portable.
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    sig_cols = [
+        F.array_min(
+            F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"{k}|"), t)))
+        ).alias(f"mh{k}")
+        for k in range(perms)
+    ]
+    return df.select(F.col(id_col).alias("doc"), *sig_cols)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    perms: int = MINHASH_PERMS,
+    band_rows: int = LSH_BAND_ROWS,
+) -> DataFrame:
+    """MinHash → LSH banding → candidate pairs → exact-Jaccard verification.
+
+    Candidates are pairs agreeing on an entire band (md5 of the band's
+    min-hashes); verification recomputes exact unigram Jaccard so the output
+    has no LSH false positives (false negatives follow the s-curve). The
+    only O(pairs) work happens on LSH survivors — the 100 TB-safe property.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, perms)
+    n_bands = perms // band_rows
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc", "bh.band", "bh.band_hash")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "band_hash"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    exact = jaccard_pairs(df, text_col, id_col, threshold=0.0, shingle_width=1)
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash: per-bit majority vote over 32-bit token hashes.
+
+    explode(distinct tokens) × explode(bit positions) → groupBy(doc, bit)
+    majority → groupBy(doc) bit-sum. Two shuffles keyed by doc id (well
+    distributed); all arithmetic is exact integer math both engines share.
+    Ties (zero vote sum) set the bit, matching the oracle's ``>= 0``.
+    """
+    token_hash = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
+    exploded = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+        )
+        .withColumn("h", token_hash)
+        .select(
+            "doc",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        )
+        .withColumn("p2", F.pow(F.lit(2.0), F.col("bit")).cast("bigint"))
+        .withColumn(
+            "vote",
+            F.when(F.expr("(h div p2) % 2") == 1, 1).otherwise(-1),
+        )
+    )
+    per_bit = exploded.groupBy("doc", "bit", "p2").agg(F.sum("vote").alias("s"))
+    return (
+        per_bit.withColumn(
+            "bit_value", F.when(F.col("s") >= 0, F.col("p2")).otherwise(F.lit(0))
+        )
+        .groupBy("doc")
+        .agg(F.sum("bit_value").cast("bigint").alias("simhash"))
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup that keeps one full row per distinct content (min id wins)."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

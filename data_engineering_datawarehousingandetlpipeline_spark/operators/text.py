@@ -1,0 +1,127 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure ``pyspark.sql.functions`` column expressions — no
+Python UDFs — so they run inside whole-stage codegen and scale linearly
+with the scan. Tokenization is a shared, deterministic contract (lowercase,
+trim, split on runs of whitespace) that the DuckDB oracles reproduce
+verbatim, making every operator value-hash comparable across engines.
+
+Operators: tokenization/token stats, stopword-based language ID, heuristic
+quality scoring, and word-shingle fingerprinting (SURVEY.md §2.11; the
+north-star LLM-pipeline surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword sets for the n-gram/stopword language heuristic.
+#: Deliberately small + frozen: the oracle SQL embeds the same literals.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "los", "y", "que", "un"),
+    "fr": ("le", "les", "des", "et", "une", "dans"),
+}
+#: Language priority for deterministic argmax tie-breaking.
+LANG_PRIORITY: tuple[str, ...] = ("en", "de", "es", "fr")
+
+#: Shingle width for word-level fingerprints / near-dup shingling.
+SHINGLE_WIDTH = 3
+
+
+def tokens(text: Column) -> Column:
+    """Deterministic tokenizer: lowercase, trim, split on whitespace runs."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_count(text: Column, lang: str) -> Column:
+    """How many tokens are in ``lang``'s stopword set (JVM-side filter)."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
+
+
+def predicted_lang(text: Column) -> Column:
+    """Stopword-score argmax with fixed priority order (deterministic ties).
+
+    A real deployment would use a trained identifier; the heuristic keeps
+    the operator UDF-free and engine-comparable while exercising the same
+    plumbing (per-doc scores → argmax → label).
+    """
+    scores = {lang: stopword_count(text, lang) for lang in LANG_PRIORITY}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def punct_count(text: Column) -> Column:
+    """Number of non-word, non-space characters."""
+    return F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0, 1]: length, stopword, and punctuation terms.
+
+    score = 0.4·min(1, n_tokens/100) + 0.3·stopword_ratio + 0.3·(1 − punct_ratio)
+
+    Every term is a deterministic double expression; the oracle embeds the
+    identical formula, so results are bit-comparable.
+    """
+    n_tok = token_count(text).cast("double")
+    stop_ratio = stopword_count(text, "en").cast("double") / n_tok
+    p_ratio = punct_count(text).cast("double") / F.length(text).cast("double")
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - p_ratio)
+    )
+
+
+def word_shingles(text: Column, width: int = SHINGLE_WIDTH) -> Column:
+    """All ``width``-word shingles (contiguous) as strings.
+
+    Short documents (< width tokens) yield one whole-text shingle so no
+    document silently drops out of fingerprinting.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), n - F.lit(width - 1))
+    return F.when(
+        n >= width,
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, width))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def fingerprint(text: Column, width: int = SHINGLE_WIDTH) -> Column:
+    """Document fingerprint: lexicographic min of md5 over word shingles.
+
+    A 1-permutation MinHash — robust to local edits (any shared shingle can
+    carry the min), constant-size output, and identical in any engine with
+    md5. Computed per-row inside codegen; no shuffle.
+    """
+    return F.array_min(F.transform(word_shingles(text, width), F.md5))
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document text-analysis profile (one scan, all column expressions)."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(text).alias("n_tokens"),
+        distinct_token_count(text).alias("n_distinct_tokens"),
+        F.length(text).alias("n_chars_measured"),
+        predicted_lang(text).alias("predicted_lang"),
+        F.round(quality_score(text), 6).alias("quality"),
+        fingerprint(text).alias("fingerprint"),
+    )

@@ -1,0 +1,401 @@
+"""Warehouse analytics over the star schema (joins / aggs / sorts / windows).
+
+The reference delegates all analytical SQL to BigQuery (SURVEY.md §3.3);
+this module is the engine that replaces it. The queries exercise the
+operator families the driver's TPC-H-ish corpus is built for — grouped
+aggregation, multi-way joins with broadcast dimensions, top-k, semi-joins,
+window functions, rollups — each expressed as a declarative DataFrame plan
+so Catalyst applies pushdown/pruning/join-selection, with AQE handling
+runtime skew at scale.
+
+Scale design, per query, is noted inline: which side broadcasts, where the
+one necessary shuffle lands, and why the plan survives a 1000-executor /
+100 TB deployment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import QuerySpec
+from data_engineering_datawarehousingandetlpipeline_spark.session import (
+    ensure_runtime_confs,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+    load_table,
+)
+
+def _revenue():
+    # built lazily: Column construction needs an active SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the flagship query.
+
+    One scan of lineitem (only the 7 needed columns reach the parquet
+    reader), map-side partial aggregation into 6 groups, one tiny shuffle.
+    At 100 TB this is scan-bound and embarrassingly parallel: the shuffle
+    carries 6 rows × partial states, not data.
+    """
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(_revenue(), wide=True).alias("sum_disc_price"),
+            dsum(_revenue() * (1 + F.col("l_tax")), wide=True).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum(SQL_REVENUE, wide=True)} AS sum_disc_price,
+       {sql_dsum(f'({SQL_REVENUE}) * (1 + l_tax)', wide=True)} AS sum_charge,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_davg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped revenue by customer region/nation, one year window.
+
+    Join strategy for scale: lineitem (facts, huge) shuffles once on
+    l_orderkey against orders; customer/nation/region are dimensions —
+    broadcast, so they add no shuffle. The groupBy reuses map-side partial
+    aggregation into ~25 nation groups.
+    """
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            dsum(_revenue(), wide=True).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "region_name", "nation_name")
+    )
+
+
+SQL_REGION_REVENUE = f"""
+SELECT r_name AS region_name, n_name AS nation_name,
+       {sql_dsum(SQL_REVENUE, wide=True)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY r_name, n_name
+ORDER BY revenue DESC, region_name, nation_name
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped: top 20 customers by revenue with nation context.
+
+    Fact side aggregates *before* the final sort; the global top-k is a
+    TakeOrdered (no full sort of the aggregate). Ties broken by c_custkey
+    so the result set is deterministic for the oracle.
+    """
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_revenue(), wide=True).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_TOP_CUSTOMERS = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {sql_dsum(SQL_REVENUE, wide=True)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped: order counts per priority where a late lineitem EXISTS.
+
+    The EXISTS is a left-semi join — Spark never materializes the join
+    output, and at scale the semi join benefits from AQE converting to
+    broadcast when the filtered orders side is small.
+    """
+    ensure_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            late,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipped volume per supplier nation (lineitem ⋈ supplier ⋈ nation)."""
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("supp_nation"))
+        .agg(
+            dsum("l_quantity").alias("total_qty"),
+            dsum(_revenue(), wide=True).alias("revenue"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("supp_nation")
+    )
+
+
+SQL_SUPPLIER_VOLUME = f"""
+SELECT n_name AS supp_nation,
+       {sql_dsum('l_quantity')} AS total_qty,
+       {sql_dsum(SQL_REVENUE, wide=True)} AS revenue,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY supp_nation
+"""
+
+
+def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the part dimension: price stats per brand/type."""
+    ensure_runtime_confs(spark)
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand", "p_type")
+        .agg(
+            F.count("*").alias("n_parts"),
+            davg("p_retailprice").alias("avg_price"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("p_brand", "p_type")
+    )
+
+
+SQL_PART_TYPE_STATS = f"""
+SELECT p_brand, p_type, COUNT(*) AS n_parts,
+       {sql_davg('p_retailprice')} AS avg_price,
+       MIN(p_size) AS min_size, MAX(p_size) AS max_size
+FROM part
+GROUP BY p_brand, p_type
+ORDER BY p_brand, p_type
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: each customer's 3 largest orders by total price.
+
+    row_number partitions by o_custkey — the sort is within-key only, no
+    global sort. At 100 TB the single shuffle on o_custkey is the cost; a
+    warehouse bucketed by custkey would eliminate it.
+    """
+    ensure_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank_in_customer", F.row_number().over(w))
+        .filter(F.col("rank_in_customer") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_customer")
+        .orderBy("o_custkey", "rank_in_customer")
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_customer
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rank_in_customer
+  FROM orders
+) ranked
+WHERE rank_in_customer <= 3
+ORDER BY o_custkey, rank_in_customer
+"""
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation): subtotals + grand total in one pass."""
+    ensure_runtime_confs(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    enriched = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        enriched.rollup(
+            F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+        .orderBy(
+            F.col("region_name").asc_nulls_first(), F.col("nation_name").asc_nulls_first()
+        )
+    )
+
+
+SQL_REVENUE_ROLLUP = f"""
+SELECT r_name AS region_name, n_name AS nation_name,
+       COUNT(*) AS n_customers,
+       {sql_dsum('c_acctbal')} AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY region_name ASC NULLS FIRST, nation_name ASC NULLS FIRST
+"""
+
+
+QUERIES = [
+    QuerySpec(
+        "pricing_summary",
+        q_pricing_summary,
+        SQL_PRICING_SUMMARY,
+        "TPC-H Q1-shaped pricing summary (flagship)",
+        bench=True,
+        tags=("agg", "sort"),
+    ),
+    QuerySpec(
+        "region_revenue",
+        q_region_revenue,
+        SQL_REGION_REVENUE,
+        "Q5-shaped 5-way join with broadcast dimensions",
+        bench=True,
+        tags=("join", "agg"),
+    ),
+    QuerySpec(
+        "top_customers",
+        q_top_customers,
+        SQL_TOP_CUSTOMERS,
+        "Q10-shaped top-20 customers by returned revenue",
+        bench=True,
+        tags=("join", "agg", "topk"),
+    ),
+    QuerySpec(
+        "order_priority",
+        q_order_priority,
+        SQL_ORDER_PRIORITY,
+        "Q4-shaped EXISTS semi-join priority counts",
+        bench=True,
+        tags=("join", "semi"),
+    ),
+    QuerySpec(
+        "supplier_volume",
+        q_supplier_volume,
+        SQL_SUPPLIER_VOLUME,
+        "volume per supplier nation (broadcast dims)",
+        tags=("join", "agg"),
+    ),
+    QuerySpec(
+        "part_type_stats",
+        q_part_type_stats,
+        SQL_PART_TYPE_STATS,
+        "dimension aggregate with min/max/avg",
+        tags=("agg",),
+    ),
+    QuerySpec(
+        "top_orders_per_customer",
+        q_top_orders_per_customer,
+        SQL_TOP_ORDERS_PER_CUSTOMER,
+        "window top-3 orders per customer",
+        bench=True,
+        tags=("window",),
+    ),
+    QuerySpec(
+        "revenue_rollup",
+        q_revenue_rollup,
+        SQL_REVENUE_ROLLUP,
+        "ROLLUP subtotals over region/nation",
+        tags=("agg", "rollup"),
+    ),
+]

@@ -1,0 +1,418 @@
+"""LLM-data-pipeline extension queries over documents/embeddings.
+
+The north-star surface beyond reference parity (BASELINE.json): document
+dedup families, text analysis, and embedding similarity search — each as a
+Spark plan built from operators/{text,dedup,similarity}.py plus a DuckDB
+oracle that reproduces the identical deterministic computation (shared
+tokenizer contract, md5-based hashing, rounded cosines).
+
+Thresholds are calibrated to the synthetic corpus (31-word vocabulary →
+high unigram overlap): bigram Jaccard ≥ 0.07 and unigram Jaccard ≥ 0.9
+both select roughly the top ~1% most-similar pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+    dedup as dd,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+    similarity as sim,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+    text as tx,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import QuerySpec
+from data_engineering_datawarehousingandetlpipeline_spark.session import (
+    ensure_runtime_confs,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+    load_table,
+)
+
+NGRAM_JACCARD_THRESHOLD = 0.07
+MINHASH_JACCARD_THRESHOLD = 0.9
+EMBED_NEAR_DUP_THRESHOLD = 0.3
+TOPK_QUERY_IDS = 8  # vec_id < 8 act as the query set
+TOPK_K = 5
+ANN_PLANES = 8
+EMBED_DIM = 64
+
+#: shared tokenizer contract, oracle side (mirror of operators/text.tokens).
+SQL_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_runtime_confs(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_runtime_confs(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------- documents
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup_groups(_docs(spark, sf_dir)).orderBy("text_hash")
+
+
+SQL_DOC_EXACT_DEDUP = """
+SELECT sha256(text) AS text_hash, COUNT(*) AS n_copies,
+       MIN(doc_id) AS canonical_doc_id
+FROM documents
+GROUP BY sha256(text)
+ORDER BY text_hash
+"""
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.token_count(text).alias("n_tokens"),
+        tx.distinct_token_count(text).alias("n_distinct_tokens"),
+        F.length(text).cast("bigint").alias("n_chars_measured"),
+        (
+            tx.distinct_token_count(text).cast("double")
+            / tx.token_count(text).cast("double")
+        ).alias("ttr"),
+    ).orderBy("doc_id")
+
+
+SQL_DOC_TOKEN_STATS = f"""
+SELECT doc_id,
+       CAST(len({SQL_TOKS}) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct({SQL_TOKS})) AS INTEGER) AS n_distinct_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured,
+       CAST(len(list_distinct({SQL_TOKS})) AS DOUBLE)
+         / CAST(len({SQL_TOKS}) AS DOUBLE) AS ttr
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_doc_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        *[
+            tx.stopword_count(text, lang).alias(f"{lang}_score")
+            for lang in tx.LANG_PRIORITY
+        ],
+        tx.predicted_lang(text).alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+def _sql_stop_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+    return f"CAST(len(list_filter({SQL_TOKS}, x -> x IN ({words}))) AS INTEGER)"
+
+
+_SQL_LANG_SCORES = ", ".join(
+    f"{_sql_stop_count(lang)} AS {lang}_score" for lang in tx.LANG_PRIORITY
+)
+_SQL_BEST = "greatest(" + ", ".join(f"{lang}_score" for lang in tx.LANG_PRIORITY) + ")"
+_SQL_PREDICT = (
+    "CASE WHEN " + _SQL_BEST + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN {lang}_score = {_SQL_BEST} THEN '{lang}'" for lang in tx.LANG_PRIORITY
+    )
+    + " ELSE 'und' END"
+)
+SQL_DOC_LANG_PROFILE = f"""
+SELECT doc_id, {', '.join(f'{lang}_score' for lang in tx.LANG_PRIORITY)},
+       {_SQL_PREDICT} AS predicted_lang
+FROM (SELECT doc_id, {_SQL_LANG_SCORES} FROM documents) scored
+ORDER BY doc_id
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.round(tx.quality_score(F.col("text")), 6).alias("quality")
+    ).orderBy("doc_id")
+
+
+_SQL_EN_STOPS = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
+SQL_DOC_QUALITY = f"""
+SELECT doc_id,
+       round(
+         0.4 * least(1.0, CAST(len({SQL_TOKS}) AS DOUBLE) / 100.0)
+       + 0.3 * (CAST(len(list_filter({SQL_TOKS}, x -> x IN ({_SQL_EN_STOPS}))) AS DOUBLE)
+                / CAST(len({SQL_TOKS}) AS DOUBLE))
+       + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE)),
+       6) AS quality
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", tx.fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+SQL_DOC_FINGERPRINTS = f"""
+SELECT doc_id,
+       CASE WHEN len(t) >= 3
+            THEN list_min([md5(array_to_string(t[i:i+2], ' ')) for i in range(1, len(t) - 1)])
+            ELSE md5(array_to_string(t, ' ')) END AS fingerprint
+FROM (SELECT doc_id, {SQL_TOKS} AS t FROM documents) tokked
+ORDER BY doc_id
+"""
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        dd.simhash_fingerprints(_docs(spark, sf_dir))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, list_distinct({SQL_TOKS}) AS t FROM documents
+), th AS (
+  SELECT doc, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc, unnest(t) AS token FROM toks) posting
+), votes AS (
+  SELECT doc, i AS bit,
+         SUM(CASE WHEN (h // CAST(pow(2, i) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN generate_series(0, {dd.SIMHASH_BITS - 1}) AS g(i)
+  GROUP BY doc, i
+)
+SELECT doc AS doc_id,
+       CAST(SUM(CASE WHEN s >= 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes
+GROUP BY doc
+ORDER BY doc_id
+"""
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.jaccard_pairs(
+        _docs(spark, sf_dir),
+        threshold=NGRAM_JACCARD_THRESHOLD,
+        shingle_width=2,
+    ).orderBy("doc_a", "doc_b")
+
+
+SQL_DOC_NGRAM_JACCARD = f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id AS doc,
+         list_distinct(CASE WHEN len(toks) >= 2
+              THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+              ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM t
+), sizes AS (
+  SELECT doc, len(sh) AS n FROM s
+), postings AS (
+  SELECT doc, unnest(sh) AS shingle FROM s
+), common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+  FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE)
+      >= {NGRAM_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_doc_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_near_dup_pairs(
+        _docs(spark, sf_dir), threshold=MINHASH_JACCARD_THRESHOLD
+    ).orderBy("doc_a", "doc_b")
+
+
+_BANDS = dd.MINHASH_PERMS // dd.LSH_BAND_ROWS
+_SQL_SIGS = ", ".join(
+    f"list_min([md5('{k}|' || x) for x in t]) AS mh{k}" for k in range(dd.MINHASH_PERMS)
+)
+_SQL_BANDS = " UNION ALL ".join(
+    f"SELECT doc, {b} AS band, md5(mh{b * dd.LSH_BAND_ROWS} || '|' || mh{b * dd.LSH_BAND_ROWS + 1}) AS band_hash FROM sigs"
+    for b in range(_BANDS)
+)
+SQL_DOC_MINHASH_NEARDUP = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, list_distinct({SQL_TOKS}) AS t FROM documents
+), sigs AS (
+  SELECT doc, {_SQL_SIGS} FROM toks
+), bands AS (
+  {_SQL_BANDS}
+), cand AS (
+  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc < y.doc
+), sizes AS (
+  SELECT doc, len(t) AS n FROM toks
+), postings AS (
+  SELECT doc, unnest(t) AS token FROM toks
+), common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+  FROM postings a JOIN postings b ON a.token = b.token AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+FROM cand c
+JOIN common co ON co.doc_a = c.doc_a AND co.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc = c.doc_a
+JOIN sizes sb ON sb.doc = c.doc_b
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE)
+      >= {MINHASH_JACCARD_THRESHOLD}
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
+# --------------------------------------------------------------- embeddings
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < TOPK_QUERY_IDS)
+    return sim.cosine_top_k(embs, queries, k=TOPK_K)
+
+
+SQL_EMB_COSINE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {TOPK_QUERY_IDS}
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               {sim.COSINE_SCALE}) AS cos_sim
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) ranked
+WHERE rank <= {TOPK_K}
+ORDER BY query_id, rank
+"""
+
+
+def _sql_plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{p:.1f}" for p in plane) + "]"
+
+
+def _sql_bucket(vec_expr: str) -> str:
+    planes = [sim.hyperplane(b, EMBED_DIM) for b in range(ANN_PLANES)]
+    terms = [
+        f"(CASE WHEN round(list_dot_product({vec_expr}, {_sql_plane_literal(p)}), "
+        f"{sim.COSINE_SCALE}) >= 0 THEN {2 ** b} ELSE 0 END)"
+        for b, p in enumerate(planes)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < TOPK_QUERY_IDS)
+    return sim.cosine_top_k_lsh(
+        embs, queries, k=TOPK_K, n_planes=ANN_PLANES, dim=EMBED_DIM
+    )
+
+
+SQL_EMB_ANN_TOPK = f"""
+WITH tagged AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_sql_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM tagged WHERE vec_id < {TOPK_QUERY_IDS}
+), scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(qv, c.v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))),
+               {sim.COSINE_SCALE}) AS cos_sim
+  FROM tagged c JOIN q ON c.bucket = q.bucket
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) ranked
+WHERE rank <= {TOPK_K}
+ORDER BY query_id, rank
+"""
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.embedding_near_dup_pairs(
+        _embs(spark, sf_dir),
+        threshold=EMBED_NEAR_DUP_THRESHOLD,
+        n_planes=ANN_PLANES,
+        dim=EMBED_DIM,
+    ).orderBy("id_a", "id_b")
+
+
+SQL_EMB_NEAR_DUP = f"""
+WITH tagged AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_sql_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
+  FROM embeddings
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             {sim.COSINE_SCALE}) AS cos_sim
+FROM tagged a JOIN tagged b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            {sim.COSINE_SCALE}) >= {EMBED_NEAR_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES = [
+    QuerySpec("doc_exact_dedup", q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP,
+              "exact dedup groups via content hash", bench=True, tags=("dedup", "text")),
+    QuerySpec("doc_token_stats", q_doc_token_stats, SQL_DOC_TOKEN_STATS,
+              "token counting / type-token ratio", tags=("text",)),
+    QuerySpec("doc_lang_profile", q_doc_lang_profile, SQL_DOC_LANG_PROFILE,
+              "stopword-based language ID", tags=("text",)),
+    QuerySpec("doc_quality", q_doc_quality, SQL_DOC_QUALITY,
+              "heuristic quality scoring", tags=("text",)),
+    QuerySpec("doc_fingerprints", q_doc_fingerprints, SQL_DOC_FINGERPRINTS,
+              "min-hash fingerprint over word shingles", tags=("text", "dedup")),
+    QuerySpec("doc_simhash", q_doc_simhash, SQL_DOC_SIMHASH,
+              "32-bit SimHash fingerprints", tags=("dedup",)),
+    QuerySpec("doc_ngram_jaccard", q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD,
+              "exact bigram-Jaccard near-dup pairs", bench=True, tags=("dedup",)),
+    QuerySpec("doc_minhash_neardup", q_doc_minhash_neardup, SQL_DOC_MINHASH_NEARDUP,
+              "MinHash+LSH near-dup with exact verify", tags=("dedup",)),
+    QuerySpec("emb_cosine_topk", q_emb_cosine_topk, SQL_EMB_COSINE_TOPK,
+              "brute-force cosine top-k neighbors", bench=True, tags=("similarity",)),
+    QuerySpec("emb_ann_topk", q_emb_ann_topk, SQL_EMB_ANN_TOPK,
+              "LSH-bucketed approximate top-k", tags=("similarity",)),
+    QuerySpec("emb_near_dup", q_emb_near_dup, SQL_EMB_NEAR_DUP,
+              "embedding-cosine near-dup pairs (bucketed)", tags=("similarity", "dedup")),
+]

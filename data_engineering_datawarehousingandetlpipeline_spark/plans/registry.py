@@ -1,0 +1,47 @@
+"""Query registry: every operator from SURVEY.md §2 surfaces here as a named
+query with (a) a Spark DataFrame plan and (b) an ANSI-SQL oracle twin that
+DuckDB runs over the same parquet tables. The driver's correctness gate
+compares the two (row count + schema + order-insensitive value hash), so:
+
+- every computed column is aliased identically on both sides,
+- every float aggregate is decimal-anchored (functions/numeric.py),
+- result orderings carry a deterministic tiebreaker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One named query: Spark plan + optional DuckDB oracle SQL."""
+
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    description: str = ""
+    bench: bool = False  # headline query timed by bench.py
+    tags: tuple[str, ...] = field(default=())
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    """Assemble the full query surface from the plan modules."""
+    from data_engineering_datawarehousingandetlpipeline_spark.plans import (
+        analytics,
+        extensions,
+        reference_queries,
+    )
+
+    specs: dict[str, QuerySpec] = {}
+    for module in (reference_queries, analytics, extensions):
+        for spec in module.QUERIES:
+            if spec.name in specs:
+                raise ValueError(f"duplicate query name: {spec.name}")
+            specs[spec.name] = spec
+    return specs

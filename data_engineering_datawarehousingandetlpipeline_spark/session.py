@@ -1,0 +1,76 @@
+"""SparkSession factory + per-session conf hardening.
+
+The reference has no execution engine of its own (SURVEY.md §4) — everything
+here is the Spark-side replacement. Two entry points:
+
+- :func:`get_spark` builds a session for tests / bench (local mode, AQE on,
+  UTC, shuffle parallelism sized to the machine instead of the 200 default).
+- :func:`ensure_runtime_confs` hardens an *externally provided* session
+  (the driver passes its own) by setting the runtime-settable confs every
+  query in this engine assumes: UTC session timezone (timestamp comparisons
+  vs. the DuckDB oracle are wrong otherwise) and AQE.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: confs that can be applied to a live session (runtime-settable).
+RUNTIME_CONFS: dict[str, str] = {
+    # Timestamps in the testdata are UTC instants; DuckDB timestamps are
+    # UTC-naive. Pinning the session tz makes the two engines agree.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle-partition coalescing + skew-join splitting —
+    # the levers that keep the same plan healthy from sf0.001 to 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas interchange (similarity / multimodal operators).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    """Shuffle parallelism default: the driver benches on local[$SPARK_GRAFT_CPUS]."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required runtime confs to an existing session."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - conf locked by the host
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "dwh-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession with scale-aware defaults."""
+    cpus = default_parallelism()
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: ~cores, not the 200 default (over-parallelized shuffles
+        # on small data, and AQE coalesces down anyway).
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_runtime_confs(spark)
