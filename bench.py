@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries and print ONE JSON line.
+
+Contract (driver): run at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``; output
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query executes fully through a ``noop`` write (no driver collect, no
+files) — the standard way to measure plan execution cost rather than
+result-serialization cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_engineering_datawarehousingandetlpipeline_spark.plans import all_queries
+from data_engineering_datawarehousingandetlpipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(match.group(1).rstrip(".")) if match else None
+
+    spark = get_spark(app_name="dwh-spark-bench")
+    specs = {n: s for n, s in all_queries().items() if s.bench}
+
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        fn = specs[name].fn
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm JIT+IO once
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

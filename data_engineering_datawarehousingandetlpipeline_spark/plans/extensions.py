@@ -33,7 +33,7 @@ from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import
     load_table,
 )
 
-NGRAM_JACCARD_THRESHOLD = 0.07
+NGRAM_JACCARD_THRESHOLD = 0.01
 MINHASH_JACCARD_THRESHOLD = 0.9
 EMBED_NEAR_DUP_THRESHOLD = 0.3
 TOPK_QUERY_IDS = 8  # vec_id < 8 act as the query set
@@ -202,10 +202,13 @@ ORDER BY doc_id
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trigram shingles: the 31-word synthetic vocabulary makes bigram
+    # postings lists pathologically dense (~20× the join volume); trigrams
+    # keep the inverted-index join selective at every scale factor.
     return dd.jaccard_pairs(
         _docs(spark, sf_dir),
         threshold=NGRAM_JACCARD_THRESHOLD,
-        shingle_width=2,
+        shingle_width=3,
     ).orderBy("doc_a", "doc_b")
 
 
@@ -214,8 +217,8 @@ WITH t AS (
   SELECT doc_id, {SQL_TOKS} AS toks FROM documents
 ), s AS (
   SELECT doc_id AS doc,
-         list_distinct(CASE WHEN len(toks) >= 2
-              THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+         list_distinct(CASE WHEN len(toks) >= 3
+              THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
               ELSE [array_to_string(toks, ' ')] END) AS sh
   FROM t
 ), sizes AS (
