@@ -1,0 +1,109 @@
+"""Structured-Streaming ingestion pipeline (reference T1-T6, SURVEY.md §2.8).
+
+The reference's consumer loop — buffer 500 rows / 10 s, watermark-filter,
+clean, append to BigQuery, persist a JSON watermark file — becomes ONE
+streaming query:
+
+    source → lenient schema → foreachBatch( clean → idempotent MERGE )
+
+with the checkpoint directory replacing the watermark file (T3) and the
+key-based ``merge_upsert`` replacing the max-ts filter (T2/T4). This is
+strictly stronger than the reference: its crash window between ``to_gbq``
+and ``watermark.save()`` (kafka_stream.py:326-330) cannot double-load here,
+because re-processed batches anti-join against the table itself.
+
+Sources are pluggable: Kafka in production (sources/kafka.py), a file
+source in tests (same downstream pipeline, driver-image has no Kafka jars).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from data_engineering_datawarehousingandetlpipeline_spark.operators.cleaning import (
+    prepare_hourly,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.schema import (
+    OBSERVATION_SCHEMA,
+    apply_schema,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+    WarehouseTable,
+)
+
+#: reference micro-batch cadence: flush every 10 s (kafka_stream.py:336).
+DEFAULT_TRIGGER_SECONDS = 10
+
+
+def clean_batch(batch: DataFrame) -> DataFrame:
+    """The per-batch cleaning pipeline (P1-P3 + F7 + D2), batch/stream shared."""
+    return prepare_hourly(apply_schema(batch, OBSERVATION_SCHEMA))
+
+
+def make_batch_sink(
+    warehouse: WarehouseTable,
+    clean: Callable[[DataFrame], DataFrame] = clean_batch,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body: clean then MERGE (insert-if-absent) — idempotent,
+    so checkpoint replays after a crash cannot double-load (fixes T4)."""
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        cleaned = clean(batch)
+        warehouse.merge_upsert(cleaned)
+
+    return sink
+
+
+def read_json_file_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """File-based stand-in for the Kafka source (tests / replay).
+
+    Reads the raw observation shape with every field as string — the same
+    dirtiness contract as Kafka JSON payloads — so ``apply_schema`` does
+    identical work on both paths.
+    """
+    if schema is None:
+        schema = T.StructType(
+            [T.StructField(f.name, T.StringType(), True) for f in OBSERVATION_SCHEMA.fields]
+        )
+    return spark.readStream.schema(schema).json(input_dir)
+
+
+def start_ingestion(
+    source: DataFrame,
+    warehouse: WarehouseTable,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Start the ingestion query (T1 micro-batching + T3 checkpoint recovery).
+
+    ``available_now=True`` drains everything currently in the source and
+    stops — the hourly scheduled shape (T5); otherwise a continuous
+    micro-batch trigger every ``trigger_seconds`` (the 10 s flush, T1).
+    """
+    writer = source.writeStream.foreachBatch(make_batch_sink(warehouse)).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def run_available(
+    source: DataFrame, warehouse: WarehouseTable, checkpoint_dir: str
+) -> None:
+    """Drain the source synchronously (tests / scheduled batch runs)."""
+    query = start_ingestion(
+        source, warehouse, checkpoint_dir, available_now=True
+    )
+    query.awaitTermination()

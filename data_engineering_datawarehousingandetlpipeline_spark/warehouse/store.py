@@ -1,0 +1,141 @@
+"""Warehouse table semantics over partitioned Parquet (reference S5-S7, A4, T4).
+
+The reference's warehouse is one append-only BigQuery table with
+effectively-once ingestion enforced by a per-station watermark file
+(SURVEY.md §1.1). Here the warehouse is a date-partitioned Parquet table
+(the image carries no Delta/Iceberg jars — the layout and API are designed
+so swapping ``parquet`` for ``delta`` upgrades semantics without code
+changes):
+
+- ``append``       — S5 blind append (plus S6 post-write verification)
+- ``merge_upsert`` — T4 idempotent insert-if-absent keyed on the row
+  identity: the scalable emulation of ``MERGE WHEN NOT MATCHED``. Only the
+  date partitions touched by the incoming batch are read back for the
+  anti-join (partition pruning), so cost scales with the batch's time
+  window, not table history — at 100 TB a batch touching one day reads one
+  day.
+- ``max_ts_per_key`` — A4: the watermark-state query, derived from the
+  table itself instead of a side JSON file (no crash window between data
+  write and state write — the reference's T4 bug, kafka_stream.py:326-330,
+  fixed structurally).
+
+Layout: ``root/dt=YYYY-MM-DD/*.parquet``, hive-style partitioning on the
+UTC date of the event timestamp.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_datawarehousingandetlpipeline_spark.schema import KEY_COLUMNS
+
+
+class WarehouseTable:
+    """A date-partitioned Parquet table with idempotent upsert semantics."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        keys: Sequence[str] = KEY_COLUMNS,
+        ts_col: str = "timestamp",
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.keys = list(keys)
+        self.ts_col = ts_col
+
+    # ------------------------------------------------------------ probes
+
+    def exists(self) -> bool:
+        """S7: table-existence probe (``_table_exists``, kafka_stream.py:148-159)."""
+        try:
+            return any(
+                name.startswith("dt=") or name.endswith(".parquet")
+                for name in os.listdir(self.root)
+            )
+        except FileNotFoundError:
+            return False
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.root)
+
+    def count(self) -> int:
+        return self.read().count() if self.exists() else 0
+
+    # ------------------------------------------------------------ writes
+
+    def _with_dt(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("dt", F.to_date(F.col(self.ts_col)))
+
+    def append(self, df: DataFrame, verify: bool = True) -> int:
+        """S5: append the batch; S6: verify persisted rows afterwards.
+
+        Returns the number of rows written. Verification re-counts only the
+        partitions the batch touched (cheap at any scale), mirroring
+        ``_verify_row_persistence`` (kafka_stream.py:161-193) without a
+        full-table scan.
+        """
+        before = self._count_in_partitions(df) if verify else 0
+        n = df.count()
+        (
+            self._with_dt(df)
+            .write.mode("append")
+            .partitionBy("dt")
+            .parquet(self.root)
+        )
+        if verify:
+            after = self._count_in_partitions(df)
+            if after - before < n:
+                raise RuntimeError(
+                    f"post-write verification failed: expected >= {n} new rows "
+                    f"in touched partitions, found {after - before}"
+                )
+        return n
+
+    def merge_upsert(self, df: DataFrame) -> int:
+        """T4: idempotent insert-if-absent on the key columns.
+
+        Anti-join the incoming batch against ONLY the existing rows of the
+        partitions it touches, then append the survivors. Re-running the
+        same batch is a no-op — the exactly-once property the reference
+        approximates with its watermark file.
+        """
+        incoming = df.dropDuplicates(self.keys)
+        if not self.exists():
+            return self.append(incoming, verify=False)
+        existing = self._partition_slice(incoming).select(*self.keys)
+        fresh = incoming.join(existing, self.keys, "left_anti")
+        # materialize before writing: the anti-join must not re-read the
+        # table mid-append (read-modify-write hazard on the same files)
+        fresh = fresh.localCheckpoint(eager=True)
+        return self.append(fresh, verify=False)
+
+    # ------------------------------------------------------------ queries
+
+    def max_ts_per_key(self) -> DataFrame:
+        """A4: per-key high-watermark, derived from the table itself."""
+        group = [k for k in self.keys if k != self.ts_col] or self.keys
+        return self.read().groupBy(*group).agg(F.max(self.ts_col).alias("max_ts"))
+
+    # ------------------------------------------------------------ helpers
+
+    def _touched_dates(self, df: DataFrame) -> list:
+        return [
+            r["dt"]
+            for r in self._with_dt(df).select("dt").distinct().collect()
+        ]
+
+    def _partition_slice(self, df: DataFrame) -> DataFrame:
+        """Existing rows in the partitions the batch touches (pruned scan)."""
+        dates = self._touched_dates(df)
+        if not self.exists() or not dates:
+            return self.spark.createDataFrame([], df.schema)
+        return self.read().filter(F.to_date(F.col(self.ts_col)).isin(dates))
+
+    def _count_in_partitions(self, df: DataFrame) -> int:
+        return self._partition_slice(df).count()

@@ -1,0 +1,125 @@
+"""Warehouse merge semantics + streaming ingestion (reference S5-S7, T1-T5).
+
+The core guarantees under test:
+- ``merge_upsert`` is idempotent on (station_id, timestamp) — re-running a
+  batch adds nothing (the reference's watermark guarantee, made exact),
+- the streaming pipeline (file source → foreachBatch → merge) produces the
+  same warehouse state as the batch path, survives a simulated restart
+  (fresh checkpoint, same data) without double-loading, and recovers
+  incrementally (new files only) with the original checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_engineering_datawarehousingandetlpipeline_spark.sources.kafka import (
+    decode_json,
+    encode_json,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+    read_observations_json,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+    clean_batch,
+    read_json_file_stream,
+    run_available,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+    WarehouseTable,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "sample_observations.json")
+
+
+def _rows(path):
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _write_ndjson(rows, path):
+    with open(path, "w") as fh:
+        for row in rows:
+            fh.write(json.dumps({k: None if v is None else str(v) for k, v in row.items()}) + "\n")
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path):
+    return WarehouseTable(spark, str(tmp_path / "warehouse"))
+
+
+def test_append_and_verify(spark, warehouse):
+    df = read_observations_json(spark, FIXTURE)
+    assert not warehouse.exists()
+    n = warehouse.append(df)
+    assert n == 6
+    assert warehouse.exists()
+    assert warehouse.count() == 6
+
+
+def test_merge_upsert_is_idempotent(spark, warehouse):
+    df = clean_batch(read_observations_json(spark, FIXTURE))
+    first = warehouse.merge_upsert(df)
+    assert first == warehouse.count() == 5  # hourly-deduped fixture
+    second = warehouse.merge_upsert(df)  # exact replay → no-op
+    assert second == 0
+    assert warehouse.count() == 5
+
+
+def test_merge_upsert_inserts_only_new_keys(spark, warehouse):
+    df = clean_batch(read_observations_json(spark, FIXTURE))
+    warehouse.merge_upsert(df)
+    later = spark.createDataFrame(
+        [
+            ("100001", "2024-03-01T00:30:00Z", "9.9"),   # same (key, hour) → skipped
+            ("100009", "2024-03-01T07:00:00Z", "4.2"),   # genuinely new
+        ],
+        schema="station_id string, timestamp string, temperature string",
+    )
+    added = warehouse.merge_upsert(clean_batch(later))
+    assert added == 1
+    assert warehouse.count() == 6
+
+
+def test_max_ts_per_key_state(spark, warehouse):
+    warehouse.merge_upsert(clean_batch(read_observations_json(spark, FIXTURE)))
+    state = {r["station_id"]: r["max_ts"] for r in warehouse.max_ts_per_key().collect()}
+    assert state["100001"].isoformat() == "2024-03-01T00:00:00"
+    assert len(state) == 5
+
+
+def test_kafka_json_roundtrip(spark):
+    df = read_observations_json(spark, FIXTURE)
+    decoded = decode_json(encode_json(df))
+    assert decoded.columns == df.columns
+    assert sorted(map(tuple, decoded.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_streaming_matches_batch_and_restart_is_idempotent(spark, tmp_path, warehouse):
+    rows = _rows(FIXTURE)
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    _write_ndjson(rows[:3], indir / "batch1.json")
+    _write_ndjson(rows[3:], indir / "batch2.json")
+
+    ckpt1 = str(tmp_path / "ckpt1")
+    run_available(read_json_file_stream(spark, str(indir)), warehouse, ckpt1)
+    assert warehouse.count() == 5  # same as the batch path
+
+    # simulated crash-and-reprocess: NEW checkpoint, same input files —
+    # every batch replays, yet the merge keeps the warehouse unchanged
+    run_available(read_json_file_stream(spark, str(indir)), warehouse, str(tmp_path / "ckpt2"))
+    assert warehouse.count() == 5
+
+    # incremental recovery with the ORIGINAL checkpoint: only new files run
+    _write_ndjson(
+        [{"station_id": "100010", "timestamp": "2024-03-01T09:05:00Z", "temperature": "7.0",
+          "station_name": "New", "latitude": "60.0", "longitude": "24.0",
+          "humidity": "50", "wind_speed": "1.0"}],
+        indir / "batch3.json",
+    )
+    run_available(read_json_file_stream(spark, str(indir)), warehouse, ckpt1)
+    assert warehouse.count() == 6
