@@ -90,13 +90,19 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_day_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dashboard day query: 5-column projection + ts range + ORDER BY ts.
 
-    The filter and projection both push to the parquet scan — at 100 TB
-    with a date-partitioned warehouse this prunes to one day's partitions.
+    The range predicate is applied in raw-nanos space (load_events_range)
+    so it pushes down to the parquet scan's row-group statistics; at 100 TB
+    with a date-partitioned warehouse this prunes to one day's partitions
+    instead of scanning the column and filtering after conversion.
     """
+    from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+        load_events_range,
+    )
+
+    ensure_runtime_confs(spark)
     return (
-        _events(spark, sf_dir)
+        load_events_range(spark, sf_dir, _DAY_START, _DAY_END)
         .select("event_id", "user_id", "event_type", "value", "ts")
-        .filter(F.col("ts").between(F.lit(str(_DAY_START)), F.lit(str(_DAY_END))))
         .orderBy("ts", "event_id")
     )
 

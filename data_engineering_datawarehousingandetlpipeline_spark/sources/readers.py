@@ -42,14 +42,50 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
-
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return _load_events(spark, path)
     return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str, ts_range=None) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") != "bigint":  # pragma: no cover - non-nanos data
+        return df
+    if ts_range is not None:
+        start, end = ts_range
+        # Transpose the µs-timestamp bounds into raw-nanos space and filter
+        # BEFORE the conversion: a predicate on the stored bigint column
+        # pushes down to the parquet scan (row-group min/max skipping),
+        # which a predicate on the derived timestamp cannot.
+        # µs = ns div 1000, so µs ∈ [S, E] ⟺ ns ∈ [S·1000, E·1000 + 999].
+        start_ns = _to_epoch_us(start) * 1000
+        end_ns = _to_epoch_us(end) * 1000 + 999
+        df = df.filter((F.col("ts") >= start_ns) & (F.col("ts") <= end_ns))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _to_epoch_us(value) -> int:
+    import datetime as dt
+
+    if isinstance(value, str):
+        value = dt.datetime.fromisoformat(value)
+    if value.tzinfo is None:
+        value = value.replace(tzinfo=dt.timezone.utc)
+    # exact integer µs (float .timestamp() loses precision at µs scale)
+    return (value - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)) // dt.timedelta(
+        microseconds=1
+    )
+
+
+def load_events_range(
+    spark: SparkSession, sf_dir: str, start_ts, end_ts
+) -> DataFrame:
+    """Events scan with a pushdown-friendly timestamp range (see _load_events)."""
+    return _load_events(
+        spark, os.path.join(sf_dir, "events.parquet"), ts_range=(start_ts, end_ts)
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
