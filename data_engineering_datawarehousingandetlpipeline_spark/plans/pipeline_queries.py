@@ -1,0 +1,209 @@
+"""Pipeline-shaped queries: pivot, whitelist scan, salted rollup, and the
+streaming ingestion path verified against its SQL semantics.
+
+``streaming_ingest`` is the notable one: it *runs the actual Structured
+Streaming pipeline* (file source → foreachBatch clean+merge into a temp
+warehouse, checkpointed) and returns the warehouse contents — while its
+oracle states the equivalent batch semantics in SQL (hour floor + keep-last
+per key). The driver's comparison therefore proves the streaming path
+implements the declared batch semantics, not just that it runs.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
+    dsum,
+    sql_dsum,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.operators.skew import (
+    salted_agg,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import QuerySpec
+from data_engineering_datawarehousingandetlpipeline_spark.session import (
+    ensure_runtime_confs,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+    load_table,
+)
+
+#: fixed pivot columns — the corpus's five event types (deterministic order).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+#: whitelist for the A3-style long-term scan.
+USER_WHITELIST = (1, 2, 3, 7, 11)
+
+
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily value totals, one column per event type.
+
+    Explicit pivot values keep the plan single-pass (no distinct-values
+    pre-query) and the output schema static — required at scale and for
+    the oracle's CASE-based twin.
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day_ts"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(dsum("value"))
+        .orderBy("day_ts")
+    )
+
+
+SQL_PIVOT_DAILY = (
+    # CAST: duckdb's date_trunc('day') yields DATE; Spark's yields TIMESTAMP
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts, "
+    + ", ".join(
+        "CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS \"{t}\"".format(t=t)
+        for t in EVENT_TYPES
+    )
+    + " FROM events GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP) ORDER BY day_ts"
+)
+
+
+def q_long_term_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/P4/O2: whitelist filter + per-key time ordering (one DataFrame).
+
+    The IN-list pushes to the scan; ordering is the query's output
+    contract (the reference materialized a dict of per-station frames —
+    a pandas-ism replaced by one ordered frame).
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("user_id").isin(*USER_WHITELIST))
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+SQL_LONG_TERM_USERS = f"""
+SELECT user_id, ts, event_id, event_type, value
+FROM events
+WHERE user_id IN ({', '.join(str(u) for u in USER_WHITELIST)})
+ORDER BY user_id, ts, event_id
+"""
+
+
+def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage aggregate over the 5-value event_type key.
+
+    Same result as a direct groupBy (the oracle) — the point is the plan:
+    partials spread across 16 salt buckets before combining, so one hot
+    key cannot pin a reducer at scale.
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("event_id", "count"),
+            "sum_value": (F.col("value").cast("decimal(18,4)"), "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        salt_col="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("event_type")
+
+
+SQL_SALTED_ROLLUP = f"""
+SELECT event_type,
+       COUNT(event_id) AS n_events,
+       {sql_dsum('value')} AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-T5 end to end: run the real streaming pipeline, return the table.
+
+    events (user_id < 5) are mapped to the observation shape, staged as a
+    file-source stream, ingested through foreachBatch(clean → merge) with a
+    checkpoint, and the resulting warehouse is returned. The oracle states
+    the intended batch semantics — hour floor + keep-last per (key, hour) —
+    so the comparison verifies the streaming path's *semantics*.
+    """
+    ensure_runtime_confs(spark)
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        read_json_file_stream,
+        run_available,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        WarehouseTable,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    staged = events.select(
+        F.col("user_id").cast("string").alias("station_id"),
+        F.lit(None).cast("string").alias("station_name"),
+        F.lit(None).cast("string").alias("latitude"),
+        F.lit(None).cast("string").alias("longitude"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("timestamp"),
+        F.col("value").cast("string").alias("temperature"),
+        F.lit(None).cast("string").alias("humidity"),
+        F.lit(None).cast("string").alias("wind_speed"),
+    )
+
+    workdir = tempfile.mkdtemp(prefix="streaming_ingest_q_")
+    indir = os.path.join(workdir, "incoming")
+    staged.coalesce(1).write.mode("overwrite").json(indir)
+    warehouse = WarehouseTable(spark, os.path.join(workdir, "warehouse"))
+    run_available(
+        read_json_file_stream(spark, indir),
+        warehouse,
+        os.path.join(workdir, "ckpt"),
+    )
+    return (
+        warehouse.read()
+        .select(
+            "station_id",
+            "timestamp",
+            F.col("temperature").alias("value"),
+        )
+        .orderBy("station_id", "timestamp")
+    )
+
+
+SQL_STREAMING_INGEST = """
+SELECT CAST(user_id AS VARCHAR) AS station_id,
+       hour_ts AS "timestamp",
+       value
+FROM (
+  SELECT user_id, date_trunc('hour', ts) AS hour_ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC) AS rn
+  FROM events WHERE user_id < 5
+) t
+WHERE rn = 1
+ORDER BY station_id, "timestamp"
+"""
+
+
+QUERIES = [
+    QuerySpec("pivot_daily", q_pivot_daily, SQL_PIVOT_DAILY,
+              "pivot: daily totals per event type", tags=("pivot", "agg")),
+    QuerySpec("long_term_users", q_long_term_users, SQL_LONG_TERM_USERS,
+              "whitelist + per-key time order (A3/P4/O2)", tags=("filter", "sort")),
+    QuerySpec("salted_rollup", q_salted_rollup, SQL_SALTED_ROLLUP,
+              "skew-resistant two-stage salted aggregation", tags=("agg", "skew")),
+    QuerySpec("streaming_ingest", q_streaming_ingest, SQL_STREAMING_INGEST,
+              "Structured Streaming ingest verified against batch semantics",
+              tags=("streaming", "warehouse")),
+]

@@ -35,11 +35,12 @@ def all_queries() -> dict[str, QuerySpec]:
     from data_engineering_datawarehousingandetlpipeline_spark.plans import (
         analytics,
         extensions,
+        pipeline_queries,
         reference_queries,
     )
 
     specs: dict[str, QuerySpec] = {}
-    for module in (reference_queries, analytics, extensions):
+    for module in (reference_queries, analytics, extensions, pipeline_queries):
         for spec in module.QUERIES:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name: {spec.name}")

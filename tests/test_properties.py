@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis) for the engine's pure contracts.
+
+These cover the deterministic building blocks the cross-engine guarantees
+rest on — no SparkSession in the loop, so hundreds of cases run in
+milliseconds.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_engineering_datawarehousingandetlpipeline_spark.operators.similarity import (
+    hyperplane,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.plans.reference_queries import (
+    day_bounds_utc,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+    _to_epoch_us,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.sources.rest import (
+    FIELD_CANDIDATES,
+    extract_fields,
+)
+
+
+@given(st.integers(0, 63), st.integers(1, 256))
+def test_hyperplane_deterministic_and_signed(seed, dim):
+    a = hyperplane(seed, dim)
+    b = hyperplane(seed, dim)
+    assert a == b  # stable across calls (index-stable ANN buckets)
+    assert len(a) == dim
+    assert set(a) <= {-1.0, 1.0}
+
+
+@given(st.integers(0, 31))
+def test_hyperplanes_differ_by_seed(seed):
+    assert hyperplane(seed, 64) != hyperplane(seed + 1, 64)
+
+
+@given(
+    st.dates(dt.date(1990, 1, 1), dt.date(2100, 12, 31)),
+    st.integers(-12, 14),
+)
+def test_day_bounds_cover_exactly_one_day(day, offset):
+    start, end = day_bounds_utc(day, utc_offset_hours=offset)
+    span = end - start
+    assert span == dt.timedelta(hours=23, minutes=59, seconds=59, microseconds=999999)
+    # the local-midnight instant shifted back by the offset
+    assert start == dt.datetime.combine(day, dt.time.min) - dt.timedelta(hours=offset)
+
+
+@settings(max_examples=200)
+@given(
+    st.datetimes(
+        dt.datetime(1970, 1, 1), dt.datetime(2100, 1, 1)
+    ).map(lambda d: d.replace(microsecond=d.microsecond))
+)
+def test_epoch_us_is_exact(value):
+    us = _to_epoch_us(value)
+    back = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us)
+    assert back == value  # lossless round-trip (float .timestamp() is not)
+
+
+@given(st.sampled_from(sorted(FIELD_CANDIDATES)), st.text(min_size=1, max_size=20))
+def test_extract_fields_first_candidate_wins(column, value):
+    candidates = FIELD_CANDIDATES[column]
+    payload = {k: f"later_{k}" for k in candidates[1:]}
+    payload[candidates[0]] = value
+    assert extract_fields(payload)[column] == value
+
+
+@given(st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=5))
+def test_extract_fields_total_on_arbitrary_payloads(payload):
+    row = extract_fields(payload)
+    assert set(row) == set(FIELD_CANDIDATES)  # always the full column set
