@@ -31,6 +31,7 @@ from data_engineering_datawarehousingandetlpipeline_spark.operators.text import 
     tokens,
     word_shingles,
 )
+from data_engineering_datawarehousingandetlpipeline_spark.session import spread
 
 #: MinHash signature size and LSH banding (4 bands × 2 rows → s-curve @ ~0.5).
 MINHASH_PERMS = 8
@@ -75,7 +76,7 @@ def jaccard_pairs(
     shingle (a scalable key); the pair aggregation shuffles on (a, b).
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    shingled = df.select(
+    shingled = spread(df).select(
         F.col(id_col).alias("doc"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_width)).alias("shingles"),
     )
@@ -121,7 +122,7 @@ def minhash_signatures(
         ).alias(f"mh{k}")
         for k in range(perms)
     ]
-    return df.select(F.col(id_col).alias("doc"), *sig_cols)
+    return spread(df).select(F.col(id_col).alias("doc"), *sig_cols)
 
 
 def minhash_near_dup_pairs(
@@ -189,7 +190,7 @@ def simhash_fingerprints(
     """
     token_hash = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
     exploded = (
-        df.select(
+        spread(df).select(
             F.col(id_col).alias("doc"),
             F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
         )

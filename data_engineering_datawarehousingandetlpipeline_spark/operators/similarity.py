@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_engineering_datawarehousingandetlpipeline_spark.session import spread
+
 #: rounding applied to cosine before thresholding/ranking (engine parity).
 COSINE_SCALE = 6
 
@@ -63,7 +65,9 @@ def cosine_top_k(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -135,7 +139,7 @@ def cosine_top_k_lsh(
     ranking contract as :func:`cosine_top_k`.
     """
     planes = [hyperplane(b, dim) for b in range(n_planes)]
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
@@ -179,7 +183,7 @@ def embedding_near_dup_pairs(
     id_a < id_b.
     """
     planes = [hyperplane(b, dim) for b in range(n_planes)]
-    tagged = df.select(
+    tagged = spread(df).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),

@@ -29,12 +29,34 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas interchange (similarity / multimodal operators).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # CPU-heavy text/vector operators produce shuffles that are tiny in
+    # bytes but expensive per row (md5 shingles, inverted-index joins).
+    # The 1 MB default floor lets AQE coalesce them to one task, serializing
+    # the whole stage on one core; 64k keeps such stages parallel while
+    # still coalescing genuinely empty partitions.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
 }
 
 
 def default_parallelism() -> int:
     """Shuffle parallelism default: the driver benches on local[$SPARK_GRAFT_CPUS]."""
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def spread(df, parallelism: int | None = None):
+    """Fan a narrow-partitioned DataFrame out to full core parallelism.
+
+    Small parquet files scan as a single partition, which serializes every
+    downstream CPU-heavy expression (shingling, md5 min-hashing, vector
+    math) on one core. A round-robin repartition costs one tiny shuffle and
+    buys back the whole machine. No-op when the input already has enough
+    partitions — at warehouse scale the scan arrives wide and this adds
+    nothing.
+    """
+    target = parallelism or default_parallelism()
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
