@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_engineering_datawarehousingandetlpipeline_spark.session import spread
+
 #: metadata struct carried next to every binary payload.
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -116,7 +118,9 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
                 rows, columns=["media_id", "width", "height", "n_frames", "feature"]
             )
 
-    return df.select("media_id", "content").mapInPandas(featurize, _FEATURE_SCHEMA)
+    return spread(df.select("media_id", "content")).mapInPandas(
+        featurize, _FEATURE_SCHEMA
+    )
 
 
 def sample_frames(

@@ -20,6 +20,9 @@ from data_engineering_datawarehousingandetlpipeline_spark.operators import (
     dedup as dd,
 )
 from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+    multimodal as mm,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.operators import (
     similarity as sim,
 )
 from data_engineering_datawarehousingandetlpipeline_spark.operators import (
@@ -287,6 +290,81 @@ ORDER BY c.doc_a, c.doc_b
 """
 
 
+# --------------------------------------------------------------- multimodal
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text wrapped as an opaque binary media column + metadata.
+
+    The corpus carries no real image bytes, so text payloads stand in; the
+    Spark-side plumbing (binary column, typed metadata struct, Arrow-batched
+    mapInPandas decode) is exactly what real media would flow through.
+    """
+    return mm.attach_media(
+        _docs(spark, sf_dir), payload_col="text", id_col="doc_id",
+        media_type="image", fmt="txt",
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        mm.extract_features(_media(spark, sf_dir))
+        .select("media_id", "width", "height", "n_frames")
+        .orderBy("media_id")
+    )
+
+
+#: the stub decoder derives every field from sha256(payload) — reproduced
+#: here byte-for-byte from the hex digest (see operators/multimodal.py).
+SQL_MEDIA_FEATURES = """
+WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents)
+SELECT media_id,
+       CAST(64 + CAST('0x' || substr(hx, 1, 2) AS INT) % 192 AS INT) AS width,
+       CAST(64 + CAST('0x' || substr(hx, 3, 2) AS INT) % 192 AS INT) AS height,
+       CAST(1 + CAST('0x' || substr(hx, 5, 2) AS INT) % 16 AS INT) AS n_frames
+FROM h
+ORDER BY media_id
+"""
+
+
+def q_media_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = mm.extract_features(_media(spark, sf_dir))
+    return (
+        feats.select("media_id", F.posexplode("feature").alias("dim", "val"))
+        .select(
+            "media_id",
+            "dim",
+            F.round(F.col("val").cast("double"), 6).alias("val"),
+        )
+        .orderBy("media_id", "dim")
+    )
+
+
+SQL_MEDIA_FEATURE_VECTORS = """
+WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents)
+SELECT media_id, CAST(g.dim AS INT) AS dim,
+       round(CAST('0x' || substr(hx, 7 + 2 * g.dim, 2) AS INT) / 255.0, 6) AS val
+FROM h CROSS JOIN generate_series(0, 7) AS g(dim)
+ORDER BY media_id, dim
+"""
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.sample_frames(_media(spark, sf_dir), every_nth=4).orderBy(
+        "media_id", "frame_index"
+    )
+
+
+SQL_MEDIA_FRAME_SAMPLE = """
+WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
+n AS (SELECT media_id,
+             1 + CAST('0x' || substr(hx, 5, 2) AS INT) % 16 AS n_frames
+      FROM h)
+SELECT media_id, CAST(unnest(range(0, n_frames, 4)) AS INT) AS frame_index
+FROM n
+ORDER BY media_id, frame_index
+"""
+
+
 # --------------------------------------------------------------- embeddings
 
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,6 +490,14 @@ QUERIES = [
               "exact bigram-Jaccard near-dup pairs", bench=True, tags=("dedup",)),
     QuerySpec("doc_minhash_neardup", q_doc_minhash_neardup, SQL_DOC_MINHASH_NEARDUP,
               "MinHash+LSH near-dup with exact verify", tags=("dedup",)),
+    QuerySpec("media_features", q_media_features, SQL_MEDIA_FEATURES,
+              "multimodal decode-stub features via Arrow mapInPandas",
+              tags=("multimodal",)),
+    QuerySpec("media_feature_vectors", q_media_feature_vectors,
+              SQL_MEDIA_FEATURE_VECTORS,
+              "stub 8-dim media feature vectors, exploded", tags=("multimodal",)),
+    QuerySpec("media_frame_sample", q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE,
+              "every-4th frame-sampling plumbing", tags=("multimodal",)),
     QuerySpec("emb_cosine_topk", q_emb_cosine_topk, SQL_EMB_COSINE_TOPK,
               "brute-force cosine top-k neighbors", bench=True, tags=("similarity",)),
     QuerySpec("emb_ann_topk", q_emb_ann_topk, SQL_EMB_ANN_TOPK,
