@@ -1,0 +1,147 @@
+"""Stateful streaming operators: watermarked windows + custom sessions.
+
+Two capabilities beyond the ingestion pipeline (SURVEY.md §2.8):
+
+- :func:`windowed_stats` — the reference's tumbling-hour cadence (T5,
+  ``dags/fmi_weather_dag.py:17``) as a *streaming* aggregation:
+  ``withWatermark`` bounds state and drops late data (the reference's
+  watermark store, T2, drops rows older than per-station max-ts; the
+  Spark watermark generalizes that to bounded lateness with the state
+  store evicting closed windows — at 100 TB/day the state size stays
+  O(open windows × stations), not O(history)).
+- :func:`stateful_sessions` — a custom stateful operator the built-in
+  surface can't express: gap-based sessionization with cross-batch state,
+  via Arrow-batched ``applyInPandasWithState``. State per key is one open
+  session (constant size); closed sessions are emitted as soon as the gap
+  is observed. This is the pattern any bespoke accumulating operator
+  (dedup-by-key, running top-k, anomaly trackers) plugs into.
+
+Both run identically under ``trigger(availableNow)`` (scheduled drain) and
+processing-time triggers (continuous) — the cadence is deployment config,
+not operator logic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: default session gap (seconds) — same constant the batch sessionization
+#: query uses, so batch and streaming sessions agree.
+DEFAULT_GAP_SECONDS = 30 * 60
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events int"
+)
+#: state: open session as epoch-µs bounds + event count (constant size).
+SESSION_STATE_SCHEMA = "session_start long, last_ts long, n_events int"
+
+
+def windowed_stats(
+    source: DataFrame,
+    ts_col: str = "timestamp",
+    key_col: str = "station_id",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window aggregate with bounded-lateness watermark.
+
+    Late rows older than ``watermark`` behind the max observed event time
+    are dropped and their window's state is evicted once the window closes
+    — the streaming replacement for the reference's drop-older-than-max
+    filter (kafka_stream.py:269-273), with an explicit lateness bound
+    instead of an implicit per-key max.
+    """
+    return (
+        source.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.avg("temperature").alias("avg_temperature"),
+            F.max("temperature").alias("max_temperature"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_obs",
+            "avg_temperature",
+            "max_temperature",
+        )
+    )
+
+
+def stateful_sessions(
+    events: DataFrame,
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization with cross-batch state (custom operator).
+
+    Each key carries exactly one open session in the state store; an event
+    more than ``gap_seconds`` after the session's last event closes it
+    (emitted) and opens a new one. Sessions therefore close correctly even
+    when their events span many micro-batches — the property the batch
+    ``lag``-window sessionization cannot provide on an unbounded stream.
+
+    Arrow moves whole record batches into Python (``applyInPandasWithState``),
+    so per-event work is a vectorized pandas pass, not row-at-a-time Python.
+    """
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            # datetime64[ns/us] → epoch µs; integer math from here on.
+            ts_us.extend(
+                int(v) // 1_000
+                for v in pd.to_datetime(pdf[ts_col]).astype("datetime64[ns]").astype("int64")
+            )
+        ts_us.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_us:
+            if last is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last = t
+                n += 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                [
+                    (
+                        key[0],
+                        pd.Timestamp(s, unit="us"),
+                        pd.Timestamp(e, unit="us"),
+                        c,
+                    )
+                    for s, e, c in closed
+                ],
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        SESSION_OUTPUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

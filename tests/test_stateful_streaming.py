@@ -1,0 +1,151 @@
+"""Stateful streaming: watermark late-data semantics + cross-batch sessions.
+
+Micro-batch order is forced with ``maxFilesPerTrigger=1`` so the watermark
+computed from batch N governs batch N+1 — the cross-batch behaviors under
+test (late-row drop, session continuation) are deterministic.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+
+from data_engineering_datawarehousingandetlpipeline_spark.streaming.stateful import (
+    stateful_sessions,
+    windowed_stats,
+)
+
+_MTIME = itertools.count(1_700_000_000, 60)
+
+OBS_DDL = (
+    "station_id string, timestamp timestamp, temperature double"
+)
+EVENTS_DDL = "user_id long, ts timestamp"
+
+
+def _write(path, rows):
+    with open(path, "w") as fh:
+        for row in rows:
+            fh.write(json.dumps(row) + "\n")
+    # widely-spaced mtimes → deterministic file (and thus batch) order
+    stamp = next(_MTIME)
+    os.utime(path, (stamp, stamp))
+
+
+def _drain_append(stream_df, name):
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def test_windowed_stats_drops_late_rows(spark, tmp_path):
+    indir = tmp_path / "obs"
+    indir.mkdir()
+    _write(indir / "b1.json", [
+        {"station_id": "A", "timestamp": "2024-03-01T10:00:00Z", "temperature": 1.0},
+        {"station_id": "A", "timestamp": "2024-03-01T10:10:00Z", "temperature": 3.0},
+        {"station_id": "A", "timestamp": "2024-03-01T12:00:00Z", "temperature": 5.0},
+    ])
+    # filler batch: the operative watermark lags one batch behind the
+    # reported one, so a batch must run while wm=11:30 before late rows drop
+    _write(indir / "b2.json", [
+        {"station_id": "A", "timestamp": "2024-03-01T12:30:00Z", "temperature": 6.0},
+    ])
+    # 10:20 is behind the watermark (12:00 − 30 min): its window is closed
+    # and finalized — the row must be dropped, not re-aggregated.
+    _write(indir / "b3.json", [
+        {"station_id": "A", "timestamp": "2024-03-01T10:20:00Z", "temperature": 100.0},
+    ])
+
+    source = (
+        spark.readStream.schema(OBS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(indir))
+    )
+    q = _drain_append(windowed_stats(source), "win_stats")
+
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+
+    rows = spark.sql(
+        "SELECT window_start, n_obs, avg_temperature FROM win_stats"
+    ).collect()
+    finalized = {r["window_start"].isoformat(): r for r in rows}
+    # the 10:00 window finalized WITHOUT the late 100.0 reading
+    assert finalized["2024-03-01T10:00:00"]["n_obs"] == 2
+    assert finalized["2024-03-01T10:00:00"]["avg_temperature"] == 2.0
+
+
+def test_stateful_sessions_close_across_batches(spark, tmp_path):
+    indir = tmp_path / "events"
+    indir.mkdir()
+    # user 1: two events in batch 1, then a 2 h gap event in batch 2 →
+    # the first session must close during batch 2 (state crossed batches).
+    # user 2: an in-batch gap → closes within batch 1.
+    _write(indir / "b1.json", [
+        {"user_id": 1, "ts": "2024-03-01T10:00:00Z"},
+        {"user_id": 1, "ts": "2024-03-01T10:10:00Z"},
+        {"user_id": 2, "ts": "2024-03-01T09:00:00Z"},
+        {"user_id": 2, "ts": "2024-03-01T13:00:00Z"},
+    ])
+    _write(indir / "b2.json", [
+        {"user_id": 1, "ts": "2024-03-01T12:10:00Z"},
+    ])
+
+    source = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(indir))
+    )
+    _drain_append(stateful_sessions(source, gap_seconds=30 * 60), "sessions")
+
+    rows = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM sessions"
+    ).collect()
+    closed = {
+        (r["user_id"], r["session_start"].isoformat()): r for r in rows
+    }
+    # user 1's first session closed by the batch-2 event
+    u1 = closed[(1, "2024-03-01T10:00:00")]
+    assert u1["session_end"].isoformat() == "2024-03-01T10:10:00"
+    assert u1["n_events"] == 2
+    # user 2's first session closed inside batch 1
+    u2 = closed[(2, "2024-03-01T09:00:00")]
+    assert u2["n_events"] == 1
+    # open sessions (u1 @12:10, u2 @13:00) are state, not output
+    assert len(rows) == 2
+
+
+def test_stateful_sessions_merge_within_gap(spark, tmp_path):
+    indir = tmp_path / "events2"
+    indir.mkdir()
+    _write(indir / "b1.json", [{"user_id": 7, "ts": "2024-03-01T10:00:00Z"}])
+    # within the gap → extends the open session, nothing closes
+    _write(indir / "b2.json", [{"user_id": 7, "ts": "2024-03-01T10:20:00Z"}])
+    # beyond the gap → closes one 2-event session spanning both batches
+    _write(indir / "b3.json", [{"user_id": 7, "ts": "2024-03-01T15:00:00Z"}])
+
+    source = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(indir))
+    )
+    _drain_append(stateful_sessions(source, gap_seconds=30 * 60), "sessions2")
+
+    rows = spark.sql("SELECT * FROM sessions2").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["session_start"].isoformat() == "2024-03-01T10:00:00"
+    assert r["session_end"].isoformat() == "2024-03-01T10:20:00"
+    assert r["n_events"] == 2
