@@ -21,6 +21,7 @@ from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric impo
     dsum,
     sql_dsum,
 )
+from data_engineering_datawarehousingandetlpipeline_spark.operators import joins
 from data_engineering_datawarehousingandetlpipeline_spark.operators.skew import (
     salted_agg,
 )
@@ -196,6 +197,81 @@ ORDER BY station_id, "timestamp"
 """
 
 
+def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click annotated with the user's latest prior error.
+
+    The merge-scan as-of (operators/joins.py) — one shuffle on user_id, no
+    inequality join — versus DuckDB's native ASOF LEFT JOIN as the oracle.
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error")
+    return (
+        joins.as_of_join(
+            clicks,
+            errors,
+            on="user_id",
+            ts_col="ts",
+            right_value_cols={"ts": "last_error_ts", "value": "last_error_value"},
+        )
+        .select("event_id", "user_id", "ts", "last_error_ts", "last_error_value")
+        .orderBy("event_id")
+    )
+
+
+SQL_ASOF_LAST_ERROR = """
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS last_error_ts, r.value AS last_error_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+def q_nearby_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: clicks within ±5 min of each view, per user.
+
+    The bucketed band join (operators/joins.py) turns the inequality join
+    into an equi-join with ≤3× replication — the 100 TB-safe plan — while
+    the oracle states it as a plain BETWEEN join.
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click")
+    paired = joins.band_join(
+        views,
+        clicks,
+        on="user_id",
+        ts_col="ts",
+        band_seconds=300,
+        other_cols={"event_id": "click_id"},
+    )
+    return (
+        paired.groupBy("event_id")
+        .agg(F.count("click_id").alias("n_nearby_clicks"))
+        .orderBy("event_id")
+    )
+
+
+SQL_NEARBY_CLICKS = """
+SELECT v.event_id, COUNT(c.event_id) AS n_nearby_clicks
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts BETWEEN v.ts - INTERVAL 5 MINUTE AND v.ts + INTERVAL 5 MINUTE
+GROUP BY v.event_id
+ORDER BY v.event_id
+"""
+
+
 QUERIES = [
     QuerySpec("pivot_daily", q_pivot_daily, SQL_PIVOT_DAILY,
               "pivot: daily totals per event type", tags=("pivot", "agg")),
@@ -206,4 +282,10 @@ QUERIES = [
     QuerySpec("streaming_ingest", q_streaming_ingest, SQL_STREAMING_INGEST,
               "Structured Streaming ingest verified against batch semantics",
               tags=("streaming", "warehouse")),
+    QuerySpec("asof_last_error", q_asof_last_error, SQL_ASOF_LAST_ERROR,
+              "merge-scan as-of join vs native ASOF JOIN oracle",
+              tags=("join", "timeseries")),
+    QuerySpec("nearby_clicks", q_nearby_clicks, SQL_NEARBY_CLICKS,
+              "bucketed banded range join (±5 min)", bench=True,
+              tags=("join", "timeseries")),
 ]
