@@ -168,6 +168,86 @@ def cosine_top_k_lsh(
     )
 
 
+def _centroid_rank_array(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Centroid ids sorted by similarity to ``vec`` (desc, id-asc ties).
+
+    The centroid matrix rides along as literal array columns, so the whole
+    ranking is one codegen expression — the corpus assignment pass needs NO
+    shuffle and no join, just a scan. (-cos, cid) structs sort ascending =
+    cosine descending with deterministic ties.
+    """
+    entries = [
+        F.struct(
+            (-cosine(vec, F.array(*[F.lit(x) for x in cvec]))).alias("negs"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cvec in centroids
+    ]
+    return F.array_sort(F.array(*entries))
+
+
+def cosine_top_k_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: coarse quantize, probe the nearest clusters.
+
+    The inverted-file structure: every corpus vector is assigned to its
+    nearest centroid (coarse quantizer); a query scores only vectors in its
+    ``n_probe`` nearest clusters. Centroids here are the first
+    ``n_centroids`` corpus vectors — deterministic and engine-reproducible
+    (a production build would k-means them; the index mechanics are
+    identical). At scale: assignment is a shuffle-free scan (centroid
+    literals in the expression), the probe set broadcasts, and the only
+    wide operation is the final per-query top-k — the IVF win is scoring
+    ~n_probe/n_centroids of the corpus instead of all of it.
+    """
+    cent_rows = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).cast("int"), _as_double(F.col(vec_col)))
+        .collect()
+    )
+    centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+
+    assigned = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        _centroid_rank_array(F.col(vec_col), centroids)[0]["cid"].alias("cid"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(
+            F.transform(
+                F.slice(_centroid_rank_array(F.col(vec_col), centroids), 1, n_probe),
+                lambda s: s["cid"],
+            )
+        ).alias("cid"),
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("query_vec"), F.col("vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -336,6 +336,41 @@ ORDER BY region_name ASC NULLS FIRST, nation_name ASC NULLS FIRST
 """
 
 
+def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping combinations in one
+    pass, with GROUPING() markers disambiguating real NULLs from subtotal
+    rows (the standard warehouse reporting shape alongside ROLLUP)."""
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day_ts"), "value"
+    )
+    return (
+        events.cube("event_type", "day_ts")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day_ts").cast("int").alias("g_day"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("day_ts").asc_nulls_first()
+        )
+    )
+
+
+SQL_EVENT_CUBE = f"""
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(date_trunc('day', ts)) AS INT) AS g_day
+FROM events
+GROUP BY CUBE (event_type, date_trunc('day', ts))
+ORDER BY event_type ASC NULLS FIRST, day_ts ASC NULLS FIRST
+"""
+
+
 QUERIES = [
     QuerySpec(
         "pricing_summary",
@@ -396,6 +431,13 @@ QUERIES = [
         q_revenue_rollup,
         SQL_REVENUE_ROLLUP,
         "ROLLUP subtotals over region/nation",
+        tags=("agg", "rollup"),
+    ),
+    QuerySpec(
+        "event_cube",
+        q_event_cube,
+        SQL_EVENT_CUBE,
+        "CUBE with GROUPING() markers over event_type × day",
         tags=("agg", "rollup"),
     ),
 ]

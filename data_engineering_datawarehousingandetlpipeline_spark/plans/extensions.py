@@ -446,6 +446,58 @@ ORDER BY query_id, rank
 """
 
 
+IVF_CENTROIDS = 16
+IVF_PROBES = 4
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < TOPK_QUERY_IDS)
+    return sim.cosine_top_k_ivf(
+        embs, queries, k=TOPK_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBES
+    )
+
+
+_SQL_COS = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b}))), " + str(sim.COSINE_SCALE) + ")"
+)
+SQL_EMB_IVF_TOPK = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+cents AS (SELECT vec_id AS cid, vv AS cv FROM v WHERE vec_id < {IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id AS neighbor_id, vv, cid FROM (
+    SELECT v.vec_id, v.vv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQL_COS.format(a='v.vv', b='c.cv')} DESC, c.cid ASC) AS rn
+    FROM v CROSS JOIN cents c) t
+  WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT v.vec_id AS query_id, v.vv AS qv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQL_COS.format(a='v.vv', b='c.cv')} DESC, c.cid ASC) AS rn
+    FROM v CROSS JOIN cents c WHERE v.vec_id < {TOPK_QUERY_IDS}) t
+  WHERE rn <= {IVF_PROBES}
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         {_SQL_COS.format(a='p.qv', b='a.vv')} AS cos_sim
+  FROM assign a JOIN probes p ON a.cid = p.cid
+  WHERE a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) ranked
+WHERE rank <= {TOPK_K}
+ORDER BY query_id, rank
+"""
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(
         _embs(spark, sf_dir),
@@ -502,6 +554,9 @@ QUERIES = [
               "brute-force cosine top-k neighbors", bench=True, tags=("similarity",)),
     QuerySpec("emb_ann_topk", q_emb_ann_topk, SQL_EMB_ANN_TOPK,
               "LSH-bucketed approximate top-k", tags=("similarity",)),
+    QuerySpec("emb_ivf_topk", q_emb_ivf_topk, SQL_EMB_IVF_TOPK,
+              "IVF coarse-quantized ANN top-k (probe nearest clusters)",
+              tags=("similarity",)),
     QuerySpec("emb_near_dup", q_emb_near_dup, SQL_EMB_NEAR_DUP,
               "embedding-cosine near-dup pairs (bucketed)", tags=("similarity", "dedup")),
 ]
