@@ -1,4 +1,4 @@
-"""REST observation source adapter (reference S2, F5).
+"""REST observation source adapter (reference S2, F5, S9).
 
 The reference fetches per-station observations from the FMI API with a
 serial driver-side loop (``fmi_client.py:112-130``) and lenient per-field
@@ -44,6 +44,40 @@ def _default_fetcher(station_id: str) -> dict[str, Any] | None:  # pragma: no co
         "no live FMI API access in this environment; inject a fetcher "
         "(e.g. fixture-backed) or use sources.readers.read_observations_json"
     )
+
+
+def with_retries(
+    fetcher: Fetcher,
+    attempts: int = 5,
+    delay_seconds: float = 2.0,
+    sleep: Callable[[float], None] | None = None,
+) -> Fetcher:
+    """S9: retry/backoff wrapper for a flaky fetcher.
+
+    Mirrors ``_connect_with_retries`` (kafka_stream.py:21-50): ``attempts``
+    tries with a fixed delay, re-raising the last error. Spark's own
+    sources retry internally (SURVEY.md §2.1) — this exists only for the
+    driver-side REST adapter, the one boundary Spark does not manage.
+    ``sleep`` is injectable so tests don't wait.
+    """
+    import time
+
+    do_sleep = sleep if sleep is not None else time.sleep
+
+    def fetch(station_id: str) -> dict[str, Any] | None:
+        last_error: Exception | None = None
+        for attempt in range(attempts):
+            try:
+                return fetcher(station_id)
+            except NotImplementedError:
+                raise
+            except Exception as exc:
+                last_error = exc
+                if attempt < attempts - 1:
+                    do_sleep(delay_seconds)
+        raise last_error  # type: ignore[misc]
+
+    return fetch
 
 
 def extract_fields(payload: dict[str, Any]) -> dict[str, Any]:

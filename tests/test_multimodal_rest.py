@@ -66,6 +66,33 @@ def test_rest_extract_fields_candidate_keys():
     assert row["humidity"] is None
 
 
+def test_rest_retry_recovers_and_reraises():
+    from data_engineering_datawarehousingandetlpipeline_spark.sources.rest import with_retries
+
+    calls = {"n": 0}
+
+    def flaky(station_id):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("broker not up yet")
+        return {"fmisid": station_id}
+
+    sleeps = []
+    fetch = with_retries(flaky, attempts=5, delay_seconds=2.0, sleep=sleeps.append)
+    assert fetch("A") == {"fmisid": "A"}
+    assert calls["n"] == 3 and sleeps == [2.0, 2.0]
+
+    def always_down(station_id):
+        raise ConnectionError("down")
+
+    fetch2 = with_retries(always_down, attempts=2, delay_seconds=0.1, sleep=sleeps.append)
+    try:
+        fetch2("B")
+        raise AssertionError("expected ConnectionError")
+    except ConnectionError:
+        pass
+
+
 def test_rest_fetch_with_injected_fetcher(spark):
     payloads = {
         "A": {"fmisid": "A", "time": "2024-03-01T00:00:00Z", "temp": "1.5"},
