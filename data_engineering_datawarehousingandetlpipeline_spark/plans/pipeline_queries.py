@@ -272,6 +272,41 @@ ORDER BY v.event_id
 """
 
 
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (p50/p90/p99) over event values.
+
+    ``percentile`` and DuckDB's ``quantile_cont`` share the same definition
+    (linear interpolation at p·(n−1)); rounding to 6 dp guards the last
+    interpolation bit. Exact quantiles sort each group — at warehouse scale
+    the same query swaps in ``approx_percentile`` (t-digest sketch, one
+    pass, mergeable) with an error budget instead of an oracle match.
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = [
     QuerySpec("pivot_daily", q_pivot_daily, SQL_PIVOT_DAILY,
               "pivot: daily totals per event type", tags=("pivot", "agg")),
@@ -288,4 +323,7 @@ QUERIES = [
     QuerySpec("nearby_clicks", q_nearby_clicks, SQL_NEARBY_CLICKS,
               "bucketed banded range join (±5 min)", bench=True,
               tags=("join", "timeseries")),
+    QuerySpec("value_quantiles", q_value_quantiles, SQL_VALUE_QUANTILES,
+              "exact per-group quantiles (approx_percentile at scale)",
+              tags=("agg",)),
 ]
