@@ -1,0 +1,71 @@
+"""Physical-plan quality gates: the properties that make queries scale.
+
+Correctness says the answer is right; these tests pin HOW it executes —
+filters reach the parquet scan, dimensions broadcast, top-k pushes into
+the shuffle, and no operator silently degenerates into a nested-loop or
+cartesian plan. A regression here is a 100 TB incident that sf0.01 tests
+would never catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_datawarehousingandetlpipeline_spark.plans import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+
+
+def test_star_joins_broadcast_dimensions(spark):
+    for name in ("region_revenue", "top_customers", "supplier_volume"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(spark, "pricing_summary")
+    # the shipdate predicate must reach the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: the scan carries the needed measures but not the
+    # join key, which this aggregate never touches
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_quantity:double" in read_schema
+    assert "l_orderkey" not in read_schema, read_schema
+
+
+def test_events_range_scan_pushes_nanos_predicate(spark):
+    plan = _plan(spark, "day_window")
+    # the µs range is transposed into raw-nanos space so it pushes down
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
+
+
+def test_top_k_uses_window_group_limit(spark):
+    assert "WindowGroupLimit" in _plan(spark, "top_orders_per_customer")
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["doc_ngram_jaccard", "doc_minhash_neardup", "emb_near_dup",
+     "emb_ivf_topk", "nearby_clicks", "asof_last_error"],
+)
+def test_pair_operators_never_go_quadratic(spark, name):
+    """Near-dup / ANN / range-join plans must stay equi-join shaped."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_brute_force_topk_broadcasts_query_side(spark):
+    # the ONE sanctioned cross join: corpus × broadcast(8 query vectors)
+    plan = _plan(spark, "emb_cosine_topk")
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+    assert "CartesianProduct" not in plan
