@@ -216,6 +216,55 @@ def simhash_fingerprints(
     )
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → cluster ids.
+
+    The canonical-selection step of a dedup pipeline: pairs (from any
+    detector — exact, Jaccard, MinHash, embedding) define an undirected
+    graph; every document gets the minimum doc id of its component as
+    ``cluster_id`` (singletons cluster with themselves). Implemented as
+    iterative min-label propagation — per round one equi-join + min-agg,
+    so each round is shuffle-bounded by |edges|; rounds needed = graph
+    diameter (near-dup components are dense, so typically 2-4).
+    ``localCheckpoint`` truncates the growing lineage each round (swap for
+    a reliable ``checkpoint`` dir on a real cluster).
+    """
+    docs = df.select(F.col(id_col).alias("doc")).distinct()
+    directed = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = docs.select("doc", F.col("doc").alias("label")).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_labels = edges.join(
+            labels.withColumnRenamed("doc", "dst"), "dst"
+        ).select(F.col("src").alias("doc"), "label")
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("doc")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("doc").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 def dedup_keep_canonical(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

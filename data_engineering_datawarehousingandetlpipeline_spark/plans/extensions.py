@@ -290,6 +290,64 @@ ORDER BY c.doc_a, c.doc_b
 """
 
 
+def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: exact unigram-Jaccard pairs → connected components.
+
+    The full dedup endgame: detector pairs become an undirected graph and
+    every document gets its component's min doc id as cluster_id (keep one
+    row per cluster downstream). Exact pairs (not LSH) so the recursive-CTE
+    oracle sees the identical graph.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    pairs = dd.jaccard_pairs(
+        docs, threshold=MINHASH_JACCARD_THRESHOLD, shingle_width=1
+    )
+    labels = dd.near_dup_clusters(docs, pairs)
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.withColumn("cluster_size", F.count("*").over(w))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS doc, list_distinct({SQL_TOKS}) AS t FROM documents
+), sizes AS (
+  SELECT doc, len(t) AS n FROM toks
+), postings AS (
+  SELECT doc, unnest(t) AS token FROM toks
+), common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+  FROM postings a JOIN postings b ON a.token = b.token AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE)
+        >= {MINHASH_JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(doc, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.doc
+), clusters AS (
+  SELECT doc AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM clusters
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------- multimodal
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,6 +600,9 @@ QUERIES = [
               "exact bigram-Jaccard near-dup pairs", bench=True, tags=("dedup",)),
     QuerySpec("doc_minhash_neardup", q_doc_minhash_neardup, SQL_DOC_MINHASH_NEARDUP,
               "MinHash+LSH near-dup with exact verify", tags=("dedup",)),
+    QuerySpec("doc_dedup_clusters", q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS,
+              "connected-component dedup clusters (iterative label propagation)",
+              tags=("dedup",)),
     QuerySpec("media_features", q_media_features, SQL_MEDIA_FEATURES,
               "multimodal decode-stub features via Arrow mapInPandas",
               tags=("multimodal",)),
