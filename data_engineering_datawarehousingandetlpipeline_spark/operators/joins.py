@@ -51,9 +51,16 @@ def as_of_join(
     l = left.withColumn("__side", F.lit(1))
     merged = l.unionByName(r, allowMissingColumns=True)
 
+    # value columns as final tiebreakers: among right rows at the same
+    # instant the largest value tuple wins deterministically (left rows
+    # carry NULLs there, which sort first and never reorder).
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("__side").asc(),
+            *[F.col(c).asc_nulls_first() for c in out_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(

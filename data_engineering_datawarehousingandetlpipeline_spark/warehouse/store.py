@@ -115,6 +115,49 @@ class WarehouseTable:
         fresh = fresh.localCheckpoint(eager=True)
         return self.append(fresh, verify=False)
 
+    def compact(self) -> int:
+        """Rewrite every date partition into one file (small-files repair).
+
+        Streaming ingestion leaves one file per micro-batch per partition;
+        at scale, scan cost becomes file-count-bound long before it is
+        byte-bound. This is the plain-parquet emulation of
+        OPTIMIZE / rewriteDataFiles: materialize the table, then
+        dynamic-partition-overwrite with one shuffle partition per date.
+        (A table format — Delta/Iceberg — makes the same rewrite
+        transactional; the call site would not change.)
+
+        Returns the number of data files after compaction.
+        """
+        if not self.exists():
+            return 0
+        snapshot = self.read().localCheckpoint(eager=True)
+        n_dates = snapshot.select(F.to_date(F.col(self.ts_col))).distinct().count()
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        previous = self.spark.conf.get(mode_key, "static")
+        self.spark.conf.set(mode_key, "dynamic")
+        try:
+            (
+                self._with_dt(snapshot)
+                .repartition(max(n_dates, 1), "dt")
+                .write.mode("overwrite")
+                .partitionBy("dt")
+                .parquet(self.root)
+            )
+        finally:
+            self.spark.conf.set(mode_key, previous)
+        return self.data_file_count()
+
+    def data_file_count(self) -> int:
+        """Number of parquet data files across all partitions."""
+        total = 0
+        for dirpath, _dirnames, filenames in os.walk(self.root):
+            total += sum(
+                1
+                for name in filenames
+                if name.endswith(".parquet") and not name.startswith(".")
+            )
+        return total
+
     # ------------------------------------------------------------ queries
 
     def max_ts_per_key(self) -> DataFrame:

@@ -37,6 +37,67 @@ def test_as_of_join_ties_match_and_missing_stay_null(spark):
     assert out[3]["r_value"] is None and out[3]["r_ts"] is None  # no right rows
 
 
+def test_as_of_join_matches_naive_on_random_data(spark):
+    """Randomized equivalence vs a per-row reference implementation.
+
+    Coarse 30 s timestamp grid over few keys deliberately produces equal
+    timestamps and empty-key cases — the semantics corners.
+    """
+    import random
+
+    rng = random.Random(42)
+    left = [
+        (i, rng.randrange(4), _ts(rng.randrange(0, 30), rng.randrange(2) * 30))
+        for i in range(60)
+    ]
+    right = [
+        (rng.randrange(5), _ts(rng.randrange(0, 30), rng.randrange(2) * 30), float(j))
+        for j in range(40)
+    ]
+
+    def naive(eid, key, ts):
+        prior = [(t, v) for (k, t, v) in right if k == key and t <= ts]
+        return max(prior)[1] if prior else None
+
+    out = as_of_join(
+        spark.createDataFrame(left, "event_id long, user_id long, ts timestamp"),
+        spark.createDataFrame(right, "user_id long, ts timestamp, value double"),
+        on="user_id", ts_col="ts", right_value_cols={"value": "r_value"},
+    ).collect()
+    assert len(out) == len(left)
+    for r in out:
+        expected = naive(r["event_id"], r["user_id"], r["ts"])
+        assert r["r_value"] == expected, (r, expected)
+
+
+def test_band_join_matches_naive_on_random_data(spark):
+    import random
+
+    rng = random.Random(7)
+    points = [(i, rng.randrange(4), _ts(rng.randrange(0, 50))) for i in range(50)]
+    others = [(100 + j, rng.randrange(5), _ts(rng.randrange(0, 50))) for j in range(50)]
+    band = 300  # 5 min — exactly the grid step, so boundaries occur
+
+    out = band_join(
+        spark.createDataFrame(points, "event_id long, user_id long, ts timestamp"),
+        spark.createDataFrame(others, "oid long, user_id long, ts timestamp"),
+        on="user_id", ts_col="ts", band_seconds=band,
+        other_cols={"oid": "match_id"},
+    ).collect()
+
+    got = {}
+    for r in out:
+        got.setdefault(r["event_id"], set())
+        if r["match_id"] is not None:
+            got[r["event_id"]].add(r["match_id"])
+    for (eid, key, ts) in points:
+        expected = {
+            oid for (oid, k, t) in others
+            if k == key and abs((t - ts).total_seconds()) <= band
+        }
+        assert got[eid] == expected, (eid, got[eid], expected)
+
+
 def test_band_join_inclusive_bounds_and_unmatched(spark):
     points = spark.createDataFrame(
         [(1, 10, _ts(10)), (2, 99, _ts(10))],

@@ -15,6 +15,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_engineering_datawarehousingandetlpipeline_spark.sources.kafka import (
     decode_json,
@@ -89,6 +90,26 @@ def test_max_ts_per_key_state(spark, warehouse):
     state = {r["station_id"]: r["max_ts"] for r in warehouse.max_ts_per_key().collect()}
     assert state["100001"].isoformat() == "2024-03-01T00:00:00"
     assert len(state) == 5
+
+
+def test_compact_collapses_small_files(spark, warehouse):
+    df = clean_batch(read_observations_json(spark, FIXTURE))
+    # three appends of row-slices → many small files across partitions
+    rows = df.collect()
+    for row in rows:
+        warehouse.append(
+            spark.createDataFrame([row], schema=df.schema), verify=False
+        )
+    n_before = warehouse.data_file_count()
+    assert n_before >= len(rows)
+    before = sorted(map(tuple, warehouse.read().collect()))
+
+    n_dates = warehouse.read().select(
+        F.to_date(F.col("timestamp"))
+    ).distinct().count()
+    n_after = warehouse.compact()
+    assert n_after == n_dates  # exactly one file per date partition
+    assert sorted(map(tuple, warehouse.read().collect())) == before
 
 
 def test_kafka_json_roundtrip(spark):
