@@ -290,6 +290,47 @@ ORDER BY c.doc_a, c.doc_b
 """
 
 
+def _norm_text(col):
+    """Canonicalize: lowercase, strip punctuation, collapse whitespace."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^\w\s]", ""), r"\s+", " "
+        )
+    )
+
+
+def q_doc_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: hash after canonicalization.
+
+    Catches trivial near-copies (case, punctuation, spacing) that byte
+    hashing misses — the first, cheapest rung of the dedup ladder, same
+    one-shuffle plan as doc_exact_dedup.
+    """
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.md5(_norm_text(F.col("text"))).alias("norm_hash"), F.col("doc_id")
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .orderBy("norm_hash")
+    )
+
+
+SQL_DOC_NORM_DEDUP = r"""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS norm_hash,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS canonical_doc_id
+FROM documents
+GROUP BY 1
+ORDER BY norm_hash
+"""
+
+
 def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: exact unigram-Jaccard pairs → connected components.
 
@@ -600,6 +641,8 @@ QUERIES = [
               "exact bigram-Jaccard near-dup pairs", bench=True, tags=("dedup",)),
     QuerySpec("doc_minhash_neardup", q_doc_minhash_neardup, SQL_DOC_MINHASH_NEARDUP,
               "MinHash+LSH near-dup with exact verify", tags=("dedup",)),
+    QuerySpec("doc_norm_dedup", q_doc_norm_dedup, SQL_DOC_NORM_DEDUP,
+              "exact dedup after text canonicalization", tags=("dedup", "text")),
     QuerySpec("doc_dedup_clusters", q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS,
               "connected-component dedup clusters (iterative label propagation)",
               tags=("dedup",)),

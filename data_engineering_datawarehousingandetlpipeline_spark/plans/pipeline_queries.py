@@ -307,6 +307,63 @@ ORDER BY event_type
 """
 
 
+SESSION_GAP = "30 minutes"
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregates via the built-in ``session_window``.
+
+    The batch use of Spark's native gap-session operator (the streaming
+    twin is streaming/stateful.py:stateful_sessions). ``session_window``
+    ends sessions at last-event + gap; the oracle restates the same
+    semantics as a lag/cumsum window construction — the comparison proves
+    the built-in matches the explicit SQL definition.
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window(F.col("ts"), SESSION_GAP).alias("sw")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SQL_SESSION_STATS = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES = [
     QuerySpec("pivot_daily", q_pivot_daily, SQL_PIVOT_DAILY,
               "pivot: daily totals per event type", tags=("pivot", "agg")),
@@ -326,4 +383,7 @@ QUERIES = [
     QuerySpec("value_quantiles", q_value_quantiles, SQL_VALUE_QUANTILES,
               "exact per-group quantiles (approx_percentile at scale)",
               tags=("agg",)),
+    QuerySpec("session_stats", q_session_stats, SQL_SESSION_STATS,
+              "built-in session_window aggregates vs lag/cumsum oracle",
+              tags=("agg", "timeseries")),
 ]
