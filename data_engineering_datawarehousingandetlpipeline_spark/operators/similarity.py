@@ -168,22 +168,48 @@ def cosine_top_k_lsh(
     )
 
 
-def _centroid_rank_array(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """Centroid ids sorted by similarity to ``vec`` (desc, id-asc ties).
+def _seq_norm(vec: list[float]) -> float:
+    """Driver-side norm with the SAME sequential float64 fold as dot/norm.
 
-    The centroid matrix rides along as literal array columns, so the whole
-    ranking is one codegen expression — the corpus assignment pass needs NO
-    shuffle and no join, just a scan. (-cos, cid) structs sort ascending =
-    cosine descending with deterministic ties.
+    Bit-identical to ``sqrt(aggregate(zip_with(v,v,*),0.0,+))`` and to the
+    oracle's ``sqrt(list_dot_product(v,v))`` — required so precomputing
+    centroid norms cannot drift from computing them in-engine.
     """
-    entries = [
-        F.struct(
-            (-cosine(vec, F.array(*[F.lit(x) for x in cvec]))).alias("negs"),
-            F.lit(cid).alias("cid"),
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _centroid_rank_array(
+    dv: Column, nv: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Centroid ids sorted by similarity to a vector (desc, id-asc ties).
+
+    ``dv``/``nv`` are the pre-projected double vector and its norm (computed
+    once per row — a lambda cannot hoist them). The centroid matrix is ONE
+    array-of-arrays literal indexed inside a single ``transform``, and
+    centroid norms are precomputed driver-side with the identical fold —
+    keeping the expression tree small (planning time on wide literal trees
+    otherwise dwarfs execution). (-cos, cid) structs sort ascending =
+    cosine descending with deterministic ties. No shuffle, no join.
+    """
+    mat = F.array(*[F.array(*[F.lit(x) for x in cvec]) for _, cvec in centroids])
+    norms = F.array(*[F.lit(_seq_norm(cvec)) for _, cvec in centroids])
+    ids = F.array(*[F.lit(cid) for cid, _ in centroids])
+    return F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda i: F.struct(
+                (-F.round(dot(dv, mat[i]) / (nv * norms[i]), COSINE_SCALE)).alias(
+                    "negs"
+                ),
+                ids[i].alias("cid"),
+            ),
         )
-        for cid, cvec in centroids
-    ]
-    return F.array_sort(F.array(*entries))
+    )
 
 
 def cosine_top_k_ivf(
@@ -214,17 +240,33 @@ def cosine_top_k_ivf(
     )
     centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
 
-    assigned = spread(corpus).select(
+    corpus_pre = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
-        _centroid_rank_array(F.col(vec_col), centroids)[0]["cid"].alias("cid"),
+        _as_double(F.col(vec_col)).alias("dv"),
+    ).withColumn("nv", norm(F.col("dv")))
+    assigned = corpus_pre.select(
+        "neighbor_id",
+        "vec",
+        _centroid_rank_array(F.col("dv"), F.col("nv"), centroids)[0]["cid"].alias(
+            "cid"
+        ),
     )
-    probes = queries.select(
+    query_pre = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
+        _as_double(F.col(vec_col)).alias("dv"),
+    ).withColumn("nv", norm(F.col("dv")))
+    probes = query_pre.select(
+        "query_id",
+        "query_vec",
         F.explode(
             F.transform(
-                F.slice(_centroid_rank_array(F.col(vec_col), centroids), 1, n_probe),
+                F.slice(
+                    _centroid_rank_array(F.col("dv"), F.col("nv"), centroids),
+                    1,
+                    n_probe,
+                ),
                 lambda s: s["cid"],
             )
         ).alias("cid"),
