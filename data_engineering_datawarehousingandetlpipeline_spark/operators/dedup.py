@@ -80,20 +80,35 @@ def jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_width)).alias("shingles"),
     )
-    sizes = shingled.select("doc", F.size("shingles").alias("n_shingles"))
-    postings = shingled.select("doc", F.explode("shingles").alias("shingle"))
-    left = postings.select(F.col("doc").alias("doc_a"), "shingle")
-    right = postings.select(F.col("doc").alias("doc_b"), "shingle")
+    postings = shingled.select(
+        "doc", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
+    )
+    left = postings.select(
+        F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "shingle"
+    )
+    right = postings.select(
+        F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), "shingle"
+    )
+    # Lossless size prune inside the join condition: J(A,B) ≤ min/max of the
+    # set sizes, so size-incompatible pairs can never reach the threshold.
+    # At high thresholds this collapses the postings-join output before the
+    # pair aggregation (the expensive part on skew-heavy vocabularies);
+    # at threshold 0 it is a no-op predicate.
+    cond = (
+        (left["shingle"] == right["shingle"])
+        & (left["doc_a"] < right["doc_b"])
+        & (
+            F.least(left["n_a"], right["n_b"]).cast("double")
+            >= F.lit(threshold) * F.greatest(left["n_a"], right["n_b"])
+        )
+    )
     common = (
-        left.join(right, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        left.join(right, cond)
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_common"))
     )
     return (
-        common.join(sizes.withColumnsRenamed({"doc": "doc_a", "n_shingles": "n_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_shingles": "n_b"}), "doc_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.col("n_common").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
@@ -236,9 +251,11 @@ def near_dup_clusters(
     """
     docs = df.select(F.col(id_col).alias("doc")).distinct()
     directed = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # materialize the edge list once: the pair detector behind it (an
+    # inverted-index join) must not re-execute on every propagation round
     edges = directed.union(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()
     labels = docs.select("doc", F.col("doc").alias("label")).localCheckpoint()
     for _ in range(max_iterations):
         neighbor_labels = edges.join(
