@@ -1,0 +1,66 @@
+"""End-to-end training-data dedup ladder over the documents corpus.
+
+The four rungs a 100 TB text pipeline climbs, cheapest first — each rung
+removes what it can so the next (more expensive) one sees less data:
+
+1. exact hash dedup          (one shuffle on the content hash)
+2. normalized exact dedup    (case/punct/whitespace canonicalization)
+3. MinHash+LSH near-dup      (banded candidates, exact-Jaccard verify)
+4. connected components      (pair graph → one canonical doc per cluster)
+
+Run: python examples/dedup_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+from data_engineering_datawarehousingandetlpipeline_spark.operators import dedup as dd
+from data_engineering_datawarehousingandetlpipeline_spark.session import get_spark
+from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="dedup-ladder")
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    print(f"documents: {n_total}")
+
+    # rung 1: exact duplicates
+    exact = dd.exact_dedup_groups(docs)
+    n_exact = exact.count()
+    print(f"rung 1 exact      : {n_total - n_exact} removed -> {n_exact} distinct")
+
+    # rung 2: survivors of rung 1, re-grouped after canonicalization
+    survivors = dd.dedup_keep_canonical(docs)
+    norm = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), r"[^\w\s]", ""), r"\s+", " "
+            )
+        )
+    )
+    n_norm = survivors.select(norm.alias("h")).distinct().count()
+    print(f"rung 2 normalized : {n_exact - n_norm} more removed -> {n_norm}")
+
+    # rung 3: MinHash+LSH near-dup pairs on the survivors
+    pairs = dd.minhash_near_dup_pairs(survivors, threshold=0.9)
+    n_pairs = pairs.count()
+    print(f"rung 3 near-dup   : {n_pairs} candidate-verified pairs")
+
+    # rung 4: components -> one canonical doc per cluster
+    clusters = dd.near_dup_clusters(survivors, pairs)
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    print(f"rung 4 clusters   : {n_clusters} clusters (keep one doc each)")
+    kept = clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+    print(f"final corpus      : {kept.count()} of {n_total} documents")
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()
