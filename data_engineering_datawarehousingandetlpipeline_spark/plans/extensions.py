@@ -389,6 +389,70 @@ ORDER BY doc_id
 """
 
 
+TFIDF_TOP_TERMS = 3
+
+
+def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    tf = raw term count in the document, idf = ln(N/df). Postings explode
+    once; tf and df are two aggregations over them (both shuffle on
+    well-distributed keys); N rides along as a literal. Deterministic
+    ranking: (tfidf desc, term asc).
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    postings = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    tf = postings.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+        .orderBy("doc_id", "rank")
+    )
+
+
+SQL_DOC_TFIDF_TERMS = f"""
+WITH postings AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM postings GROUP BY doc_id, term
+), docfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM postings GROUP BY term
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS tfidf
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+) ranked
+WHERE rank <= {TFIDF_TOP_TERMS}
+ORDER BY doc_id, rank
+"""
+
+
 # --------------------------------------------------------------- multimodal
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,6 +705,8 @@ QUERIES = [
               "exact bigram-Jaccard near-dup pairs", bench=True, tags=("dedup",)),
     QuerySpec("doc_minhash_neardup", q_doc_minhash_neardup, SQL_DOC_MINHASH_NEARDUP,
               "MinHash+LSH near-dup with exact verify", tags=("dedup",)),
+    QuerySpec("doc_tfidf_terms", q_doc_tfidf_terms, SQL_DOC_TFIDF_TERMS,
+              "top-3 TF-IDF terms per document", tags=("text",)),
     QuerySpec("doc_norm_dedup", q_doc_norm_dedup, SQL_DOC_NORM_DEDUP,
               "exact dedup after text canonicalization", tags=("dedup", "text")),
     QuerySpec("doc_dedup_clusters", q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS,

@@ -127,6 +127,35 @@ def test_stateful_sessions_close_across_batches(spark, tmp_path):
     assert len(rows) == 2
 
 
+def test_drop_duplicates_within_watermark_across_batches(spark, tmp_path):
+    """Streaming dedup (D3's modern form): replays inside the watermark
+    horizon are dropped even when they arrive in a later micro-batch."""
+    indir = tmp_path / "dup_events"
+    indir.mkdir()
+    _write(indir / "b1.json", [
+        {"user_id": 1, "ts": "2024-03-01T10:00:00Z"},
+        {"user_id": 2, "ts": "2024-03-01T10:01:00Z"},
+    ])
+    # exact replay of user 1's event in the next batch + one new event
+    _write(indir / "b2.json", [
+        {"user_id": 1, "ts": "2024-03-01T10:00:00Z"},
+        {"user_id": 3, "ts": "2024-03-01T10:02:00Z"},
+    ])
+
+    source = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(indir))
+    )
+    deduped = source.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "ts"]
+    )
+    _drain_append(deduped, "dedup_stream")
+
+    rows = spark.sql("SELECT user_id, ts FROM dedup_stream").collect()
+    assert sorted(r["user_id"] for r in rows) == [1, 2, 3]  # replay dropped
+
+
 def test_stateful_sessions_merge_within_gap(spark, tmp_path):
     indir = tmp_path / "events2"
     indir.mkdir()
