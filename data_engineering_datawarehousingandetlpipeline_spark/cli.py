@@ -1,0 +1,136 @@
+"""CLI entrypoint mirroring the reference's ingestion actions.
+
+``python -m data_engineering_datawarehousingandetlpipeline_spark.cli <action>``
+with the reference's three actions (``kafka_stream.py:390-439``):
+
+- ``produce``          — fetch observations (fixture or injected REST) and
+                         publish to the staging dir / Kafka topic on an
+                         interval (T6).
+- ``consume``          — run the streaming ingestion continuously
+                         (micro-batch trigger, T1).
+- ``bootstrap-hourly`` — drain-everything-now runs on an hourly loop (T5).
+                         The reference's version crashes on a never-defined
+                         ``args.interval_seconds`` (§2.10.3); here the flag
+                         exists and defaults to 3600.
+
+Without Kafka jars the transport is a staging directory of JSON files —
+the same downstream pipeline either way (streaming/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+import uuid
+
+from data_engineering_datawarehousingandetlpipeline_spark.config import load_config
+from data_engineering_datawarehousingandetlpipeline_spark.session import get_spark
+
+log = logging.getLogger(__name__)
+
+
+def _produce_once(spark, cfg, staging_dir: str) -> int:
+    """Fetch the freshest observations and stage them as one JSON batch."""
+    from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+        read_observations_json,
+    )
+
+    if not cfg.use_sample_data:  # pragma: no cover - needs live API
+        from data_engineering_datawarehousingandetlpipeline_spark.sources.rest import (
+            fetch_observations,
+            with_retries,
+        )
+
+        df = fetch_observations(spark, list(cfg.station_whitelist))
+    else:
+        fixture = os.environ.get(
+            "SAMPLE_DATA_PATH", "tests/fixtures/sample_observations.json"
+        )
+        df = read_observations_json(spark, fixture)
+    n = df.count()
+    # Spark writes a directory; the file-stream source watches flat files —
+    # promote the single part file to staging/batch-<id>.json.
+    batch_id = uuid.uuid4().hex
+    tmp = os.path.join(staging_dir, f".tmp-{batch_id}")
+    df.coalesce(1).write.mode("overwrite").json(tmp)
+    part = next(
+        name for name in os.listdir(tmp)
+        if name.startswith("part-") and name.endswith(".json")
+    )
+    out = os.path.join(staging_dir, f"batch-{batch_id}.json")
+    os.replace(os.path.join(tmp, part), out)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    log.info("staged %d observations to %s", n, out)
+    return n
+
+
+def _warehouse(spark, cfg):
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        WarehouseTable,
+    )
+
+    return WarehouseTable(spark, cfg.warehouse_root)
+
+
+def main(argv: list[str] | None = None) -> None:
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s"
+    )
+    parser = argparse.ArgumentParser(description="Spark ingestion utilities")
+    parser.add_argument("action", choices=["produce", "consume", "bootstrap-hourly"])
+    parser.add_argument("--staging-dir", default="./staging")
+    parser.add_argument("--produce-interval-seconds", type=int, default=None)
+    parser.add_argument(
+        "--interval-seconds", type=int, default=3600,
+        help="bootstrap-hourly loop interval",
+    )
+    parser.add_argument(
+        "--once", action="store_true", help="run a single iteration and exit"
+    )
+    args = parser.parse_args(argv)
+
+    cfg = load_config()
+    spark = get_spark(app_name=f"dwh-cli-{args.action}")
+
+    if args.action == "produce":
+        interval = args.produce_interval_seconds or cfg.produce_interval_seconds
+        while True:
+            _produce_once(spark, cfg, args.staging_dir)
+            if args.once:
+                return
+            time.sleep(interval)
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        read_json_file_stream,
+        run_available,
+        start_ingestion,
+    )
+
+    warehouse = _warehouse(spark, cfg)
+    os.makedirs(args.staging_dir, exist_ok=True)
+    source = read_json_file_stream(spark, args.staging_dir)
+
+    if args.action == "consume":
+        query = start_ingestion(
+            source, warehouse, cfg.checkpoint_dir,
+            trigger_seconds=cfg.flush_interval_seconds,
+        )
+        if args.once:
+            query.stop()
+            return
+        query.awaitTermination()  # pragma: no cover - runs forever
+    else:  # bootstrap-hourly
+        while True:
+            run_available(source, warehouse, cfg.checkpoint_dir)
+            log.info("hourly drain complete; warehouse rows=%d", warehouse.count())
+            if args.once:
+                return
+            time.sleep(args.interval_seconds)  # pragma: no cover
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,33 @@
+"""CLI actions end-to-end (produce → bootstrap-hourly → warehouse)."""
+
+from __future__ import annotations
+
+import os
+
+from data_engineering_datawarehousingandetlpipeline_spark.cli import main
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "sample_observations.json")
+
+
+def test_produce_then_bootstrap_hourly(spark, tmp_path, monkeypatch):
+    staging = str(tmp_path / "staging")
+    monkeypatch.setenv("USE_SAMPLE_DATA", "true")
+    monkeypatch.setenv("SAMPLE_DATA_PATH", FIXTURE)
+    monkeypatch.setenv("WAREHOUSE_ROOT", str(tmp_path / "warehouse"))
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+
+    main(["produce", "--staging-dir", staging, "--once"])
+    staged = [f for f in os.listdir(staging) if f.startswith("batch-")]
+    assert len(staged) == 1 and staged[0].endswith(".json")
+
+    main(["bootstrap-hourly", "--staging-dir", staging, "--once"])
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        WarehouseTable,
+    )
+
+    warehouse = WarehouseTable(spark, str(tmp_path / "warehouse"))
+    assert warehouse.count() == 5  # fixture cleans to 5 hourly rows
+
+    # drain again with the same checkpoint: no new files → no change
+    main(["bootstrap-hourly", "--staging-dir", staging, "--once"])
+    assert warehouse.count() == 5
