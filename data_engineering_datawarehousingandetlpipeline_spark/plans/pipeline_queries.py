@@ -364,6 +364,77 @@ ORDER BY user_id, session_start
 """
 
 
+def q_value_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: per-type correlation of value vs hour-of-day.
+
+    corr / covar_samp / stddev_samp share their textbook definitions with
+    DuckDB; rounding to 6 dp absorbs accumulation-order float drift.
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    hour = F.hour(F.col("ts")).cast("double")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.corr(F.col("value"), hour), 6).alias("corr_value_hour"),
+            F.round(F.covar_samp(F.col("value"), hour), 6).alias("covar_value_hour"),
+            F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_VALUE_CORRELATIONS = """
+SELECT event_type,
+       round(corr(value, CAST(hour(ts) AS DOUBLE)), 6) AS corr_value_hour,
+       round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 6) AS covar_value_hour,
+       round(stddev_samp(value), 6) AS stddev_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+EDIT_DISTANCE_DOCS = 20
+
+
+def q_doc_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Levenshtein distance over a bounded candidate set.
+
+    Edit distance is O(len²) per pair — it is always the LAST dedup rung,
+    run on a small candidate set that cheaper detectors (hashing, LSH)
+    already shortlisted; the doc_id bound stands in for that shortlist.
+    Integer output → exact cross-engine match.
+    """
+    ensure_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < EDIT_DISTANCE_DOCS
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("text_a"), F.col("text_b")).alias("edit_distance"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_DOC_EDIT_DISTANCE = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
+FROM documents a
+JOIN documents b ON a.doc_id < b.doc_id
+WHERE a.doc_id < {EDIT_DISTANCE_DOCS} AND b.doc_id < {EDIT_DISTANCE_DOCS}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = [
     QuerySpec("pivot_daily", q_pivot_daily, SQL_PIVOT_DAILY,
               "pivot: daily totals per event type", tags=("pivot", "agg")),
@@ -386,4 +457,8 @@ QUERIES = [
     QuerySpec("session_stats", q_session_stats, SQL_SESSION_STATS,
               "built-in session_window aggregates vs lag/cumsum oracle",
               tags=("agg", "timeseries")),
+    QuerySpec("value_correlations", q_value_correlations, SQL_VALUE_CORRELATIONS,
+              "corr/covar/stddev statistical aggregates", tags=("agg",)),
+    QuerySpec("doc_edit_distance", q_doc_edit_distance, SQL_DOC_EDIT_DISTANCE,
+              "Levenshtein over a shortlisted candidate set", tags=("dedup", "text")),
 ]
