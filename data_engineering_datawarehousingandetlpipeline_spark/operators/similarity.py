@@ -46,7 +46,9 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     da, db = _as_double(a), _as_double(b)
-    return F.round(dot(da, db) / (norm(da) * norm(db)), COSINE_SCALE)
+    # try_divide: a zero vector has norm 0 — NULL cosine in both engines
+    # instead of an ANSI divide-by-zero failure.
+    return F.round(F.try_divide(dot(da, db), norm(da) * norm(db)), COSINE_SCALE)
 
 
 def cosine_top_k(

@@ -79,8 +79,13 @@ def quality_score(text: Column) -> Column:
     identical formula, so results are bit-comparable.
     """
     n_tok = token_count(text).cast("double")
-    stop_ratio = stopword_count(text, "en").cast("double") / n_tok
-    p_ratio = punct_count(text).cast("double") / F.length(text).cast("double")
+    # try_divide: empty text has length 0 — ANSI `/` would throw, while the
+    # oracle engine yields NULL for division by zero; NULL propagates to a
+    # NULL score, identically in both engines.
+    stop_ratio = F.try_divide(stopword_count(text, "en").cast("double"), n_tok)
+    p_ratio = F.try_divide(
+        punct_count(text).cast("double"), F.length(text).cast("double")
+    )
     return (
         F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
         + F.lit(0.3) * stop_ratio
