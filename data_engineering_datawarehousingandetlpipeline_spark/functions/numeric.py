@@ -31,9 +31,13 @@ def dsum(expr: Column | str, wide: bool = False) -> Column:
 
 
 def davg(expr: Column | str, wide: bool = False) -> Column:
-    """Order-independent AVG: exact decimal sum ÷ count, in double."""
+    """Order-independent AVG: exact decimal sum ÷ count, in double.
+
+    try_divide: an all-NULL group has count 0 — NULL average (the oracle's
+    AVG semantics), not an ANSI divide-by-zero failure.
+    """
     col = F.col(expr) if isinstance(expr, str) else expr
-    return dsum(col, wide=wide) / F.count(col)
+    return F.try_divide(dsum(col, wide=wide), F.count(col))
 
 
 def sql_dsum(expr: str, wide: bool = False) -> str:

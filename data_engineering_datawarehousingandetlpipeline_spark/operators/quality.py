@@ -68,8 +68,11 @@ def zscore_outliers(
         *[F.stddev_pop(c).alias(f"__std_{c}") for c in present],
     )
     scored = df.crossJoin(F.broadcast(stats))
+    # try_divide: a constant column has stddev 0 — those columns yield NULL
+    # z (never outliers), like the oracle's division by zero, instead of an
+    # ANSI arithmetic failure.
     z_cols: list[Column] = [
-        F.abs((F.col(c) - F.col(f"__mean_{c}")) / F.col(f"__std_{c}"))
+        F.abs(F.try_divide(F.col(c) - F.col(f"__mean_{c}"), F.col(f"__std_{c}")))
         for c in present
     ]
     worst = z_cols[0] if len(z_cols) == 1 else F.greatest(*z_cols)
