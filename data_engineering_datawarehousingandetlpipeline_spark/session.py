@@ -53,6 +53,8 @@ def spread(df, parallelism: int | None = None):
     partitions — at warehouse scale the scan arrives wide and this adds
     nothing.
     """
+    if df.isStreaming:  # partitioning is the source's concern in a stream
+        return df
     target = parallelism or default_parallelism()
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -139,6 +139,10 @@ class WarehouseTable:
             (
                 self._with_dt(snapshot)
                 .repartition(max(n_dates, 1), "dt")
+                # cluster by the key columns inside each rewritten file:
+                # parquet row-group min/max stats then make per-key scans
+                # skip groups (the plain-parquet analogue of Z-ordering)
+                .sortWithinPartitions("dt", *self.keys)
                 .write.mode("overwrite")
                 .partitionBy("dt")
                 .parquet(self.root)
