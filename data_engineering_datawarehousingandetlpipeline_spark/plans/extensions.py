@@ -700,7 +700,7 @@ QUERIES = [
     QuerySpec("doc_fingerprints", q_doc_fingerprints, SQL_DOC_FINGERPRINTS,
               "min-hash fingerprint over word shingles", tags=("text", "dedup")),
     QuerySpec("doc_simhash", q_doc_simhash, SQL_DOC_SIMHASH,
-              "32-bit SimHash fingerprints", tags=("dedup",)),
+              "32-bit SimHash fingerprints", bench=True, tags=("dedup",)),
     QuerySpec("doc_ngram_jaccard", q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD,
               "exact bigram-Jaccard near-dup pairs", bench=True, tags=("dedup",)),
     QuerySpec("doc_minhash_neardup", q_doc_minhash_neardup, SQL_DOC_MINHASH_NEARDUP,
@@ -714,7 +714,7 @@ QUERIES = [
               tags=("dedup",)),
     QuerySpec("media_features", q_media_features, SQL_MEDIA_FEATURES,
               "multimodal decode-stub features via Arrow mapInPandas",
-              tags=("multimodal",)),
+              bench=True, tags=("multimodal",)),
     QuerySpec("media_feature_vectors", q_media_feature_vectors,
               SQL_MEDIA_FEATURE_VECTORS,
               "stub 8-dim media feature vectors, exploded", tags=("multimodal",)),
@@ -726,7 +726,7 @@ QUERIES = [
               "LSH-bucketed approximate top-k", tags=("similarity",)),
     QuerySpec("emb_ivf_topk", q_emb_ivf_topk, SQL_EMB_IVF_TOPK,
               "IVF coarse-quantized ANN top-k (probe nearest clusters)",
-              tags=("similarity",)),
+              bench=True, tags=("similarity",)),
     QuerySpec("emb_near_dup", q_emb_near_dup, SQL_EMB_NEAR_DUP,
               "embedding-cosine near-dup pairs (bucketed)", tags=("similarity", "dedup")),
 ]

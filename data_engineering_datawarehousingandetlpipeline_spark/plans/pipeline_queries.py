@@ -447,16 +447,16 @@ QUERIES = [
               tags=("streaming", "warehouse")),
     QuerySpec("asof_last_error", q_asof_last_error, SQL_ASOF_LAST_ERROR,
               "merge-scan as-of join vs native ASOF JOIN oracle",
-              tags=("join", "timeseries")),
+              bench=True, tags=("join", "timeseries")),
     QuerySpec("nearby_clicks", q_nearby_clicks, SQL_NEARBY_CLICKS,
               "bucketed banded range join (±5 min)", bench=True,
               tags=("join", "timeseries")),
     QuerySpec("value_quantiles", q_value_quantiles, SQL_VALUE_QUANTILES,
               "exact per-group quantiles (approx_percentile at scale)",
-              tags=("agg",)),
+              bench=True, tags=("agg",)),
     QuerySpec("session_stats", q_session_stats, SQL_SESSION_STATS,
               "built-in session_window aggregates vs lag/cumsum oracle",
-              tags=("agg", "timeseries")),
+              bench=True, tags=("agg", "timeseries")),
     QuerySpec("value_correlations", q_value_correlations, SQL_VALUE_CORRELATIONS,
               "corr/covar/stddev statistical aggregates", tags=("agg",)),
     QuerySpec("doc_edit_distance", q_doc_edit_distance, SQL_DOC_EDIT_DISTANCE,
