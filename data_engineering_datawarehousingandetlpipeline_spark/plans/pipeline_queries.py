@@ -435,6 +435,38 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximations: the one-pass mergeable scale path.
+
+    HyperLogLog distinct counts and t-digest percentiles replace their
+    exact twins (`distinct_counts`, `value_quantiles`) when a full sort or
+    exact distinct set no longer fits the shuffle budget — both sketches
+    merge associatively across partitions, so cost is one scan regardless
+    of cardinality. No SQL oracle: sketch estimates are engine-specific
+    by construction (the driver records the weaker rows-only check); the
+    exact twins above are the value-verified versions of the same answers.
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.expr("approx_percentile(value, array(0.5, 0.9, 0.99))").alias("pcts"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+            "n_events",
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = [
     QuerySpec("pivot_daily", q_pivot_daily, SQL_PIVOT_DAILY,
               "pivot: daily totals per event type", tags=("pivot", "agg")),
@@ -461,4 +493,8 @@ QUERIES = [
               "corr/covar/stddev statistical aggregates", tags=("agg",)),
     QuerySpec("doc_edit_distance", q_doc_edit_distance, SQL_DOC_EDIT_DISTANCE,
               "Levenshtein over a shortlisted candidate set", tags=("dedup", "text")),
+    QuerySpec("approx_sketches", q_approx_sketches, None,
+              "HLL distinct + t-digest percentiles (mergeable sketches; "
+              "rows-only check — estimates are engine-specific)",
+              tags=("agg", "sketch")),
 ]
