@@ -115,13 +115,15 @@ def main(argv: list[str] | None = None) -> None:
     source = read_json_file_stream(spark, args.staging_dir)
 
     if args.action == "consume":
+        if args.once:
+            # drain whatever is staged and stop deterministically — stopping
+            # a just-started continuous query could process zero batches.
+            run_available(source, warehouse, cfg.checkpoint_dir)
+            return
         query = start_ingestion(
             source, warehouse, cfg.checkpoint_dir,
             trigger_seconds=cfg.flush_interval_seconds,
         )
-        if args.once:
-            query.stop()
-            return
         query.awaitTermination()  # pragma: no cover - runs forever
     else:  # bootstrap-hourly
         while True:

@@ -43,37 +43,41 @@ def as_of_join(
     right side sorts before the left at the same instant.
     """
     out_cols = list(right_value_cols.values())
+    # ONE struct carries the whole matched right row: last(struct, ignorenulls)
+    # takes it atomically, so a NULL in one value column can never resurrect
+    # that field from an older right row (struct-level null-ness is what
+    # ignorenulls tests — field NULLs ride along, matching ASOF LEFT JOIN).
     r = right.select(
         F.col(on),
         F.col(ts_col),
-        *[F.col(src).alias(dst) for src, dst in right_value_cols.items()],
+        F.struct(
+            *[F.col(src).alias(dst) for src, dst in right_value_cols.items()]
+        ).alias("__rv"),
     ).withColumn("__side", F.lit(0))
     l = left.withColumn("__side", F.lit(1))
     merged = l.unionByName(r, allowMissingColumns=True)
 
-    # value columns as final tiebreakers: among right rows at the same
+    # the value struct as final tiebreaker: among right rows at the same
     # instant the largest value tuple wins deterministically (left rows
-    # carry NULLs there, which sort first and never reorder).
+    # carry a NULL struct there, which sorts first and never reorders).
     w = (
         Window.partitionBy(on)
         .orderBy(
             F.col(ts_col).asc(),
             F.col("__side").asc(),
-            *[F.col(c).asc_nulls_first() for c in out_cols],
+            F.col("__rv").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in out_cols
-        ],
+        "*", F.last("__rv", ignorenulls=True).over(w).alias("__c")
     )
     return (
         carried.filter(F.col("__side") == 1)
-        .drop("__side", *out_cols)
-        .withColumnsRenamed({f"__c_{c}": c for c in out_cols})
+        .select(
+            "*", *[F.col(f"__c.{c}").alias(c) for c in out_cols]
+        )
+        .drop("__side", "__rv", "__c")
     )
 
 

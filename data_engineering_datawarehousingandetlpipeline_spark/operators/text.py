@@ -106,10 +106,11 @@ def word_shingles(text: Column, width: int = SHINGLE_WIDTH) -> Column:
     # inside the lambda) re-evaluates the tokenizer once per shingle — O(n)
     # regex splits per row, since codegen cannot hoist subexpressions out of
     # higher-order-function lambdas. This form references the token array
-    # only `width` times per row (~10× faster on real documents).
-    big = 1 << 20
+    # only `width` times per row (~10× faster on real documents). The slice
+    # length is the token count itself (never a fixed literal — a cap would
+    # silently truncate shingle coverage on very long documents).
     zipped = F.arrays_zip(
-        *[F.slice(toks, k + 1, big).alias(f"t{k}") for k in range(width)]
+        *[F.slice(toks, k + 1, n).alias(f"t{k}") for k in range(width)]
     )
     windows = F.slice(zipped, 1, F.greatest(n - F.lit(width - 1), F.lit(1)))
     return F.when(

@@ -121,7 +121,11 @@ def stateful_sessions(
                 closed.append((start, last, n))
                 start, last, n = t, t, 1
             else:
-                last = t
+                # events are sorted within a batch but a later batch can
+                # deliver one older than the stored last_ts — merging must
+                # never move the open session's bounds backward.
+                start = min(start, t)
+                last = max(last, t)
                 n += 1
         state.update((start, last, n))
         if closed:

@@ -31,3 +31,24 @@ def test_produce_then_bootstrap_hourly(spark, tmp_path, monkeypatch):
     # drain again with the same checkpoint: no new files → no change
     main(["bootstrap-hourly", "--staging-dir", staging, "--once"])
     assert warehouse.count() == 5
+
+
+def test_consume_once_drains_staging(spark, tmp_path, monkeypatch):
+    """`consume --once` must actually process what is staged (a continuous
+    query stopped right after start() could deterministically process
+    nothing) — it drains synchronously like the hourly bootstrap."""
+    staging = str(tmp_path / "staging")
+    monkeypatch.setenv("USE_SAMPLE_DATA", "true")
+    monkeypatch.setenv("SAMPLE_DATA_PATH", FIXTURE)
+    monkeypatch.setenv("WAREHOUSE_ROOT", str(tmp_path / "warehouse"))
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+
+    main(["produce", "--staging-dir", staging, "--once"])
+    main(["consume", "--staging-dir", staging, "--once"])
+
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        WarehouseTable,
+    )
+
+    warehouse = WarehouseTable(spark, str(tmp_path / "warehouse"))
+    assert warehouse.count() == 5

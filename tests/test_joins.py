@@ -37,6 +37,26 @@ def test_as_of_join_ties_match_and_missing_stay_null(spark):
     assert out[3]["r_value"] is None and out[3]["r_ts"] is None  # no right rows
 
 
+def test_as_of_join_null_right_value_taken_atomically(spark):
+    """A NULL value column in the matched right row must come through as
+    NULL — carrying columns independently would resurrect the older row's
+    non-NULL value and mix fields from different right rows."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(0), 1.0, "old"),
+         (10, _ts(4), None, "new")],  # the matched row: value is NULL
+        "user_id long, ts timestamp, value double, tag string",
+    )
+    [row] = as_of_join(
+        left, right, on="user_id", ts_col="ts",
+        right_value_cols={"ts": "r_ts", "value": "r_value", "tag": "r_tag"},
+    ).collect()
+    assert row["r_ts"] == _ts(4) and row["r_tag"] == "new"
+    assert row["r_value"] is None  # NOT 1.0 from the older row
+
+
 def test_as_of_join_matches_naive_on_random_data(spark):
     """Randomized equivalence vs a per-row reference implementation.
 

@@ -178,3 +178,33 @@ def test_stateful_sessions_merge_within_gap(spark, tmp_path):
     assert r["session_start"].isoformat() == "2024-03-01T10:00:00"
     assert r["session_end"].isoformat() == "2024-03-01T10:20:00"
     assert r["n_events"] == 2
+
+
+def test_stateful_sessions_out_of_order_never_shrinks(spark, tmp_path):
+    """A cross-batch event OLDER than the stored last_ts (events are only
+    sorted within a batch) must not move the open session's end backward —
+    otherwise later gap decisions are made against a corrupted bound."""
+    indir = tmp_path / "events3"
+    indir.mkdir()
+    _write(indir / "b1.json", [{"user_id": 9, "ts": "2024-03-01T10:20:00Z"}])
+    # older than last_ts, within the gap → merges, bounds widen only
+    _write(indir / "b2.json", [{"user_id": 9, "ts": "2024-03-01T10:05:00Z"}])
+    # 25 min after the TRUE end 10:20 (but 40 min after 10:05): with a
+    # corrupted end this would close the session; correctly it extends it.
+    _write(indir / "b3.json", [{"user_id": 9, "ts": "2024-03-01T10:45:00Z"}])
+    # far beyond the gap → closes the one merged session
+    _write(indir / "b4.json", [{"user_id": 9, "ts": "2024-03-01T15:00:00Z"}])
+
+    source = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(indir))
+    )
+    _drain_append(stateful_sessions(source, gap_seconds=30 * 60), "sessions3")
+
+    rows = spark.sql("SELECT * FROM sessions3").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["session_start"].isoformat() == "2024-03-01T10:05:00"
+    assert r["session_end"].isoformat() == "2024-03-01T10:45:00"
+    assert r["n_events"] == 3
