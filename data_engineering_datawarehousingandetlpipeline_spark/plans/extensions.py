@@ -251,40 +251,47 @@ def q_doc_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BANDS = dd.MINHASH_PERMS // dd.LSH_BAND_ROWS
-_SQL_SIGS = ", ".join(
-    f"list_min([md5('{k}|' || x) for x in t]) AS mh{k}" for k in range(dd.MINHASH_PERMS)
+#: the affine permutation family as SQL literals — same (a, b) pairs the
+#: Spark operator derives (perm_coefficients), same modulus.
+_SQL_SIG_LIST = ", ".join(
+    f"list_min([({a} * h + {b}) % {dd.MERSENNE_P} for h in hv])"
+    for a, b in dd.perm_coefficients(dd.MINHASH_PERMS)
 )
 _SQL_BANDS = " UNION ALL ".join(
-    f"SELECT doc, {b} AS band, md5(mh{b * dd.LSH_BAND_ROWS} || '|' || mh{b * dd.LSH_BAND_ROWS + 1}) AS band_hash FROM sigs"
+    "SELECT doc, {b} AS band, md5({parts}) AS band_hash FROM sigs".format(
+        b=b,
+        parts=" || '|' || ".join(
+            f"CAST(sig[{b * dd.LSH_BAND_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(dd.LSH_BAND_ROWS)
+        ),
+    )
     for b in range(_BANDS)
 )
 SQL_DOC_MINHASH_NEARDUP = f"""
 WITH toks AS (
   SELECT doc_id AS doc, list_distinct({SQL_TOKS}) AS t FROM documents
+), hashed AS (
+  SELECT doc, t,
+         [CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) for x in t] AS hv
+  FROM toks
 ), sigs AS (
-  SELECT doc, {_SQL_SIGS} FROM toks
+  SELECT doc, [{_SQL_SIG_LIST}] AS sig FROM hashed
 ), bands AS (
   {_SQL_BANDS}
 ), cand AS (
   SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
   FROM bands x JOIN bands y
     ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc < y.doc
-), sizes AS (
-  SELECT doc, len(t) AS n FROM toks
-), postings AS (
-  SELECT doc, unnest(t) AS token FROM toks
-), common AS (
-  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
-  FROM postings a JOIN postings b ON a.token = b.token AND a.doc < b.doc
-  GROUP BY a.doc, b.doc
 )
 SELECT c.doc_a, c.doc_b,
-       CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+       CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
+         / CAST(len(ha.hv) + len(hb.hv) - len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
+         AS jaccard
 FROM cand c
-JOIN common co ON co.doc_a = c.doc_a AND co.doc_b = c.doc_b
-JOIN sizes sa ON sa.doc = c.doc_a
-JOIN sizes sb ON sb.doc = c.doc_b
-WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE)
+JOIN hashed ha ON ha.doc = c.doc_a
+JOIN hashed hb ON hb.doc = c.doc_b
+WHERE CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
+        / CAST(len(ha.hv) + len(hb.hv) - len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
       >= {MINHASH_JACCARD_THRESHOLD}
 ORDER BY c.doc_a, c.doc_b
 """
@@ -704,7 +711,8 @@ QUERIES = [
     QuerySpec("doc_ngram_jaccard", q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD,
               "exact bigram-Jaccard near-dup pairs", bench=True, tags=("dedup",)),
     QuerySpec("doc_minhash_neardup", q_doc_minhash_neardup, SQL_DOC_MINHASH_NEARDUP,
-              "MinHash+LSH near-dup with exact verify", tags=("dedup",)),
+              "MinHash+LSH near-dup, candidate-only exact verify",
+              bench=True, tags=("dedup",)),
     QuerySpec("doc_tfidf_terms", q_doc_tfidf_terms, SQL_DOC_TFIDF_TERMS,
               "top-3 TF-IDF terms per document", tags=("text",)),
     QuerySpec("doc_norm_dedup", q_doc_norm_dedup, SQL_DOC_NORM_DEDUP,

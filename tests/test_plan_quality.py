@@ -64,6 +64,23 @@ def test_pair_operators_never_go_quadratic(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_minhash_verification_bounded_by_candidates(spark):
+    """The exact-Jaccard verify must be an array_intersect over the LSH
+    candidate pairs — NOT a postings self-join + pair aggregation, which is
+    O(co-occurring pairs) and defeats LSH at scale. The only token-keyed
+    join allowed in this plan is none at all: joins are on (band,
+    band_hash) and on the candidate doc ids."""
+    plan = _plan(spark, "doc_minhash_neardup")
+    assert "array_intersect" in plan
+    # the all-pairs shape joined exploded postings on the token/shingle
+    # column; neither may appear as a join key (or at all — signatures are
+    # computed per-row without exploding tokens)
+    assert "shingle" not in plan
+    assert "token#" not in plan
+    # explode only for the 16 band rows per doc, never for tokens
+    assert plan.count("Generate explode") <= 2
+
+
 def test_brute_force_topk_broadcasts_query_side(spark):
     # the ONE sanctioned cross join: corpus × broadcast(8 query vectors)
     plan = _plan(spark, "emb_cosine_topk")
