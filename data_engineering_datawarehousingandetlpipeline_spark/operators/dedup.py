@@ -296,36 +296,111 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """SimHash: per-bit majority vote over 32-bit token hashes.
 
-    explode(distinct tokens) × explode(bit positions) → groupBy(doc, bit)
-    majority → groupBy(doc) bit-sum. Two shuffles keyed by doc id (well
-    distributed); all arithmetic is exact integer math both engines share.
-    Ties (zero vote sum) set the bit, matching the oracle's ``>= 0``.
+    A pure per-row fold over the token-hash array — no explode, no shuffle,
+    one codegen stage over the scan (the exploded groupBy formulation costs
+    two shuffles for the same integer arithmetic). Vote sums are integer
+    adds, so accumulation order cannot matter and the oracle's
+    explode + GROUP BY formulation produces identical values. Ties (zero
+    vote sum) set the bit, matching the oracle's ``>= 0``.
     """
-    token_hash = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
-    exploded = (
-        spread(df).select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
-        )
-        .withColumn("h", token_hash)
-        .select(
-            "doc",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        )
-        .withColumn("p2", F.pow(F.lit(2.0), F.col("bit")).cast("bigint"))
-        .withColumn(
-            "vote",
-            F.when(F.expr("(h div p2) % 2") == 1, 1).otherwise(-1),
-        )
+    powers = F.array(*[F.lit(1 << i).cast("bigint") for i in range(bits)])
+    hashed = spread(df).select(
+        F.col(id_col).alias("doc"), token_hash_array(F.col(text_col)).alias("hs")
     )
-    per_bit = exploded.groupBy("doc", "bit", "p2").agg(F.sum("vote").alias("s"))
-    return (
-        per_bit.withColumn(
-            "bit_value", F.when(F.col("s") >= 0, F.col("p2")).otherwise(F.lit(0))
+    votes = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.when(h.bitwiseAND(powers[i]) != 0, 1).otherwise(-1),
+            ),
+            lambda u, v: u + v,
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda s, p: F.when(s >= 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return hashed.select("doc", sim.alias("simhash"))
+
+
+#: SimHash banding for the pairing rung: 4 bands × 8 bits. By pigeonhole,
+#: any pair within Hamming distance ≤ 3 leaves at least one band untouched
+#: — so band-collision candidacy is EXACT (zero false negatives) for the
+#: default ``max_hamming = 3``, unlike the probabilistic MinHash s-curve.
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    bands: int = SIMHASH_BANDS,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded candidates → Hamming verification.
+
+    The pairing rung the fingerprints exist for: documents agreeing on at
+    least one of the ``bands`` fingerprint bands become candidates (explode
+    ``bands`` rows per doc, equi-join on (band, band_value) — shuffle
+    volume O(docs × bands)); the exact Hamming distance
+    ``bit_count(a XOR b)`` then verifies candidates only. With
+    ``max_hamming < bands`` the result is exact, not approximate
+    (pigeonhole: ≤ max_hamming differing bits cannot touch all bands).
+    Output (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs < bands={bands} for exactness"
         )
-        .groupBy("doc")
-        .agg(F.sum("bit_value").cast("bigint").alias("simhash"))
+    band_width = bits // bands
+    mask = (1 << band_width) - 1
+    fps = simhash_fingerprints(df, text_col, id_col, bits)
+    banded = fps.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_value"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc", "bv.band", "bv.band_value")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "band_value"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    a = fps.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = fps.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sb"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -184,8 +184,10 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DOC_SIMHASH = f"""
-WITH toks AS (
+#: shared fingerprint pipeline (fps = (doc, simhash)) for both SimHash
+#: oracles — the explode + GROUP BY formulation; integer vote sums are
+#: order-independent, so it matches the engine's per-row fold exactly.
+_SQL_SIMHASH_FPS = f"""toks AS (
   SELECT doc_id AS doc, list_distinct({SQL_TOKS}) AS t FROM documents
 ), th AS (
   SELECT doc, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
@@ -195,13 +197,49 @@ WITH toks AS (
          SUM(CASE WHEN (h // CAST(pow(2, i) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
   FROM th CROSS JOIN generate_series(0, {dd.SIMHASH_BITS - 1}) AS g(i)
   GROUP BY doc, i
-)
-SELECT doc AS doc_id,
-       CAST(SUM(CASE WHEN s >= 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-FROM votes
-GROUP BY doc
+), fps AS (
+  SELECT doc,
+         CAST(SUM(CASE WHEN s >= 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes
+  GROUP BY doc
+)"""
+
+SQL_DOC_SIMHASH = f"""
+WITH {_SQL_SIMHASH_FPS}
+SELECT doc AS doc_id, simhash
+FROM fps
 ORDER BY doc_id
 """
+
+_SIMHASH_BAND_WIDTH = dd.SIMHASH_BITS // dd.SIMHASH_BANDS
+_SQL_SIMHASH_BANDS = " UNION ALL ".join(
+    f"SELECT doc, {b} AS band, (simhash >> {b * _SIMHASH_BAND_WIDTH})"
+    f" & {(1 << _SIMHASH_BAND_WIDTH) - 1} AS band_value FROM fps"
+    for b in range(dd.SIMHASH_BANDS)
+)
+SQL_DOC_SIMHASH_PAIRS = f"""
+WITH {_SQL_SIMHASH_FPS},
+bands AS (
+  {_SQL_SIMHASH_BANDS}
+), cand AS (
+  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_value = y.band_value AND x.doc < y.doc
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM cand c
+JOIN fps a ON a.doc = c.doc_a
+JOIN fps b ON b.doc = c.doc_b
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {dd.SIMHASH_MAX_HAMMING}
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_near_dup_pairs(_docs(spark, sf_dir)).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,6 +746,10 @@ QUERIES = [
               "min-hash fingerprint over word shingles", tags=("text", "dedup")),
     QuerySpec("doc_simhash", q_doc_simhash, SQL_DOC_SIMHASH,
               "32-bit SimHash fingerprints", bench=True, tags=("dedup",)),
+    QuerySpec("doc_simhash_pairs", q_doc_simhash_pairs, SQL_DOC_SIMHASH_PAIRS,
+              "SimHash near-dup pairs: banded candidates + Hamming verify "
+              "(exact for hamming < bands by pigeonhole)",
+              bench=True, tags=("dedup",)),
     QuerySpec("doc_ngram_jaccard", q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD,
               "exact bigram-Jaccard near-dup pairs", bench=True, tags=("dedup",)),
     QuerySpec("doc_minhash_neardup", q_doc_minhash_neardup, SQL_DOC_MINHASH_NEARDUP,

@@ -54,8 +54,8 @@ def test_top_k_uses_window_group_limit(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["doc_ngram_jaccard", "doc_minhash_neardup", "emb_near_dup",
-     "emb_ivf_topk", "nearby_clicks", "asof_last_error"],
+    ["doc_ngram_jaccard", "doc_minhash_neardup", "doc_simhash_pairs",
+     "emb_near_dup", "emb_ivf_topk", "nearby_clicks", "asof_last_error"],
 )
 def test_pair_operators_never_go_quadratic(spark, name):
     """Near-dup / ANN / range-join plans must stay equi-join shaped."""
@@ -79,6 +79,15 @@ def test_minhash_verification_bounded_by_candidates(spark):
     assert "token#" not in plan
     # explode only for the 16 band rows per doc, never for tokens
     assert plan.count("Generate explode") <= 2
+
+
+def test_simhash_fingerprints_are_shuffle_free(spark):
+    """The per-row fold formulation must not aggregate or hash-shuffle —
+    fingerprinting is a pure scan (the exploded groupBy shape costs two
+    shuffles for identical integer arithmetic)."""
+    plan = _plan(spark, "doc_simhash")
+    assert "HashAggregate" not in plan
+    assert "hashpartitioning" not in plan
 
 
 def test_brute_force_topk_broadcasts_query_side(spark):
