@@ -170,48 +170,100 @@ def cosine_top_k_lsh(
     )
 
 
-def _seq_norm(vec: list[float]) -> float:
-    """Driver-side norm with the SAME sequential float64 fold as dot/norm.
+def _centroid_cosine(dv: Column, nv: Column) -> Column:
+    """Rounded cosine against a joined centroid row, NULL-anchored to −2.
 
-    Bit-identical to ``sqrt(aggregate(zip_with(v,v,*),0.0,+))`` and to the
-    oracle's ``sqrt(list_dot_product(v,v))`` — required so precomputing
-    centroid norms cannot drift from computing them in-engine.
+    ``try_divide`` makes a zero-norm side NULL; coalescing to −2 (below any
+    real cosine) keeps NULL out of argmax orderings, where Spark and the
+    oracle would otherwise need matching NULLS placement everywhere.
     """
-    import math
-
-    acc = 0.0
-    for x in vec:
-        acc += x * x
-    return math.sqrt(acc)
-
-
-def _centroid_rank_array(
-    dv: Column, nv: Column, centroids: list[tuple[int, list[float]]]
-) -> Column:
-    """Centroid ids sorted by similarity to a vector (desc, id-asc ties).
-
-    ``dv``/``nv`` are the pre-projected double vector and its norm (computed
-    once per row — a lambda cannot hoist them). The centroid matrix is ONE
-    array-of-arrays literal indexed inside a single ``transform``, and
-    centroid norms are precomputed driver-side with the identical fold —
-    keeping the expression tree small (planning time on wide literal trees
-    otherwise dwarfs execution). (-cos, cid) structs sort ascending =
-    cosine descending with deterministic ties. No shuffle, no join.
-    """
-    mat = F.array(*[F.array(*[F.lit(x) for x in cvec]) for _, cvec in centroids])
-    norms = F.array(*[F.lit(_seq_norm(cvec)) for _, cvec in centroids])
-    ids = F.array(*[F.lit(cid) for cid, _ in centroids])
-    return F.array_sort(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-            lambda i: F.struct(
-                (-F.round(dot(dv, mat[i]) / (nv * norms[i]), COSINE_SCALE)).alias(
-                    "negs"
-                ),
-                ids[i].alias("cid"),
-            ),
-        )
+    return F.coalesce(
+        F.round(
+            F.try_divide(dot(dv, F.col("cvec")), nv * F.col("cnorm")), COSINE_SCALE
+        ),
+        F.lit(-2.0),
     )
+
+
+def _nearest_cid(vecs: DataFrame, cents: DataFrame) -> Column:
+    """(vid, cid) arg-max-cosine assignment via broadcast join + partial agg.
+
+    ``vecs`` carries (vid, dv, nv); ``cents`` (cid, cvec, cnorm) and is
+    small (the centroid table), so it broadcasts and the corpus streams.
+    The argmax is ``min(struct(-cos, cid))`` — a partial-aggregatable
+    shape, so the shuffle carries ONE small row per vector, not one per
+    (vector × centroid). Ties break toward the lowest cid.
+    """
+    pairs = vecs.crossJoin(F.broadcast(cents)).select(
+        "vid",
+        "cid",
+        (-_centroid_cosine(F.col("dv"), F.col("nv"))).alias("negc"),
+    )
+    return pairs.groupBy("vid").agg(
+        F.min(F.struct(F.col("negc").alias("n"), F.col("cid").alias("c")))
+        .getField("c")
+        .alias("cid")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means: (cid, cvec array<double>) after
+    ``iterations`` rounds from a seeded init (the first ``n_centroids``
+    vectors by id — reproducible in any engine, no RNG).
+
+    Every step is engine-portable arithmetic: assignment uses rounded
+    cosines with cid tie-breaks; the update is a per-dimension
+    decimal-anchored average (exact, order-independent sum) rounded to the
+    cosine scale — so the DuckDB oracle's unrolled iterations reproduce
+    the centroids bit-for-bit. Per round: one broadcast-join scan for
+    assignment (partial-agg argmax), one posexplode + two aggregations for
+    the update — all shuffle keys are well distributed (vid, (cid, dim)).
+    An empty cluster keeps its previous centroid (left join + coalesce).
+    ``localCheckpoint`` pins each round's 16-row result so the final plan
+    does not re-execute the training cascade per downstream use.
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
+        davg,
+    )
+
+    vecs = (
+        spread(corpus)
+        .select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("dv"))
+        .withColumn("nv", norm(F.col("dv")))
+    )
+    cents = vecs.filter(F.col("vid") < n_centroids).select(
+        F.col("vid").cast("int").alias("cid"), F.col("dv").alias("cvec")
+    )
+    for _ in range(iterations):
+        assigned = _nearest_cid(vecs, cents.withColumn("cnorm", norm(F.col("cvec"))))
+        per_dim = (
+            assigned.join(vecs, "vid")
+            .select("cid", F.posexplode("dv").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.round(davg(F.col("val"), wide=True), COSINE_SCALE).alias("cval"))
+        )
+        newc = per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cvec")
+        )
+        cents = (
+            cents.alias("o")
+            .join(newc.alias("n"), "cid", "left")
+            .select(
+                F.col("cid"),
+                F.coalesce(F.col("n.cvec"), F.col("o.cvec")).alias("cvec"),
+            )
+            .localCheckpoint()
+        )
+    return cents
 
 
 def cosine_top_k_ivf(
@@ -220,58 +272,56 @@ def cosine_top_k_ivf(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN top-k: coarse quantize, probe the nearest clusters.
+    """IVF-style ANN top-k: k-means coarse quantizer, probe nearest clusters.
 
     The inverted-file structure: every corpus vector is assigned to its
-    nearest centroid (coarse quantizer); a query scores only vectors in its
-    ``n_probe`` nearest clusters. Centroids here are the first
-    ``n_centroids`` corpus vectors — deterministic and engine-reproducible
-    (a production build would k-means them; the index mechanics are
-    identical). At scale: assignment is a shuffle-free scan (centroid
-    literals in the expression), the probe set broadcasts, and the only
-    wide operation is the final per-query top-k — the IVF win is scoring
+    nearest trained centroid (:func:`kmeans_centroids`); a query scores
+    only vectors in its ``n_probe`` nearest clusters. Assignment and
+    probing join against the broadcast centroid TABLE — unlike a literal
+    centroid matrix in the expression tree this scales to production
+    ``nlist`` (thousands), where literal trees make Catalyst planning cost
+    dominate execution. The only wide operations are the partial-agg
+    argmax and the final per-query top-k; the IVF win is scoring
     ~n_probe/n_centroids of the corpus instead of all of it.
     """
-    cent_rows = (
-        corpus.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).cast("int"), _as_double(F.col(vec_col)))
-        .collect()
-    )
-    centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+    cents = kmeans_centroids(
+        corpus, n_centroids, iterations, id_col, vec_col
+    ).withColumn("cnorm", norm(F.col("cvec")))
 
     corpus_pre = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
         _as_double(F.col(vec_col)).alias("dv"),
     ).withColumn("nv", norm(F.col("dv")))
-    assigned = corpus_pre.select(
+    assigned = corpus_pre.join(
+        _nearest_cid(
+            corpus_pre.select(F.col("neighbor_id").alias("vid"), "dv", "nv"), cents
+        ).withColumnRenamed("vid", "neighbor_id"),
         "neighbor_id",
-        "vec",
-        _centroid_rank_array(F.col("dv"), F.col("nv"), centroids)[0]["cid"].alias(
-            "cid"
-        ),
-    )
+    ).select("neighbor_id", "vec", "cid")
+
     query_pre = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
         _as_double(F.col(vec_col)).alias("dv"),
     ).withColumn("nv", norm(F.col("dv")))
-    probes = query_pre.select(
+    qpairs = query_pre.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "query_vec",
-        F.explode(
-            F.transform(
-                F.slice(
-                    _centroid_rank_array(F.col("dv"), F.col("nv"), centroids),
-                    1,
-                    n_probe,
-                ),
-                lambda s: s["cid"],
-            )
-        ).alias("cid"),
+        "cid",
+        _centroid_cosine(F.col("dv"), F.col("nv")).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cid").asc()
+    )
+    probes = (
+        qpairs.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "query_vec", "cid")
     )
     scored = (
         assigned.join(F.broadcast(probes), "cid")

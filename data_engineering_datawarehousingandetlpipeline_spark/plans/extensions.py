@@ -656,13 +656,15 @@ ORDER BY query_id, rank
 
 IVF_CENTROIDS = 16
 IVF_PROBES = 4
+IVF_ITERATIONS = 2
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < TOPK_QUERY_IDS)
     return sim.cosine_top_k_ivf(
-        embs, queries, k=TOPK_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBES
+        embs, queries, k=TOPK_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBES,
+        iterations=IVF_ITERATIONS,
     )
 
 
@@ -670,23 +672,69 @@ _SQL_COS = (
     "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
     "* sqrt(list_dot_product({b}, {b}))), " + str(sim.COSINE_SCALE) + ")"
 )
+#: centroid cosine with the −2 NULL anchor (mirror of sim._centroid_cosine).
+_SQL_CCOS = f"COALESCE({_SQL_COS.format(a='v.vv', b='c.cvec')}, -2.0)"
+
+
+def _sql_kmeans_ctes(iterations: int = IVF_ITERATIONS) -> str:
+    """Unrolled Lloyd iterations as CTEs: c0 (seeded init) → c{L} (trained).
+
+    Mirrors operators/similarity.kmeans_centroids step-for-step: rounded
+    cosine assignment with cid tie-breaks, decimal-anchored per-dimension
+    average rounded to the cosine scale, empty clusters keep the previous
+    centroid.
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
+        sql_dsum,
+    )
+
+    parts = [
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, vv AS cvec FROM v"
+        f" WHERE vec_id < {IVF_CENTROIDS})"
+    ]
+    for i in range(iterations):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQL_CCOS} DESC, c.cid ASC) AS rn
+    FROM v CROSS JOIN c{i} c) t
+  WHERE rn = 1
+)""")
+        parts.append(f"""u{i} AS (
+  SELECT a.cid, g.i AS dim,
+         round({sql_dsum('v.vv[g.i]', wide=True)} / COUNT(v.vv[g.i]), 6) AS cval
+  FROM a{i} a JOIN v USING (vec_id)
+  CROSS JOIN generate_series(1, {EMBED_DIM}) AS g(i)
+  GROUP BY a.cid, g.i
+)""")
+        parts.append(f"""c{i + 1} AS (
+  SELECT c.cid, COALESCE(n.cvec, c.cvec) AS cvec
+  FROM c{i} c LEFT JOIN (
+    SELECT cid, list(cval ORDER BY dim) AS cvec FROM u{i} GROUP BY cid
+  ) n USING (cid)
+)""")
+    return ",\n".join(parts)
+
+
+_CF = f"c{IVF_ITERATIONS}"
 SQL_EMB_IVF_TOPK = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
-cents AS (SELECT vec_id AS cid, vv AS cv FROM v WHERE vec_id < {IVF_CENTROIDS}),
+{_sql_kmeans_ctes()},
 assign AS (
   SELECT vec_id AS neighbor_id, vv, cid FROM (
     SELECT v.vec_id, v.vv, c.cid,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
-             ORDER BY {_SQL_COS.format(a='v.vv', b='c.cv')} DESC, c.cid ASC) AS rn
-    FROM v CROSS JOIN cents c) t
+             ORDER BY {_SQL_CCOS} DESC, c.cid ASC) AS rn
+    FROM v CROSS JOIN {_CF} c) t
   WHERE rn = 1
 ),
 probes AS (
   SELECT query_id, qv, cid FROM (
     SELECT v.vec_id AS query_id, v.vv AS qv, c.cid,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
-             ORDER BY {_SQL_COS.format(a='v.vv', b='c.cv')} DESC, c.cid ASC) AS rn
-    FROM v CROSS JOIN cents c WHERE v.vec_id < {TOPK_QUERY_IDS}) t
+             ORDER BY {_SQL_CCOS} DESC, c.cid ASC) AS rn
+    FROM v CROSS JOIN {_CF} c WHERE v.vec_id < {TOPK_QUERY_IDS}) t
   WHERE rn <= {IVF_PROBES}
 ),
 scored AS (

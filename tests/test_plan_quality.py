@@ -55,7 +55,7 @@ def test_top_k_uses_window_group_limit(spark):
 @pytest.mark.parametrize(
     "name",
     ["doc_ngram_jaccard", "doc_minhash_neardup", "doc_simhash_pairs",
-     "emb_near_dup", "emb_ivf_topk", "nearby_clicks", "asof_last_error"],
+     "emb_near_dup", "nearby_clicks", "asof_last_error"],
 )
 def test_pair_operators_never_go_quadratic(spark, name):
     """Near-dup / ANN / range-join plans must stay equi-join shaped."""
@@ -79,6 +79,17 @@ def test_minhash_verification_bounded_by_candidates(spark):
     assert "token#" not in plan
     # explode only for the 16 band rows per doc, never for tokens
     assert plan.count("Generate explode") <= 2
+
+
+def test_ivf_joins_are_centroid_bounded(spark):
+    """IVF's only nested-loop joins may be corpus × broadcast(centroids) —
+    linear in the corpus with a bounded build side (the k-means training
+    and assignment scans). A CartesianProduct or a corpus × corpus
+    nested loop would be quadratic and is never acceptable."""
+    plan = _plan(spark, "emb_ivf_topk")
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert frag.startswith(" BuildRight, Cross"), frag[:60]
 
 
 def test_simhash_fingerprints_are_shuffle_free(spark):
