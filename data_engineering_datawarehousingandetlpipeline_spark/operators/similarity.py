@@ -342,36 +342,82 @@ def cosine_top_k_ivf(
     )
 
 
+def planes_for_corpus(n_rows: int, target_bucket_size: int = 64) -> int:
+    """Plane count that keeps expected bucket occupancy near the target.
+
+    Each hyperplane halves the expected bucket population, so
+    ``ceil(log2(n / target))`` planes leave ~``target_bucket_size`` vectors
+    per bucket — the knob that must GROW with the corpus, or the
+    within-bucket self-join goes quadratic (fixed 8 planes = 256 buckets
+    is millions of vectors per bucket at 100 TB). Floor of 4 keeps tiny
+    corpora from degenerating to a near-cross-join.
+    """
+    import math
+
+    return max(4, math.ceil(math.log2(max(2, n_rows / target_bucket_size))))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
     n_planes: int = 8,
+    n_tables: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via bucketed self-join.
+    """Embedding-cosine near-duplicate pairs via OR-amplified LSH buckets.
 
-    Pairs must share an LSH bucket (prunes the quadratic blow-up), then the
-    exact cosine filters at ``threshold``. Output (id_a, id_b, cos_sim),
-    id_a < id_b.
+    ``n_tables`` independent hyperplane tables (disjoint md5-seeded plane
+    sets); a pair is a candidate if it shares a bucket in ANY table —
+    OR-amplification lifts recall the way MinHash banding does, while each
+    table's ``n_planes`` (scale with :func:`planes_for_corpus`) keeps
+    per-bucket populations bounded so no self-join cell goes quadratic.
+    Candidates are deduped across tables BEFORE verification, then joined
+    back to the vectors and filtered by exact rounded cosine — verify work
+    is O(distinct candidates), and the threshold filter stays out of the
+    join condition (barrier) so the cosine is computed once per pair.
+    Output (id_a, id_b, cos_sim), id_a < id_b.
     """
-    planes = [hyperplane(b, dim) for b in range(n_planes)]
+    table_planes = [
+        [hyperplane(t * n_planes + b, dim) for b in range(n_planes)]
+        for t in range(n_tables)
+    ]
     tagged = spread(df).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(table_planes)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vid", "vec", "tb.tbl", "tb.bucket")
+    cand = (
+        tagged.alias("x")
+        .join(tagged.alias("y"), ["tbl", "bucket"])
+        .filter(F.col("x.vid") < F.col("y.vid"))
+        .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
+        .distinct()
     )
-    left = tagged.select(
-        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
-    )
-    right = tagged.select(
-        F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"),
+            F.monotonically_increasing_id().alias("__nd"),
+        )
     )
     return (
-        left.join(right, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-        .distinct()
+        scored.filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
     )

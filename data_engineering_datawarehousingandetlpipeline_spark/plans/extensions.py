@@ -610,8 +610,10 @@ def _sql_plane_literal(plane: list[float]) -> str:
     return "[" + ", ".join(f"{p:.1f}" for p in plane) + "]"
 
 
-def _sql_bucket(vec_expr: str) -> str:
-    planes = [sim.hyperplane(b, EMBED_DIM) for b in range(ANN_PLANES)]
+def _sql_bucket(vec_expr: str, seed_offset: int = 0) -> str:
+    planes = [
+        sim.hyperplane(seed_offset + b, EMBED_DIM) for b in range(ANN_PLANES)
+    ]
     terms = [
         f"(CASE WHEN round(list_dot_product({vec_expr}, {_sql_plane_literal(p)}), "
         f"{sim.COSINE_SCALE}) >= 0 THEN {2 ** b} ELSE 0 END)"
@@ -754,28 +756,44 @@ ORDER BY query_id, rank
 """
 
 
+EMBED_TABLES = 4
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(
         _embs(spark, sf_dir),
         threshold=EMBED_NEAR_DUP_THRESHOLD,
         n_planes=ANN_PLANES,
+        n_tables=EMBED_TABLES,
         dim=EMBED_DIM,
     ).orderBy("id_a", "id_b")
 
 
-SQL_EMB_NEAR_DUP = f"""
-WITH tagged AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         {_sql_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
-  FROM embeddings
+_SQL_NEAR_DUP_BUCKETS = " UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, "
+    f"{_sql_bucket('CAST(embedding AS DOUBLE[])', seed_offset=t * ANN_PLANES)} AS bucket "
+    "FROM embeddings"
+    for t in range(EMBED_TABLES)
 )
-SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+SQL_EMB_NEAR_DUP = f"""
+WITH buckets AS (
+  {_SQL_NEAR_DUP_BUCKETS}
+), cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM buckets x JOIN buckets y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+)
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(a.vv, b.vv)
+             / (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))),
              {sim.COSINE_SCALE}) AS cos_sim
-FROM tagged a JOIN tagged b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+FROM cand c
+JOIN v a ON a.vec_id = c.id_a
+JOIN v b ON b.vec_id = c.id_b
+WHERE round(list_dot_product(a.vv, b.vv)
+            / (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))),
             {sim.COSINE_SCALE}) >= {EMBED_NEAR_DUP_THRESHOLD}
 ORDER BY id_a, id_b
 """

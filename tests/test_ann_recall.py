@@ -31,3 +31,49 @@ def _recall(spark, approx_name: str) -> float:
 def test_ivf_recall_at_5(spark):
     """k-means IVF with 4/16 probes must reach recall@5 ≥ 0.8 vs exact."""
     assert _recall(spark, "emb_ivf_topk") >= 0.8
+
+
+def test_near_dup_bucket_occupancy_bounded(spark):
+    """No hyperplane-LSH bucket may hold a large share of the corpus — a
+    hot bucket makes the within-bucket self-join quadratic. Checked per
+    table across all OR-amplification tables."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+        similarity as sim,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.extensions import (
+        ANN_PLANES,
+        EMBED_DIM,
+        EMBED_TABLES,
+        _embs,
+    )
+
+    embs = _embs(spark, SF_DIR)
+    n = embs.count()
+    for t in range(EMBED_TABLES):
+        planes = [
+            sim.hyperplane(t * ANN_PLANES + b, EMBED_DIM)
+            for b in range(ANN_PLANES)
+        ]
+        top = (
+            embs.select(sim.lsh_bucket(F.col("embedding"), planes).alias("b"))
+            .groupBy("b")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert top / n <= 0.10, (t, top, n)
+
+
+def test_planes_scale_with_corpus():
+    """The plane count must grow with the corpus (fixed planes = quadratic
+    buckets at scale): ~doubling the corpus adds a plane."""
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.similarity import (
+        planes_for_corpus,
+    )
+
+    assert planes_for_corpus(2_000) == 5
+    assert planes_for_corpus(2_000_000) == 15
+    assert planes_for_corpus(2_000_000_000) == 25
+    assert planes_for_corpus(100) == 4  # floor
