@@ -115,6 +115,58 @@ ORDER BY ts, event_id
 """
 
 
+def q_dashboard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 + the dashboard serving surface (visualization/app.py:84-120).
+
+    The chart rows with their display formatting — ``HH:mm`` axis labels
+    (app.py:93), ``yyyy-MM-dd HH:mm`` tooltips (app.py:102,111), the
+    ``.1f`` value tooltip — plus the caption aggregates (row count and
+    series cardinality, app.py:85-87) carried on every row via a
+    broadcast of the 1-row aggregate. One day-window scan feeds both.
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+        load_events_range,
+    )
+
+    ensure_runtime_confs(spark)
+    day = load_events_range(spark, sf_dir, _DAY_START, _DAY_END)
+    caption = day.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_series"),
+    )
+    return (
+        day.crossJoin(F.broadcast(caption))
+        .select(
+            "event_id",
+            F.date_format("ts", "HH:mm").alias("axis_time"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm").alias("tooltip_time"),
+            "user_id",
+            F.round("value", 1).alias("value_1dp"),
+            "n_rows",
+            "n_series",
+        )
+        .orderBy("tooltip_time", "event_id")
+    )
+
+
+SQL_DASHBOARD_SUMMARY = f"""
+WITH day AS (
+  SELECT * FROM events
+  WHERE ts BETWEEN TIMESTAMP '{_DAY_START}' AND TIMESTAMP '{_DAY_END}'
+), caption AS (
+  SELECT COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_series FROM day
+)
+SELECT event_id,
+       strftime(ts, '%H:%M') AS axis_time,
+       strftime(ts, '%Y-%m-%d %H:%M') AS tooltip_time,
+       user_id,
+       round(value, 1) AS value_1dp,
+       n_rows, n_series
+FROM day CROSS JOIN caption
+ORDER BY tooltip_time, event_id
+"""
+
+
 def q_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4: keys occurring more than once (exact duplicate audit)."""
     return (
@@ -604,6 +656,9 @@ QUERIES = [
     QuerySpec("day_window", q_day_window, SQL_DAY_WINDOW,
               "dashboard day-window scan (S8/P5/P8/O3)", bench=True,
               tags=("scan", "filter", "sort")),
+    QuerySpec("dashboard_summary", q_dashboard_summary, SQL_DASHBOARD_SUMMARY,
+              "dashboard serving: F8 time formatting + caption aggregates",
+              tags=("scan", "format")),
     QuerySpec("dup_audit", q_dup_audit, SQL_DUP_AUDIT,
               "duplicate audit on exact key (D4/A5)", tags=("agg",)),
     QuerySpec("dup_audit_hourly", q_dup_audit_hourly, SQL_DUP_AUDIT_HOURLY,

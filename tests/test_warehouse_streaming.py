@@ -119,6 +119,29 @@ def test_kafka_json_roundtrip(spark):
     assert sorted(map(tuple, decoded.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_kafka_connector_exercised_or_skipped_with_reason(spark):
+    """The real connector path (sources/kafka.py:read_stream) is the one
+    reference transport with no execution evidence in this image — the
+    spark-sql-kafka jars are not bundled. Probe for them: if present,
+    the reader must at least construct its plan; if absent, skip LOUDLY
+    so the coverage gap stays visible in every test report instead of
+    silently not existing."""
+    import pytest
+
+    from data_engineering_datawarehousingandetlpipeline_spark.sources.kafka import (
+        read_stream,
+    )
+
+    try:
+        stream = read_stream(spark, "localhost:9092", topic="probe")
+    except Exception as exc:  # connector class not on the classpath
+        pytest.skip(
+            "spark-sql-kafka connector jars absent in this image; the "
+            f"Kafka path is exercised via the file-stream stand-in only ({exc})"
+        )
+    assert stream.isStreaming  # jars present: the decode plan constructed
+
+
 def test_streaming_matches_batch_and_restart_is_idempotent(spark, tmp_path, warehouse):
     rows = _rows(FIXTURE)
     indir = tmp_path / "incoming"
