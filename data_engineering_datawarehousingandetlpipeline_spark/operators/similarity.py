@@ -375,9 +375,7 @@ def embedding_near_dup_pairs(
     per-bucket populations bounded so no self-join cell goes quadratic.
     Candidates are deduped across tables BEFORE verification, then joined
     back to the vectors and filtered by exact rounded cosine — verify work
-    is O(distinct candidates), and the threshold filter stays out of the
-    join condition (barrier) so the cosine is computed once per pair.
-    Output (id_a, id_b, cos_sim), id_a < id_b.
+    is O(distinct candidates). Output (id_a, id_b, cos_sim), id_a < id_b.
     """
     table_planes = [
         [hyperplane(t * n_planes + b, dim) for b in range(n_planes)]
@@ -407,17 +405,16 @@ def embedding_near_dup_pairs(
     )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    scored = (
+    # the threshold filter stays pushable into the verify join: the join
+    # then emits only surviving pairs (see minhash_near_dup_pairs for the
+    # measured trade-off vs a pushdown barrier).
+    return (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
             cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"),
-            F.monotonically_increasing_id().alias("__nd"),
         )
-    )
-    return (
-        scored.filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        .filter(F.col("cos_sim") >= threshold)
     )
