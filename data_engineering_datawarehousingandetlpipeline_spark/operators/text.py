@@ -132,6 +132,23 @@ def fingerprint(text: Column, width: int = SHINGLE_WIDTH) -> Column:
     return F.array_min(F.transform(word_shingles(text, width), F.md5))
 
 
+#: BPE-ish pre-tokenizer pattern: letter runs, digit runs, single other
+#: marks — the split a byte-pair tokenizer applies before merges. Kept to
+#: a syntax subset (character classes + alternation) that Java regex and
+#: RE2 (the oracle engine) interpret identically.
+BPE_SPLIT_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_pieces(text: Column) -> Column:
+    """Pre-tokenizer pieces of lowercased text (array<string>).
+
+    A real BPE would follow with merge ranks over a learned vocabulary;
+    the piece split is the part that is engine-portable and is what token
+    COUNTING needs (piece count upper-bounds the BPE token count).
+    """
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_SPLIT_PATTERN), 0)
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document text-analysis profile (one scan, all column expressions)."""
     text = F.col(text_col)

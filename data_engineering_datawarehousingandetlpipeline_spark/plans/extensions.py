@@ -434,6 +434,99 @@ ORDER BY doc_id
 """
 
 
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (SURVEY §2.11 token counting, regex rung).
+
+    Piece counts per class (letter runs / digit runs / other marks) — the
+    deterministic pre-split every byte-pair tokenizer applies before
+    merges; the piece count is the scan-cost proxy for "tokens" when no
+    learned vocabulary is in play. Pure column expressions.
+    """
+    docs = _docs(spark, sf_dir)
+    pieces = tx.bpe_pieces(F.col("text"))
+    alpha = F.size(F.filter(pieces, lambda p: p.rlike("^[a-z]+$")))
+    digit = F.size(F.filter(pieces, lambda p: p.rlike("^[0-9]+$")))
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        alpha.alias("n_alpha"),
+        digit.alias("n_digit"),
+        (F.size(pieces) - alpha - digit).alias("n_other"),
+    ).orderBy("doc_id")
+
+
+SQL_DOC_BPE_TOKENS = rf"""
+WITH p AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{tx.BPE_SPLIT_PATTERN}') AS pieces
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(pieces) AS INTEGER) AS n_pieces,
+       CAST(len(list_filter(pieces, x -> regexp_matches(x, '^[a-z]+$'))) AS INTEGER) AS n_alpha,
+       CAST(len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]+$'))) AS INTEGER) AS n_digit,
+       CAST(len(pieces)
+            - len(list_filter(pieces, x -> regexp_matches(x, '^[a-z]+$')))
+            - len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]+$'))) AS INTEGER) AS n_other
+FROM p
+ORDER BY doc_id
+"""
+
+
+#: stratified sampling rates by document-length stratum (tokens ÷ 20,
+#: capped at 3): long docs are kept at progressively lower rates — the
+#: usual shape for length-balancing a training mix.
+SAMPLE_RATES = (1.0, 0.5, 0.25, 0.125)
+_U32 = 1 << 32
+
+
+def q_doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling.
+
+    A reproducible Bernoulli sample with per-stratum rates: the keep
+    decision is ``md5(doc_id) < rate × 2³²`` in integer space — no RNG, no
+    ``sample()`` nondeterminism, identical on any engine/cluster/replay,
+    which is what makes a 100 TB training-mix job re-runnable. One scan,
+    no shuffle except the output ordering.
+    """
+    docs = _docs(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    stratum = F.least(
+        F.floor(tx.token_count(F.col("text")) / F.lit(20)).cast("int"),
+        F.lit(len(SAMPLE_RATES) - 1),
+    )
+    thresholds = F.array(
+        *[F.lit(int(r * _U32)).cast("bigint") for r in SAMPLE_RATES]
+    )
+    return (
+        docs.select(
+            "doc_id",
+            stratum.alias("stratum"),
+            h.alias("u32"),
+        )
+        .filter(F.col("u32") < thresholds[F.col("stratum")])
+        .orderBy("doc_id")
+    )
+
+
+_SQL_THRESHOLDS = ", ".join(str(int(r * _U32)) for r in SAMPLE_RATES)
+SQL_DOC_HASH_SAMPLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(least(CAST(floor(len({SQL_TOKS}) / 20) AS INT),
+                    {len(SAMPLE_RATES) - 1}) AS INT) AS stratum,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u32
+  FROM documents
+)
+SELECT doc_id, stratum, u32
+FROM scored
+WHERE u32 < ([{_SQL_THRESHOLDS}])[stratum + 1]
+ORDER BY doc_id
+"""
+
+
 TFIDF_TOP_TERMS = 3
 
 
@@ -823,6 +916,10 @@ QUERIES = [
               bench=True, tags=("dedup",)),
     QuerySpec("doc_tfidf_terms", q_doc_tfidf_terms, SQL_DOC_TFIDF_TERMS,
               "top-3 TF-IDF terms per document", tags=("text",)),
+    QuerySpec("doc_bpe_tokens", q_doc_bpe_tokens, SQL_DOC_BPE_TOKENS,
+              "BPE-ish pre-tokenizer piece counts by class", tags=("text",)),
+    QuerySpec("doc_hash_sample", q_doc_hash_sample, SQL_DOC_HASH_SAMPLE,
+              "deterministic md5-based stratified sampling", tags=("text", "sample")),
     QuerySpec("doc_norm_dedup", q_doc_norm_dedup, SQL_DOC_NORM_DEDUP,
               "exact dedup after text canonicalization", tags=("dedup", "text")),
     QuerySpec("doc_dedup_clusters", q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS,
