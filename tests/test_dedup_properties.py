@@ -1,0 +1,111 @@
+"""Property tests for the near-dup ladder against brute-force ground truth.
+
+Oracle parity proves Spark matches DuckDB running the SAME algorithm;
+these tests check the algorithms against per-pair brute force on small
+random corpora — LSH false-positive-freedom, the SimHash pigeonhole
+exactness guarantee, and sampling determinism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import random
+
+from data_engineering_datawarehousingandetlpipeline_spark.operators import dedup as dd
+
+VOCAB = [f"w{i}" for i in range(40)]
+
+
+def _random_corpus(seed: int, n_docs: int = 60) -> list[tuple[int, str]]:
+    """Duplicate-heavy corpus: base docs + mutated near-copies."""
+    rng = random.Random(seed)
+    docs: list[tuple[int, str]] = []
+    doc_id = 0
+    while doc_id < n_docs:
+        base = rng.sample(VOCAB, rng.randint(8, 20))
+        copies = rng.randint(1, 4)
+        for _ in range(min(copies, n_docs - doc_id)):
+            words = list(base)
+            for _ in range(rng.randint(0, 2)):  # light mutation
+                words[rng.randrange(len(words))] = rng.choice(VOCAB)
+            docs.append((doc_id, " ".join(words)))
+            doc_id += 1
+    return docs
+
+
+def _true_jaccard(a: str, b: str) -> float:
+    sa, sb = set(a.split()), set(b.split())
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_pairs_have_no_false_positives_and_high_recall(spark):
+    docs = _random_corpus(seed=7)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.minhash_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    text = dict(docs)
+    truth = {
+        (a, b): _true_jaccard(text[a], text[b])
+        for a, b in itertools.combinations(sorted(text), 2)
+        if _true_jaccard(text[a], text[b]) >= 0.9
+    }
+    # no false positives: every reported jaccard is the true set jaccard
+    for (a, b), j in out.items():
+        assert abs(j - _true_jaccard(text[a], text[b])) < 1e-12
+        assert j >= 0.9
+    # recall: the 16x8 s-curve misses a J>=0.9 pair with p ~ 1e-4
+    assert len(out) >= 0.95 * len(truth), (len(out), len(truth))
+
+
+def _brute_simhash(text: str, bits: int = 32) -> int:
+    votes = [0] * bits
+    for tok in dict.fromkeys(text.split()):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        for i in range(bits):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    return sum(1 << i for i in range(bits) if votes[i] >= 0)
+
+
+def test_simhash_pairs_exact_by_pigeonhole(spark):
+    """With max_hamming < bands the banded join is EXACT: the output must
+    equal brute-force Hamming over all pairs, not approximate it."""
+    docs = _random_corpus(seed=11)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dd.simhash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    fp = {i: _brute_simhash(t) for i, t in docs}
+    expected = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for a, b in itertools.combinations(sorted(fp), 2)
+        if bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    assert got == expected
+
+
+def test_simhash_rejects_unsafe_hamming_bound():
+    import pytest
+
+    with pytest.raises(ValueError):
+        dd.simhash_near_dup_pairs(None, max_hamming=4, bands=4)
+
+
+def test_kmeans_centroids_deterministic_across_runs(spark):
+    """Same corpus, two independent plans → bit-identical centroids (the
+    decimal-anchored update makes order of aggregation irrelevant)."""
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {r.cid: r.cvec for r in kmeans_centroids(df.repartition(7), n_centroids=4).collect()}
+    b = {r.cid: r.cvec for r in kmeans_centroids(df.repartition(13), n_centroids=4).collect()}
+    assert a == b
