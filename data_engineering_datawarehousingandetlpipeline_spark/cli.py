@@ -12,6 +12,10 @@ with the reference's three actions (``kafka_stream.py:390-439``):
                          The reference's version crashes on a never-defined
                          ``args.interval_seconds`` (§2.10.3); here the flag
                          exists and defaults to 3600.
+- ``query``            — run any registered query from the engine's surface
+                         (``plans/registry.py``) against a parquet dataset
+                         dir; print rows or write parquet. ``query --list``
+                         enumerates the surface.
 
 Without Kafka jars the transport is a staging directory of JSON files —
 the same downstream pipeline either way (streaming/pipeline.py).
@@ -76,12 +80,39 @@ def _warehouse(spark, cfg):
     return WarehouseTable(spark, cfg.warehouse_root)
 
 
+def _run_query(args) -> None:
+    """``query`` action: run a registered query by name (S8-style serving)."""
+    from data_engineering_datawarehousingandetlpipeline_spark.plans import (
+        all_queries,
+    )
+
+    specs = all_queries()
+    if args.list or not args.name:
+        for name in sorted(specs):
+            print(f"{name:28s} {specs[name].description}")
+        return
+    if args.name not in specs:
+        raise SystemExit(
+            f"unknown query {args.name!r}; `query --list` shows the surface"
+        )
+    spark = get_spark(app_name=f"dwh-query-{args.name}")
+    df = specs[args.name].fn(spark, args.sf_dir)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        log.info("wrote %s to %s", args.name, args.output)
+    else:
+        df.show(args.limit, truncate=False)
+
+
 def main(argv: list[str] | None = None) -> None:
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s"
     )
     parser = argparse.ArgumentParser(description="Spark ingestion utilities")
-    parser.add_argument("action", choices=["produce", "consume", "bootstrap-hourly"])
+    parser.add_argument(
+        "action", choices=["produce", "consume", "bootstrap-hourly", "query"]
+    )
+    parser.add_argument("name", nargs="?", help="query name (query action)")
     parser.add_argument("--staging-dir", default="./staging")
     parser.add_argument("--produce-interval-seconds", type=int, default=None)
     parser.add_argument(
@@ -91,7 +122,23 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument(
         "--once", action="store_true", help="run a single iteration and exit"
     )
+    parser.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        help="dataset directory of parquet tables (query action)",
+    )
+    parser.add_argument(
+        "--output", default=None,
+        help="query action: write the result as parquet here instead of printing",
+    )
+    parser.add_argument(
+        "--limit", type=int, default=20, help="rows to print (query action)"
+    )
+    parser.add_argument("--list", action="store_true", help="list query names")
     args = parser.parse_args(argv)
+
+    if args.action == "query":
+        _run_query(args)
+        return
 
     cfg = load_config()
     spark = get_spark(app_name=f"dwh-cli-{args.action}")

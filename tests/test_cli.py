@@ -33,6 +33,20 @@ def test_produce_then_bootstrap_hourly(spark, tmp_path, monkeypatch):
     assert warehouse.count() == 5
 
 
+def test_query_action_lists_runs_and_writes(spark, tmp_path, capsys):
+    main(["query", "--list"])
+    assert "pricing_summary" in capsys.readouterr().out
+
+    main(["query", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001",
+          "--limit", "3"])
+    assert "l_returnflag" in capsys.readouterr().out
+
+    out = str(tmp_path / "q_out")
+    main(["query", "distinct_counts", "--sf-dir", "/root/testdata/sf0.001",
+          "--output", out])
+    assert spark.read.parquet(out).count() == 1
+
+
 def test_consume_once_drains_staging(spark, tmp_path, monkeypatch):
     """`consume --once` must actually process what is staged (a continuous
     query stopped right after start() could deterministically process
