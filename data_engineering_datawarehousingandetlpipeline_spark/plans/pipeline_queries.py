@@ -307,6 +307,61 @@ ORDER BY event_type
 """
 
 
+def q_user_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling frame aggregates (moving average + running count).
+
+    The ROWS-frame window family (the surface's other window queries are
+    row_number/lag shaped): a 3-row moving average and a cumulative event
+    count per user, ordered by (ts, event_id) so frames are deterministic
+    under ties. The moving sum is decimal-anchored inside the frame, so
+    Spark and the oracle agree regardless of evaluation order. One shuffle
+    on user_id; both windows share the same sort.
+    """
+    from pyspark.sql import Window
+
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    w3 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.round(
+                F.sum(F.col("value").cast("decimal(27,8)")).over(w3).cast("double")
+                / F.count("*").over(w3),
+                6,
+            ).alias("moving_avg3"),
+            F.count("*").over(wc).alias("cum_events"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+SQL_USER_ROLLING_STATS = """
+SELECT user_id, ts, event_id, value,
+       round(CAST(SUM(CAST(value AS DECIMAL(27,8))) OVER w3 AS DOUBLE)
+             / COUNT(*) OVER w3, 6) AS moving_avg3,
+       COUNT(*) OVER wc AS cum_events
+FROM events
+WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       wc AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING)
+ORDER BY user_id, ts, event_id
+"""
+
+
 SESSION_GAP = "30 minutes"
 
 
@@ -483,6 +538,9 @@ QUERIES = [
     QuerySpec("nearby_clicks", q_nearby_clicks, SQL_NEARBY_CLICKS,
               "bucketed banded range join (±5 min)", bench=True,
               tags=("join", "timeseries")),
+    QuerySpec("user_rolling_stats", q_user_rolling_stats, SQL_USER_ROLLING_STATS,
+              "ROWS-frame windows: 3-row moving average + running count",
+              tags=("window",)),
     QuerySpec("value_quantiles", q_value_quantiles, SQL_VALUE_QUANTILES,
               "exact per-group quantiles (approx_percentile at scale)",
               bench=True, tags=("agg",)),
