@@ -162,6 +162,10 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("wind_speed"),
     )
 
+    # Test-scale plumbing, not the production path: the e2e proof needs a
+    # deterministic single-file staging drop for the file-source stream
+    # (coalesce(1) + tempdir stand in for a Kafka topic). A deployment
+    # points read_stream at Kafka and none of this block exists.
     workdir = tempfile.mkdtemp(prefix="streaming_ingest_q_")
     indir = os.path.join(workdir, "incoming")
     staged.coalesce(1).write.mode("overwrite").json(indir)
