@@ -212,6 +212,7 @@ def kmeans_centroids(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd k-means: (cid, cvec array<double>) after
     ``iterations`` rounds from a seeded init (the first ``n_centroids``
@@ -227,6 +228,13 @@ def kmeans_centroids(
     An empty cluster keeps its previous centroid (left join + coalesce).
     ``localCheckpoint`` pins each round's 16-row result so the final plan
     does not re-execute the training cascade per downstream use.
+
+    ``train_fraction`` subsamples the Lloyd iterations deterministically
+    (keep iff ``md5(id) < fraction × 2³²`` — reproducible on any engine,
+    no RNG): at warehouse scale the coarse quantizer trains on a sample,
+    not on full-corpus passes. Seeding still uses the full corpus's first
+    ``n_centroids`` ids, so the centroid COUNT never depends on the
+    sample.
     """
     from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
         davg,
@@ -240,10 +248,16 @@ def kmeans_centroids(
     cents = vecs.filter(F.col("vid") < n_centroids).select(
         F.col("vid").cast("int").alias("cid"), F.col("dv").alias("cvec")
     )
+    train = vecs
+    if train_fraction is not None:
+        u32 = F.conv(
+            F.substring(F.md5(F.col("vid").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        train = vecs.filter(u32 < F.lit(int(train_fraction * (1 << 32))))
     for _ in range(iterations):
-        assigned = _nearest_cid(vecs, cents.withColumn("cnorm", norm(F.col("cvec"))))
+        assigned = _nearest_cid(train, cents.withColumn("cnorm", norm(F.col("cvec"))))
         per_dim = (
-            assigned.join(vecs, "vid")
+            assigned.join(train, "vid")
             .select("cid", F.posexplode("dv").alias("dim", "val"))
             .groupBy("cid", "dim")
             .agg(F.round(davg(F.col("val"), wide=True), COSINE_SCALE).alias("cval"))
@@ -275,6 +289,7 @@ def cosine_top_k_ivf(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: k-means coarse quantizer, probe nearest clusters.
 
@@ -289,7 +304,7 @@ def cosine_top_k_ivf(
     ~n_probe/n_centroids of the corpus instead of all of it.
     """
     cents = kmeans_centroids(
-        corpus, n_centroids, iterations, id_col, vec_col
+        corpus, n_centroids, iterations, id_col, vec_col, train_fraction
     ).withColumn("cnorm", norm(F.col("cvec")))
 
     corpus_pre = spread(corpus).select(

@@ -33,6 +33,35 @@ def test_ivf_recall_at_5(spark):
     assert _recall(spark, "emb_ivf_topk") >= 0.8
 
 
+def test_ivf_sampled_training_keeps_recall(spark):
+    """At warehouse scale the quantizer trains on a deterministic hash
+    sample, not full-corpus Lloyd passes. Sampled centroids are noisier,
+    so the recall/cost dial moves to n_probe (8/16 instead of 4/16 here
+    — on this tiny structureless corpus a half sample is only ~250
+    vectors); the bar stays the same ≥ 0.8."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.similarity import (
+        cosine_top_k_ivf,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.extensions import (
+        _embs,
+    )
+
+    qs = all_queries()
+    exact = _neighbor_sets(qs["emb_cosine_topk"].fn(spark, SF_DIR).collect())
+    embs = _embs(spark, SF_DIR)
+    approx = _neighbor_sets(
+        cosine_top_k_ivf(
+            embs, embs.filter(F.col("vec_id") < 8), n_probe=8,
+            train_fraction=0.5,
+        ).collect()
+    )
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.8, (hits, total)
+
+
 def test_near_dup_bucket_occupancy_bounded(spark):
     """No hyperplane-LSH bucket may hold a large share of the corpus — a
     hot bucket makes the within-bucket self-join quadratic. Checked per
