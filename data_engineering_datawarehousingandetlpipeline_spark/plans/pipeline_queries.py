@@ -201,6 +201,65 @@ ORDER BY station_id, "timestamp"
 """
 
 
+def q_streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2+T5 as a driver-verified query: the REAL streaming operator
+    (withWatermark + tumbling window, streaming/stateful.py:windowed_stats)
+    drained with ``availableNow`` into a memory sink.
+
+    Complete output mode surfaces every window; with a single drain no
+    row is late relative to the final watermark, so the oracle is the
+    batch hour-window aggregate — the comparison proves the streaming
+    aggregation's semantics equal the batch semantics (the decimal-
+    anchored average makes the values micro-batch-split-independent).
+    """
+    import uuid
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.stateful import (
+        windowed_stats,
+    )
+
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    staged = events.select(
+        "user_id",
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("ts"),
+        "value",
+    )
+    # test-scale plumbing (see q_streaming_ingest): a file drop stands in
+    # for the Kafka topic so the identical streaming plan can run here.
+    workdir = tempfile.mkdtemp(prefix="streaming_window_q_")
+    indir = os.path.join(workdir, "incoming")
+    staged.coalesce(1).write.mode("overwrite").json(indir)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).json(indir)
+    name = f"win_stats_{uuid.uuid4().hex}"
+    query = (
+        windowed_stats(stream, ts_col="ts", key_col="user_id", value_col="value")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).orderBy("window_start", "user_id")
+
+
+SQL_STREAMING_WINDOW_STATS = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       user_id,
+       COUNT(*) AS n_obs,
+       round({sql_dsum('value', wide=True)} / COUNT(value), 6) AS avg_value,
+       MAX(value) AS max_value
+FROM events
+WHERE user_id < 5
+GROUP BY date_trunc('hour', ts), user_id
+ORDER BY window_start, user_id
+"""
+
+
 def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click annotated with the user's latest prior error.
 
@@ -536,6 +595,10 @@ QUERIES = [
     QuerySpec("streaming_ingest", q_streaming_ingest, SQL_STREAMING_INGEST,
               "Structured Streaming ingest verified against batch semantics",
               tags=("streaming", "warehouse")),
+    QuerySpec("streaming_window_stats", q_streaming_window_stats,
+              SQL_STREAMING_WINDOW_STATS,
+              "watermarked tumbling-window agg (T2/T5) drained availableNow",
+              tags=("streaming", "window")),
     QuerySpec("asof_last_error", q_asof_last_error, SQL_ASOF_LAST_ERROR,
               "merge-scan as-of join vs native ASOF JOIN oracle",
               bench=True, tags=("join", "timeseries")),

@@ -46,6 +46,7 @@ def windowed_stats(
     source: DataFrame,
     ts_col: str = "timestamp",
     key_col: str = "station_id",
+    value_col: str = "temperature",
     window: str = "1 hour",
     watermark: str = "30 minutes",
 ) -> DataFrame:
@@ -55,23 +56,29 @@ def windowed_stats(
     are dropped and their window's state is evicted once the window closes
     — the streaming replacement for the reference's drop-older-than-max
     filter (kafka_stream.py:269-273), with an explicit lateness bound
-    instead of an implicit per-key max.
+    instead of an implicit per-key max. The average is decimal-anchored
+    (``davg``) so the result is identical under any partitioning or
+    micro-batch split — which also makes it oracle-comparable.
     """
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
+        davg,
+    )
+
     return (
         source.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
         .agg(
             F.count("*").alias("n_obs"),
-            F.avg("temperature").alias("avg_temperature"),
-            F.max("temperature").alias("max_temperature"),
+            F.round(davg(F.col(value_col), wide=True), 6).alias(f"avg_{value_col}"),
+            F.max(value_col).alias(f"max_{value_col}"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             key_col,
             "n_obs",
-            "avg_temperature",
-            "max_temperature",
+            f"avg_{value_col}",
+            f"max_{value_col}",
         )
     )
 
