@@ -201,6 +201,96 @@ ORDER BY station_id, "timestamp"
 """
 
 
+def q_click_days_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (LEFT ANTI, §2.6): (user, day) cells with clicks but no
+    purchase — the funnel-gap query.
+
+    Executes as a hash anti-join on the composite (user_id, day) key —
+    the NOT-EXISTS shape that at warehouse scale replaces a correlated
+    subquery per row; both sides aggregate before joining so the join
+    input is |user-days|, not |events|.
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", day)
+        .distinct()
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", day
+    )
+    return clicks.join(purchases, ["user_id", "day"], "left_anti").orderBy(
+        "user_id", "day"
+    )
+
+
+SQL_CLICK_DAYS_NO_PURCHASE = """
+SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+FROM events
+WHERE event_type = 'click'
+  AND NOT EXISTS (
+    SELECT 1 FROM events e2
+    WHERE e2.user_id = events.user_id
+      AND CAST(e2.ts AS DATE) = CAST(events.ts AS DATE)
+      AND e2.event_type = 'purchase'
+  )
+ORDER BY user_id, day
+"""
+
+
+def q_user_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.6): INTERSECT / EXCEPT over two day cohorts.
+
+    Users active on the dashboard day vs the following day: both days
+    (INTERSECT), first-only and second-only (EXCEPT) — each a distinct
+    set op that executes as an aggregate + join, counted into one row.
+    """
+    import datetime as dt
+
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.reference_queries import (
+        DASHBOARD_DAY,
+        day_bounds_utc,
+    )
+
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    s1, e1 = day_bounds_utc(DASHBOARD_DAY)
+    s2, e2 = day_bounds_utc(DASHBOARD_DAY + dt.timedelta(days=1))
+    d1 = events.filter(F.col("ts").between(s1, e1)).select("user_id").distinct()
+    d2 = events.filter(F.col("ts").between(s2, e2)).select("user_id").distinct()
+    nb = d1.intersect(d2).agg(F.count("*").alias("n_both"))
+    nf = d1.exceptAll(d2).agg(F.count("*").alias("n_first_only"))
+    ns = d2.exceptAll(d1).agg(F.count("*").alias("n_second_only"))
+    return nb.crossJoin(nf).crossJoin(ns)
+
+
+def _sql_overlap() -> str:
+    import datetime as dt
+
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.reference_queries import (
+        DASHBOARD_DAY,
+        day_bounds_utc,
+    )
+
+    s1, e1 = day_bounds_utc(DASHBOARD_DAY)
+    s2, e2 = day_bounds_utc(DASHBOARD_DAY + dt.timedelta(days=1))
+    c1 = (f"SELECT DISTINCT user_id FROM events WHERE ts BETWEEN "
+          f"TIMESTAMP '{s1}' AND TIMESTAMP '{e1}'")
+    c2 = (f"SELECT DISTINCT user_id FROM events WHERE ts BETWEEN "
+          f"TIMESTAMP '{s2}' AND TIMESTAMP '{e2}'")
+    return f"""
+SELECT
+  (SELECT COUNT(*) FROM (({c1}) INTERSECT ({c2}))) AS n_both,
+  (SELECT COUNT(*) FROM (({c1}) EXCEPT ({c2}))) AS n_first_only,
+  (SELECT COUNT(*) FROM (({c2}) EXCEPT ({c1}))) AS n_second_only
+"""
+
+
+SQL_USER_DAY_OVERLAP = _sql_overlap()
+
+
 def q_streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2+T5 as a driver-verified query: the REAL streaming operator
     (withWatermark + tumbling window, streaming/stateful.py:windowed_stats)
@@ -595,6 +685,13 @@ QUERIES = [
     QuerySpec("streaming_ingest", q_streaming_ingest, SQL_STREAMING_INGEST,
               "Structured Streaming ingest verified against batch semantics",
               tags=("streaming", "warehouse")),
+    QuerySpec("click_days_no_purchase", q_click_days_no_purchase,
+              SQL_CLICK_DAYS_NO_PURCHASE,
+              "LEFT ANTI join: click-days with no purchase (§2.6)",
+              tags=("join",)),
+    QuerySpec("user_day_overlap", q_user_day_overlap, SQL_USER_DAY_OVERLAP,
+              "INTERSECT/EXCEPT day-cohort overlap counts (§2.6)",
+              tags=("setop",)),
     QuerySpec("streaming_window_stats", q_streaming_window_stats,
               SQL_STREAMING_WINDOW_STATS,
               "watermarked tumbling-window agg (T2/T5) drained availableNow",
