@@ -350,6 +350,77 @@ ORDER BY window_start, user_id
 """
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (applyInPandasWithState gap sessions)
+    as a driver-verified query.
+
+    Events for user_id < 5 stream through
+    streaming/stateful.py:stateful_sessions with an availableNow drain.
+    Append mode emits only CLOSED sessions — the still-open last session
+    per user lives in the state store — so the oracle is the batch
+    lag/cumsum sessionization MINUS each user's final session. The
+    comparison proves the cross-batch stateful operator computes the
+    same sessions the batch window construction does.
+    """
+    import uuid
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.stateful import (
+        stateful_sessions,
+    )
+
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    staged = events.select(
+        "user_id",
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("ts"),
+    )
+    workdir = tempfile.mkdtemp(prefix="streaming_sessions_q_")
+    indir = os.path.join(workdir, "incoming")
+    staged.coalesce(1).write.mode("overwrite").json(indir)
+    stream = spark.readStream.schema("user_id long, ts timestamp").json(indir)
+    name = f"sessions_{uuid.uuid4().hex}"
+    query = (
+        stateful_sessions(stream, gap_seconds=SESSION_GAP_SECONDS)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
+SESSION_GAP_SECONDS = 30 * 60
+
+SQL_STREAMING_SESSIONS = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_SECONDS} SECOND
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events WHERE user_id < 5
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+), sessions AS (
+  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         CAST(COUNT(*) AS INTEGER) AS n_events,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY MIN(ts) DESC) AS recency
+  FROM numbered
+  GROUP BY user_id, session_no
+)
+SELECT user_id, session_start, session_end, n_events
+FROM sessions
+WHERE recency > 1
+ORDER BY user_id, session_start
+"""
+
+
 def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click annotated with the user's latest prior error.
 
@@ -696,6 +767,9 @@ QUERIES = [
               SQL_STREAMING_WINDOW_STATS,
               "watermarked tumbling-window agg (T2/T5) drained availableNow",
               tags=("streaming", "window")),
+    QuerySpec("streaming_sessions", q_streaming_sessions, SQL_STREAMING_SESSIONS,
+              "applyInPandasWithState gap sessions vs batch-window oracle",
+              tags=("streaming", "state")),
     QuerySpec("asof_last_error", q_asof_last_error, SQL_ASOF_LAST_ERROR,
               "merge-scan as-of join vs native ASOF JOIN oracle",
               bench=True, tags=("join", "timeseries")),
