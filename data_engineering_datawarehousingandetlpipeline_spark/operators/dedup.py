@@ -150,10 +150,11 @@ def token_hash_array(text: Column) -> Column:
     these values, not K fresh hashes — the standard production trick that
     makes 128-permutation signatures scan-cost-bounded.
     """
-    return F.transform(
-        F.array_distinct(tokens(text)),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.hashing import (
+        u32_hash,
     )
+
+    return F.transform(F.array_distinct(tokens(text)), u32_hash)
 
 
 def minhash_signatures(
@@ -297,8 +298,15 @@ def simhash_fingerprints(
     vote sum) set the bit, matching the oracle's ``>= 0``.
     """
     powers = F.array(*[F.lit(1 << i).cast("bigint") for i in range(bits)])
-    hashed = spread(df).select(
-        F.col(id_col).alias("doc"), token_hash_array(F.col(text_col)).alias("hs")
+    # NULL-text docs are dropped (not emitted with a NULL fingerprint):
+    # the exploded-groupBy formulation and the oracle's unnest both
+    # produce no rows for them, and the per-row fold must agree.
+    hashed = (
+        spread(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc"), token_hash_array(F.col(text_col)).alias("hs")
+        )
     )
     votes = F.aggregate(
         F.col("hs"),

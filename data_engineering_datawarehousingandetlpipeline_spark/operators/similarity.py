@@ -250,10 +250,14 @@ def kmeans_centroids(
     )
     train = vecs
     if train_fraction is not None:
-        u32 = F.conv(
-            F.substring(F.md5(F.col("vid").cast("string")), 1, 8), 16, 10
-        ).cast("bigint")
-        train = vecs.filter(u32 < F.lit(int(train_fraction * (1 << 32))))
+        from data_engineering_datawarehousingandetlpipeline_spark.functions.hashing import (
+            u32_hash,
+        )
+
+        train = vecs.filter(
+            u32_hash(F.col("vid").cast("string"))
+            < F.lit(int(train_fraction * (1 << 32)))
+        )
     for _ in range(iterations):
         assigned = _nearest_cid(train, cents.withColumn("cnorm", norm(F.col("cvec"))))
         per_dim = (
@@ -396,9 +400,10 @@ def embedding_near_dup_pairs(
         [hyperplane(t * n_planes + b, dim) for b in range(n_planes)]
         for t in range(n_tables)
     ]
+    # candidates carry only the ids — verification re-joins the vectors
+    # from df, so the exploded per-table stream stays narrow.
     tagged = spread(df).select(
         F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
         F.explode(
             F.array(
                 *[
@@ -410,7 +415,7 @@ def embedding_near_dup_pairs(
                 ]
             )
         ).alias("tb"),
-    ).select("vid", "vec", "tb.tbl", "tb.bucket")
+    ).select("vid", "tb.tbl", "tb.bucket")
     cand = (
         tagged.alias("x")
         .join(tagged.alias("y"), ["tbl", "bucket"])

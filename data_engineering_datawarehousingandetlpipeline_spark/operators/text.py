@@ -133,10 +133,12 @@ def fingerprint(text: Column, width: int = SHINGLE_WIDTH) -> Column:
 
 
 #: BPE-ish pre-tokenizer pattern: letter runs, digit runs, single other
-#: marks — the split a byte-pair tokenizer applies before merges. Kept to
-#: a syntax subset (character classes + alternation) that Java regex and
-#: RE2 (the oracle engine) interpret identically.
-BPE_SPLIT_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+#: marks — the split a byte-pair tokenizer applies before merges. The
+#: whitespace class is spelled out explicitly because ``\s`` itself is NOT
+#: portable: Java's includes vertical tab (\x0b), RE2's (the oracle
+#: engine's) does not. Explicit classes + alternation are interpreted
+#: identically by both.
+BPE_SPLIT_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]"
 
 
 def bpe_pieces(text: Column) -> Column:

@@ -489,10 +489,12 @@ def q_doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what makes a 100 TB training-mix job re-runnable. One scan,
     no shuffle except the output ordering.
     """
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.hashing import (
+        u32_hash,
+    )
+
     docs = _docs(spark, sf_dir)
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
+    h = u32_hash(F.col("doc_id").cast("string"))
     stratum = F.least(
         F.floor(tx.token_count(F.col("text")) / F.lit(20)).cast("int"),
         F.lit(len(SAMPLE_RATES) - 1),

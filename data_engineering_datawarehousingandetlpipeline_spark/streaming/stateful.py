@@ -124,6 +124,14 @@ def stateful_sessions(
         for t in ts_us:
             if last is None:
                 start, last, n = t, t, 1
+            elif t < start - gap_us:
+                # a cross-batch straggler that PRECEDES the open session by
+                # more than the gap can never belong to it; with one open
+                # session of state it closes immediately as a singleton
+                # (the bounded-state compromise — batch sessionization over
+                # fully sorted data would have placed it in its own earlier
+                # session, possibly merging with neighbors we no longer hold).
+                closed.append((t, t, 1))
             elif t - last > gap_us:
                 closed.append((start, last, n))
                 start, last, n = t, t, 1

@@ -180,6 +180,39 @@ def test_stateful_sessions_merge_within_gap(spark, tmp_path):
     assert r["n_events"] == 2
 
 
+def test_stateful_sessions_distant_straggler_closes_alone(spark, tmp_path):
+    """A cross-batch event that PRECEDES the open session by more than the
+    gap can never belong to it — it must close immediately as its own
+    singleton session, not silently widen the open session's start."""
+    indir = tmp_path / "events4"
+    indir.mkdir()
+    _write(indir / "b1.json", [
+        {"user_id": 5, "ts": "2024-03-01T10:00:00Z"},
+        {"user_id": 5, "ts": "2024-03-01T10:20:00Z"},
+    ])
+    # 2 h before the open session's start → own session, emitted at once
+    _write(indir / "b2.json", [{"user_id": 5, "ts": "2024-03-01T08:00:00Z"}])
+    # beyond the gap after 10:20 → closes the [10:00, 10:20] session
+    _write(indir / "b3.json", [{"user_id": 5, "ts": "2024-03-01T15:00:00Z"}])
+
+    source = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(indir))
+    )
+    _drain_append(stateful_sessions(source, gap_seconds=30 * 60), "sessions4")
+
+    rows = spark.sql("SELECT * FROM sessions4").collect()
+    got = {
+        (r["session_start"].isoformat(), r["session_end"].isoformat(), r["n_events"])
+        for r in rows
+    }
+    assert got == {
+        ("2024-03-01T08:00:00", "2024-03-01T08:00:00", 1),
+        ("2024-03-01T10:00:00", "2024-03-01T10:20:00", 2),
+    }
+
+
 def test_stateful_sessions_out_of_order_never_shrinks(spark, tmp_path):
     """A cross-batch event OLDER than the stored last_ts (events are only
     sorted within a batch) must not move the open session's end backward —
