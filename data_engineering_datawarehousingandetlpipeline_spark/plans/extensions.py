@@ -28,6 +28,9 @@ from data_engineering_datawarehousingandetlpipeline_spark.operators import (
 from data_engineering_datawarehousingandetlpipeline_spark.operators import (
     text as tx,
 )
+from data_engineering_datawarehousingandetlpipeline_spark.functions.hashing import (
+    sql_u32_hash,
+)
 from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import QuerySpec
 from data_engineering_datawarehousingandetlpipeline_spark.session import (
     ensure_runtime_confs,
@@ -190,7 +193,7 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SIMHASH_FPS = f"""toks AS (
   SELECT doc_id AS doc, list_distinct({SQL_TOKS}) AS t FROM documents
 ), th AS (
-  SELECT doc, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
+  SELECT doc, {sql_u32_hash('token')} AS h
   FROM (SELECT doc, unnest(t) AS token FROM toks) posting
 ), votes AS (
   SELECT doc, i AS bit,
@@ -309,8 +312,7 @@ SQL_DOC_MINHASH_NEARDUP = f"""
 WITH toks AS (
   SELECT doc_id AS doc, list_distinct({SQL_TOKS}) AS t FROM documents
 ), hashed AS (
-  SELECT doc, t,
-         [CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) for x in t] AS hv
+  SELECT doc, t, [{sql_u32_hash('x')} for x in t] AS hv
   FROM toks
 ), sigs AS (
   SELECT doc, [{_SQL_SIG_LIST}] AS sig FROM hashed
@@ -519,7 +521,7 @@ WITH scored AS (
   SELECT doc_id,
          CAST(least(CAST(floor(len({SQL_TOKS}) / 20) AS INT),
                     {len(SAMPLE_RATES) - 1}) AS INT) AS stratum,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u32
+         {sql_u32_hash('CAST(doc_id AS VARCHAR)')} AS u32
   FROM documents
 )
 SELECT doc_id, stratum, u32
