@@ -201,6 +201,47 @@ ORDER BY station_id, "timestamp"
 """
 
 
+def q_event_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (§2.6): chosen aggregation levels only.
+
+    (event_type), (day), and the grand total — unlike ROLLUP/CUBE this
+    enumerates exactly the wanted levels, one pass, no cross-level
+    explosion. ``F.grouping`` flags disambiguate genuine NULL keys from
+    subtotal rows (grouping columns pre-projected — a computed alias
+    inline in the grouping expression breaks ``F.grouping``).
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    return (
+        events.groupingSets(
+            [[F.col("event_type")], [F.col("day")], []],
+            F.col("event_type"),
+            F.col("day"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(dsum(F.col("value"), wide=True), 6).alias("sum_value"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+        )
+        .orderBy("g_type", "g_day", "event_type", "day")
+    )
+
+
+SQL_EVENT_GROUPING_SETS = f"""
+SELECT event_type, CAST(ts AS DATE) AS day,
+       COUNT(*) AS n_events,
+       round({sql_dsum('value', wide=True)}, 6) AS sum_value,
+       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+       CAST(GROUPING(CAST(ts AS DATE)) AS INTEGER) AS g_day
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+ORDER BY g_type, g_day, event_type, day
+"""
+
+
 def q_click_days_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join (LEFT ANTI, §2.6): (user, day) cells with clicks but no
     purchase — the funnel-gap query.
@@ -756,6 +797,10 @@ QUERIES = [
     QuerySpec("streaming_ingest", q_streaming_ingest, SQL_STREAMING_INGEST,
               "Structured Streaming ingest verified against batch semantics",
               tags=("streaming", "warehouse")),
+    QuerySpec("event_grouping_sets", q_event_grouping_sets,
+              SQL_EVENT_GROUPING_SETS,
+              "explicit GROUPING SETS levels with grouping flags (§2.6)",
+              tags=("agg", "setop")),
     QuerySpec("click_days_no_purchase", q_click_days_no_purchase,
               SQL_CLICK_DAYS_NO_PURCHASE,
               "LEFT ANTI join: click-days with no purchase (§2.6)",
