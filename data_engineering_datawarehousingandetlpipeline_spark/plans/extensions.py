@@ -531,6 +531,66 @@ ORDER BY doc_id
 """
 
 
+PACK_CAPACITY_TOKENS = 256
+PACK_SHARD_DOCS = 100
+
+
+def q_doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: fill fixed token budgets in order.
+
+    The pretraining-loader step: documents are packed greedily (contiguous,
+    by doc_id) into bins of ``PACK_CAPACITY_TOKENS``; a doc whose tokens
+    cross the boundary starts the spillover in the next bin (cumulative
+    layout, no fragmentation decisions — fully order-determined, so any
+    engine reproduces the identical packing). Packing runs WITHIN a shard
+    (``doc_id div PACK_SHARD_DOCS``): the cumulative window never spans
+    the whole corpus, so at 100 TB each shard packs independently after
+    one shuffle — a global-order window would serialize on one task.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    shard = (F.col("doc_id") / PACK_SHARD_DOCS).cast("bigint").alias("shard")
+    sized = docs.select("doc_id", shard, tx.token_count(F.col("text")).alias("n_tokens"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        sized.select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            ((cum - F.col("n_tokens")) / PACK_CAPACITY_TOKENS)
+            .cast("bigint")
+            .alias("bin_in_shard"),
+            (cum - F.col("n_tokens")).alias("offset_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_PACK_BINS = f"""
+WITH sized AS (
+  SELECT doc_id, CAST(doc_id // {PACK_SHARD_DOCS} AS BIGINT) AS shard,
+         CAST(len({SQL_TOKS}) AS INTEGER) AS n_tokens
+  FROM documents
+), laid AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS offset_tokens
+  FROM sized
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(offset_tokens // {PACK_CAPACITY_TOKENS} AS BIGINT) AS bin_in_shard,
+       CAST(offset_tokens AS BIGINT) AS offset_tokens
+FROM laid
+ORDER BY doc_id
+"""
+
+
 TFIDF_TOP_TERMS = 3
 
 
@@ -924,6 +984,9 @@ QUERIES = [
               "BPE-ish pre-tokenizer piece counts by class", tags=("text",)),
     QuerySpec("doc_hash_sample", q_doc_hash_sample, SQL_DOC_HASH_SAMPLE,
               "deterministic md5-based stratified sampling", tags=("text", "sample")),
+    QuerySpec("doc_pack_bins", q_doc_pack_bins, SQL_DOC_PACK_BINS,
+              "sequence packing: shard-local cumulative token bins",
+              tags=("text", "pack")),
     QuerySpec("doc_norm_dedup", q_doc_norm_dedup, SQL_DOC_NORM_DEDUP,
               "exact dedup after text canonicalization", tags=("dedup", "text")),
     QuerySpec("doc_dedup_clusters", q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS,
