@@ -97,7 +97,9 @@ def _run_query(args) -> None:
         )
     spark = get_spark(app_name=f"dwh-query-{args.name}")
     df = specs[args.name].fn(spark, args.sf_dir)
-    if args.output:
+    if args.explain:
+        df.explain("formatted")
+    elif args.output:
         df.write.mode("overwrite").parquet(args.output)
         log.info("wrote %s to %s", args.name, args.output)
     else:
@@ -134,6 +136,10 @@ def main(argv: list[str] | None = None) -> None:
         "--limit", type=int, default=20, help="rows to print (query action)"
     )
     parser.add_argument("--list", action="store_true", help="list query names")
+    parser.add_argument(
+        "--explain", action="store_true",
+        help="query action: print the physical plan instead of rows",
+    )
     args = parser.parse_args(argv)
 
     if args.action == "query":

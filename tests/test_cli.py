@@ -46,6 +46,10 @@ def test_query_action_lists_runs_and_writes(spark, tmp_path, capsys):
           "--output", out])
     assert spark.read.parquet(out).count() == 1
 
+    main(["query", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001",
+          "--explain"])
+    assert "HashAggregate" in capsys.readouterr().out
+
 
 def test_consume_once_drains_staging(spark, tmp_path, monkeypatch):
     """`consume --once` must actually process what is staged (a continuous
