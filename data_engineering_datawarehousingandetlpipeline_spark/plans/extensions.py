@@ -599,13 +599,15 @@ def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tf = raw term count in the document, idf = ln(N/df). Postings explode
     once; tf and df are two aggregations over them (both shuffle on
-    well-distributed keys); N rides along as a literal. Deterministic
-    ranking: (tfidf desc, term asc).
+    well-distributed keys); N is a broadcast 1-row aggregate crossJoined in
+    (the oracle's ``CROSS JOIN n``) — NOT a driver-side ``count()``, which
+    would be an eager extra corpus scan per query construction.
+    Deterministic ranking: (tfidf desc, term asc).
     """
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    n_docs = docs.count()
+    n = docs.agg(F.count("*").cast("double").alias("__n_docs"))
     postings = docs.select(
         "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
     )
@@ -613,12 +615,16 @@ def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = postings.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    scored = tf.join(df_, "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()

@@ -22,6 +22,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # Timestamps in the testdata are UTC instants; DuckDB timestamps are
     # UTC-naive. Pinning the session tz makes the two engines agree.
     "spark.sql.session.timeZone": "UTC",
+    # The corpus parquet writes timestamp[us] with isAdjustedToUTC=false
+    # (pyarrow default); Spark 4 would infer TIMESTAMP_NTZ, which breaks
+    # instant functions (unix_micros) and tz-aware comparisons everywhere.
+    # Read them as plain TIMESTAMP — with the UTC session tz above, the
+    # wall-clock values ARE the UTC instants, matching the DuckDB oracle.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # AQE: runtime shuffle-partition coalescing + skew-join splitting —
     # the levers that keep the same plan healthy from sf0.001 to 100 TB.
     "spark.sql.adaptive.enabled": "true",

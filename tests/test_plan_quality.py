@@ -106,3 +106,33 @@ def test_brute_force_topk_broadcasts_query_side(spark):
     plan = _plan(spark, "emb_cosine_topk")
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_corpus_count_is_in_plan_not_on_driver(spark):
+    """N (corpus size) must ride the plan as a broadcast 1-row aggregate.
+
+    A driver-side ``docs.count()`` during query construction is an eager
+    extra full-corpus scan per invocation — at warehouse scale, one wasted
+    pass of the documents table before the real plan even starts. A plain
+    ``spark.read.parquet`` costs one tiny schema-read job, so the gate is
+    relative: building tfidf must launch no more jobs than building a
+    count-free query over the same table."""
+    sc = spark.sparkContext
+
+    def jobs_to_build(name: str) -> int:
+        group = f"build-probe-{name}"
+        sc.setJobGroup(group, "lazy-construction gate")
+        try:
+            all_queries()[name].fn(spark, SF_DIR)
+        finally:
+            sc.setJobGroup(f"{group}-done", "")
+        return len(list(sc.statusTracker().getJobIdsForGroup(group)))
+
+    baseline = jobs_to_build("doc_token_stats")
+    assert jobs_to_build("doc_tfidf_terms") <= baseline
+    df = all_queries()["doc_tfidf_terms"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # the count is a broadcast-joined aggregate inside the plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
