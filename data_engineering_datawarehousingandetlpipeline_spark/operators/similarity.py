@@ -379,23 +379,39 @@ def planes_for_corpus(n_rows: int, target_bucket_size: int = 64) -> int:
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     n_tables: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_rows: int | None = None,
+    target_bucket_size: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via OR-amplified LSH buckets.
 
     ``n_tables`` independent hyperplane tables (disjoint md5-seeded plane
     sets); a pair is a candidate if it shares a bucket in ANY table —
     OR-amplification lifts recall the way MinHash banding does, while each
-    table's ``n_planes`` (scale with :func:`planes_for_corpus`) keeps
-    per-bucket populations bounded so no self-join cell goes quadratic.
-    Candidates are deduped across tables BEFORE verification, then joined
-    back to the vectors and filtered by exact rounded cosine — verify work
-    is O(distinct candidates). Output (id_a, id_b, cos_sim), id_a < id_b.
+    table's plane count keeps per-bucket populations bounded so no
+    self-join cell goes quadratic.
+
+    Plane-count resolution (the scale-critical knob): an explicit
+    ``n_planes`` wins (pin it for replayable runs); otherwise it is derived
+    via :func:`planes_for_corpus` from ``corpus_rows`` if given, else from
+    a one-time ``df.count()``. The count is an extra corpus scan, so
+    deployments at warehouse scale should pass ``corpus_rows`` (any recent
+    row-count estimate is fine — occupancy only needs the right order of
+    magnitude) — but a mis-SIZED index is the worse failure: a fixed small
+    plane count at 100 TB puts millions of vectors in every bucket and the
+    within-bucket join goes quadratic. Candidates are deduped across tables
+    BEFORE verification, then joined back to the vectors and filtered by
+    exact rounded cosine — verify work is O(distinct candidates).
+    Output (id_a, id_b, cos_sim), id_a < id_b.
     """
+    if n_planes is None:
+        if corpus_rows is None:
+            corpus_rows = df.count()
+        n_planes = planes_for_corpus(corpus_rows, target_bucket_size)
     table_planes = [
         [hyperplane(t * n_planes + b, dim) for b in range(n_planes)]
         for t in range(n_tables)

@@ -163,3 +163,39 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.round(quality_score(text), 6).alias("quality"),
         fingerprint(text).alias("fingerprint"),
     )
+
+
+def pack_token_bins(
+    sized: DataFrame,
+    capacity: int,
+    shard_docs: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Deterministic sequence packing over (id, token-count) rows.
+
+    Docs are laid out contiguously in ``id_col`` order within a shard
+    (``id div shard_docs``); ``offset_tokens`` is the running total before
+    the doc and ``bin_in_shard`` is ``offset div capacity`` — a doc whose
+    tokens cross the boundary starts the spillover in the next bin. Fully
+    order-determined: any engine reproduces the identical packing. The
+    cumulative window is PARTITIONED BY shard, so at warehouse scale every
+    shard packs independently after one shuffle — a global-order window
+    would serialize the whole corpus on one task.
+    """
+    from pyspark.sql import Window
+
+    shard = (F.col(id_col) / shard_docs).cast("bigint").alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    return sized.select(F.col(id_col), shard, F.col(tokens_col)).select(
+        id_col,
+        "shard",
+        tokens_col,
+        ((cum - F.col(tokens_col)) / capacity).cast("bigint").alias("bin_in_shard"),
+        (cum - F.col(tokens_col)).alias("offset_tokens"),
+    )

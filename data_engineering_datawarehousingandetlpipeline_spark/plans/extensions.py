@@ -547,29 +547,13 @@ def q_doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole corpus, so at 100 TB each shard packs independently after
     one shuffle — a global-order window would serialize on one task.
     """
-    from pyspark.sql import Window
-
     docs = _docs(spark, sf_dir)
-    shard = (F.col("doc_id") / PACK_SHARD_DOCS).cast("bigint").alias("shard")
-    sized = docs.select("doc_id", shard, tx.token_count(F.col("text")).alias("n_tokens"))
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized = docs.select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
     )
-    cum = F.sum("n_tokens").over(w)
-    return (
-        sized.select(
-            "doc_id",
-            "shard",
-            "n_tokens",
-            ((cum - F.col("n_tokens")) / PACK_CAPACITY_TOKENS)
-            .cast("bigint")
-            .alias("bin_in_shard"),
-            (cum - F.col("n_tokens")).alias("offset_tokens"),
-        )
-        .orderBy("doc_id")
-    )
+    return tx.pack_token_bins(
+        sized, capacity=PACK_CAPACITY_TOKENS, shard_docs=PACK_SHARD_DOCS
+    ).orderBy("doc_id")
 
 
 SQL_DOC_PACK_BINS = f"""

@@ -49,6 +49,14 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+#: (session id, analyzed-plan semanticHash) → scan partition count. The
+#: probe below forces physical planning of the input subtree; every query
+#: in the registry spreads the same handful of table scans, so one probe
+#: per distinct plan per session is enough. Bounded: the key space is the
+#: distinct spread() inputs (~tables), not queries.
+_SPREAD_PROBE_CACHE: dict[tuple[int, int], int] = {}
+
+
 def spread(df, parallelism: int | None = None):
     """Fan a narrow-partitioned DataFrame out to full core parallelism.
 
@@ -58,11 +66,33 @@ def spread(df, parallelism: int | None = None):
     buys back the whole machine. No-op when the input already has enough
     partitions — at warehouse scale the scan arrives wide and this adds
     nothing.
+
+    The partition-count probe (``df.rdd.getNumPartitions()``) forces
+    physical planning of the input subtree — a per-construction cost, not
+    a job — so it is cached per (session, analyzed-plan semantic hash):
+    constructing fifty registry queries over the same table scans plans
+    each scan once, not fifty times. A plan's scan width only changes if
+    the files change mid-session, which at worst flips the
+    repartition-or-not decision, never correctness.
     """
     if df.isStreaming:  # partitioning is the source's concern in a stream
         return df
     target = parallelism or default_parallelism()
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        key = (
+            id(df.sparkSession),
+            df._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:  # pragma: no cover - connect-mode / internals drift
+        key = None
+    n = _SPREAD_PROBE_CACHE.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            if len(_SPREAD_PROBE_CACHE) > 256:  # stale-session hygiene
+                _SPREAD_PROBE_CACHE.clear()
+            _SPREAD_PROBE_CACHE[key] = n
+    if n >= target:
         return df
     return df.repartition(target)
 

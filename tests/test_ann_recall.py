@@ -106,3 +106,37 @@ def test_planes_scale_with_corpus():
     assert planes_for_corpus(2_000_000) == 15
     assert planes_for_corpus(2_000_000_000) == 25
     assert planes_for_corpus(100) == 4  # floor
+
+
+def test_near_dup_planes_derive_from_corpus_size(spark):
+    """Deployment path of the near-dup operator: without a pinned
+    ``n_planes``, the plane count must be derived from the corpus size
+    (explicit ``corpus_rows`` hint, else a one-time count), so a bigger
+    corpus gets more planes end-to-end — the property that keeps bucket
+    occupancy (and the within-bucket self-join) bounded at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+        similarity as sim,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.extensions import (
+        _embs,
+    )
+
+    embs = _embs(spark, SF_DIR)
+
+    def bucket_legs(df):
+        # each hyperplane contributes one CASE WHEN leg to the bucket
+        # expression — count them in the analyzed plan as the end-to-end
+        # observable of the resolved plane count.
+        return df._jdf.queryExecution().analyzed().toString().count("CASE WHEN")
+
+    small = sim.embedding_near_dup_pairs(embs, corpus_rows=1_000)
+    large = sim.embedding_near_dup_pairs(embs, corpus_rows=1_000_000)
+    assert bucket_legs(large) > bucket_legs(small)
+
+    # no hint at all: a one-time count() sizes the index the same way the
+    # equivalent explicit hint would
+    counted = sim.embedding_near_dup_pairs(embs)
+    hinted = sim.embedding_near_dup_pairs(embs, corpus_rows=embs.count())
+    assert bucket_legs(counted) == bucket_legs(hinted)

@@ -35,3 +35,23 @@ def test_env_overrides(monkeypatch):
 def test_empty_whitelist_falls_back_to_default(monkeypatch):
     monkeypatch.setenv("STATION_WHITELIST", " , ")
     assert load_config().station_whitelist == DEFAULT_STATION_WHITELIST
+
+
+def test_spread_probe_is_cached_per_plan(spark):
+    """spread()'s partition probe forces physical planning of its input —
+    once per distinct plan per session, not once per call. Same decision
+    either way (no behavior change); the second call must hit the cache."""
+    from data_engineering_datawarehousingandetlpipeline_spark import session as S
+    from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    S._SPREAD_PROBE_CACHE.clear()
+    df = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out1 = S.spread(df)
+    assert len(S._SPREAD_PROBE_CACHE) == 1
+    cached = dict(S._SPREAD_PROBE_CACHE)
+    out2 = S.spread(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    assert S._SPREAD_PROBE_CACHE == cached  # second probe answered from cache
+    # identical decision both times: a tiny file fans out to full parallelism
+    assert out1.rdd.getNumPartitions() == out2.rdd.getNumPartitions()

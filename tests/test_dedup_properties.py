@@ -109,3 +109,34 @@ def test_kmeans_centroids_deterministic_across_runs(spark):
     a = {r.cid: r.cvec for r in kmeans_centroids(df.repartition(7), n_centroids=4).collect()}
     b = {r.cid: r.cvec for r in kmeans_centroids(df.repartition(13), n_centroids=4).collect()}
     assert a == b
+
+
+def test_pack_bins_matches_brute_force_packer(spark):
+    """Sequence packing vs a literal sequential packer: walk each shard in
+    doc_id order keeping a running token total; offset = total before the
+    doc, bin = offset // capacity. Sparse/duplicate ids, zero-token docs,
+    and docs larger than a whole bin must all lay out identically."""
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.text import (
+        pack_token_bins,
+    )
+
+    capacity, shard_docs = 50, 16
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        ids = sorted(rng.sample(range(200), 80))
+        rows = [(i, rng.choice([0, 1, 7, 23, 49, 50, 120])) for i in ids]
+
+        expect = {}
+        running: dict[int, int] = {}
+        for doc_id, n in rows:  # already in doc_id order
+            shard = doc_id // shard_docs
+            off = running.get(shard, 0)
+            expect[doc_id] = (shard, n, off // capacity, off)
+            running[shard] = off + n
+
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        got = {
+            r.doc_id: (r.shard, r.n_tokens, r.bin_in_shard, r.offset_tokens)
+            for r in pack_token_bins(df, capacity, shard_docs).collect()
+        }
+        assert got == expect

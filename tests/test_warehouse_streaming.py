@@ -167,3 +167,25 @@ def test_streaming_matches_batch_and_restart_is_idempotent(spark, tmp_path, ware
     )
     run_available(read_json_file_stream(spark, str(indir)), warehouse, ckpt1)
     assert warehouse.count() == 6
+
+
+def test_delta_format_exercised_or_skipped_with_reason(spark, tmp_path):
+    """SURVEY §1.1's warehouse-table row maps to a transactional table
+    format (Delta/Iceberg); warehouse/store.py emulates MERGE/append on
+    date-partitioned parquet because this image bundles no delta-spark
+    jars. Probe for them: if present, a round-trip write/read must work
+    (the store API is shaped for a drop-in format swap); if absent, skip
+    LOUDLY so the format gap stays visible in every test report."""
+    import pytest
+
+    target = str(tmp_path / "delta_probe")
+    df = spark.range(3).withColumnRenamed("id", "k")
+    try:
+        df.write.format("delta").save(target)
+    except Exception as exc:  # DeltaCatalog / DataSource not on classpath
+        pytest.skip(
+            "delta-spark jars absent in this image; the warehouse emulates "
+            f"MERGE/append on date-partitioned parquet instead ({exc})"
+        )
+    got = spark.read.format("delta").load(target)
+    assert sorted(r.k for r in got.collect()) == [0, 1, 2]
