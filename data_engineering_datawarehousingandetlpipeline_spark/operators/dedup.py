@@ -252,6 +252,27 @@ def minhash_near_dup_pairs(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
+    # Lossless size prune BEFORE the array verify (same bound as
+    # jaccard_pairs): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so candidates with
+    # size-incompatible token sets can never pass the threshold. The prune
+    # joins only integer set sizes — no md5, no arrays — and on a dup-dense
+    # corpus it collapses the rows reaching the (allocation-heavy)
+    # array_intersect stage: measured at sf0.1, 5.31M → 2.83M candidates and
+    # the verify went from 29 s to 2.3 s (GC-cliff territory to steady
+    # state) with byte-identical output.
+    sizes = spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.size(F.array_distinct(tokens(F.col(text_col)))).alias("n"),
+    )
+    cand = (
+        cand.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(
+            F.least("na", "nb").cast("double")
+            >= F.lit(threshold) * F.greatest("na", "nb")
+        )
+        .select("doc_a", "doc_b")
+    )
     # Verify on the bigint token-hash arrays, not the token strings: integer
     # intersection is several× cheaper, and the oracle applies the identical
     # hash so a (vanishingly unlikely) 32-bit collision perturbs both sides
