@@ -645,6 +645,133 @@ ORDER BY doc_id, rank
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    ``top_bigram_share`` (count of the most frequent bigram / all bigrams)
+    and ``dup_bigram_fraction`` (share of bigram occurrences whose bigram
+    appears more than once) — the repetition filters a pretraining
+    pipeline applies alongside length/stopword heuristics (doc_quality).
+    Two aggregations over exploded bigrams; both shuffle keys
+    ((doc, bigram), then doc) are well distributed, and the per-doc state
+    is a handful of longs — scan-bound at any corpus size. Rounded to the
+    engine-parity scale.
+    """
+    docs = _docs(spark, sf_dir)
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(tx.word_shingles(F.col("text"), 2)).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total"),
+            F.max("c").alias("top"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+            ).alias("dup"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("top") / F.col("total"), 6).alias("top_bigram_share"),
+            F.round(F.col("dup") / F.col("total"), 6).alias("dup_bigram_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), bg AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+             THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+             ELSE [array_to_string(toks, ' ')] END) AS bg
+  FROM t
+), counts AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg
+)
+SELECT doc_id,
+       round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_share,
+       round(CAST(COALESCE(SUM(c) FILTER (c > 1), 0) AS DOUBLE) / SUM(c), 6)
+         AS dup_bigram_fraction
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+DECON_NGRAM_WIDTH = 8
+DECON_BENCH_MOD = 50  # doc_id % 50 == 0 stands in for the eval/benchmark set
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing an 8-gram with the
+    eval set.
+
+    The standard pretraining step (GPT-3 appendix C / PaLM-style n-gram
+    overlap): any training document that shares a long word n-gram with a
+    benchmark document is flagged for removal. The benchmark side is tiny
+    by construction (eval suites vs a 100 TB corpus), so its exploded
+    n-gram postings BROADCAST and the training corpus streams through one
+    hash join — no shuffle of the big side, no candidate blow-up: output
+    is one row per contaminated doc with the match count and the first
+    matching benchmark doc. 8-gram width follows the published practice of
+    long-n-gram matching (false positives vanish as width grows).
+    """
+    docs = _docs(spark, sf_dir)
+    is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == 0
+
+    def posts(df: DataFrame, id_alias: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(
+                F.array_distinct(
+                    tx.word_shingles(F.col("text"), DECON_NGRAM_WIDTH)
+                )
+            ).alias("ngram"),
+        )
+
+    bench = posts(docs.filter(is_bench), "bench_id")
+    train = posts(docs.filter(~is_bench), "doc_id")
+    return (
+        train.join(F.broadcast(bench), "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("ngram").alias("n_shared_ngrams"),
+            F.min("bench_id").alias("first_bench_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_DECONTAMINATE = f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= {DECON_NGRAM_WIDTH}
+              THEN [array_to_string(toks[i:i+{DECON_NGRAM_WIDTH - 1}], ' ')
+                    for i in range(1, len(toks) - {DECON_NGRAM_WIDTH - 2})]
+              ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM t
+), bench AS (
+  SELECT doc_id AS bench_id, unnest(sh) AS ngram FROM s
+  WHERE doc_id % {DECON_BENCH_MOD} = 0
+), train AS (
+  SELECT doc_id, unnest(sh) AS ngram FROM s
+  WHERE doc_id % {DECON_BENCH_MOD} <> 0
+)
+SELECT t.doc_id,
+       COUNT(DISTINCT t.ngram) AS n_shared_ngrams,
+       MIN(b.bench_id) AS first_bench_id
+FROM train t JOIN bench b ON t.ngram = b.ngram
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 # --------------------------------------------------------------- multimodal
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -977,6 +1104,12 @@ QUERIES = [
     QuerySpec("doc_pack_bins", q_doc_pack_bins, SQL_DOC_PACK_BINS,
               "sequence packing: shard-local cumulative token bins",
               tags=("text", "pack")),
+    QuerySpec("doc_repetition", q_doc_repetition, SQL_DOC_REPETITION,
+              "Gopher-style repetition signals: top/dup bigram fractions",
+              tags=("text",)),
+    QuerySpec("doc_decontaminate", q_doc_decontaminate, SQL_DOC_DECONTAMINATE,
+              "benchmark decontamination: 8-gram overlap vs broadcast eval set",
+              tags=("text", "dedup")),
     QuerySpec("doc_norm_dedup", q_doc_norm_dedup, SQL_DOC_NORM_DEDUP,
               "exact dedup after text canonicalization", tags=("dedup", "text")),
     QuerySpec("doc_dedup_clusters", q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS,

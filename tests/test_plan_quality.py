@@ -136,3 +136,22 @@ def test_tfidf_corpus_count_is_in_plan_not_on_driver(spark):
     )
     # the count is a broadcast-joined aggregate inside the plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The eval set is tiny vs the training corpus: its n-gram postings
+    must BROADCAST so the training side streams through one hash join —
+    never a shuffle (SortMergeJoin) of the 100 TB side on n-gram."""
+    plan = _plan(spark, "doc_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_is_single_scan_partial_agg(spark):
+    """Repetition signals: one corpus scan, both aggregations map-side
+    partial (the shuffle carries per-(doc,bigram) then per-doc partial
+    states, never raw bigram rows)."""
+    plan = _plan(spark, "doc_repetition")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_count" in plan and "partial_sum" in plan
