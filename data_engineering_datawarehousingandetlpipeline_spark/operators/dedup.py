@@ -191,7 +191,10 @@ def minhash_signatures(
         F.array_repeat(F.lit(MERSENNE_P).cast("bigint"), perms),
         lambda acc, x: F.zip_with(acc, x, lambda u, v: F.least(u, v)),
     )
-    return hashed.select("doc", sig.alias("sig"))
+    # n (distinct-token set size) rides along for the size prune: it is the
+    # array length the signature fold walks anyway, so it costs nothing here
+    # and saves a separate corpus pass later.
+    return hashed.select("doc", sig.alias("sig"), F.size("hs").alias("n"))
 
 
 def lsh_band_hashes(
@@ -217,8 +220,9 @@ def lsh_band_hashes(
             for b in range(n_bands)
         ]
     )
-    return sigs.select("doc", F.explode(band_structs).alias("bh")).select(
-        "doc", "bh.band", "bh.band_hash"
+    carried = [c for c in sigs.columns if c not in ("doc", "sig")]
+    return sigs.select("doc", *carried, F.explode(band_structs).alias("bh")).select(
+        "doc", *carried, "bh.band", "bh.band_hash"
     )
 
 
@@ -245,33 +249,29 @@ def minhash_near_dup_pairs(
     """
     sigs = minhash_signatures(df, text_col, id_col, perms)
     banded = lsh_band_hashes(sigs, perms, band_rows)
+    # Lossless size prune INSIDE the candidate join (same bound as
+    # jaccard_pairs): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair with
+    # size-incompatible token sets can never pass the threshold. The
+    # distinct-token count rides each band row as one int (free — the
+    # signature fold walks that array anyway), which prunes BEFORE both the
+    # candidate DISTINCT and the (allocation-heavy) array_intersect verify.
+    # Measured at sf0.1 on the dup-dense corpus: 5.31M → 2.83M candidates,
+    # verify from GC-cliff territory (29-51 s) to a stable ~2 s, identical
+    # output.
     cand = (
         banded.alias("x")
-        .join(banded.alias("y"), ["band", "band_hash"])
-        .filter(F.col("x.doc") < F.col("y.doc"))
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc") < F.col("y.doc"))
+            & (
+                F.least(F.col("x.n"), F.col("y.n")).cast("double")
+                >= F.lit(threshold) * F.greatest(F.col("x.n"), F.col("y.n"))
+            ),
+        )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
-    )
-    # Lossless size prune BEFORE the array verify (same bound as
-    # jaccard_pairs): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so candidates with
-    # size-incompatible token sets can never pass the threshold. The prune
-    # joins only integer set sizes — no md5, no arrays — and on a dup-dense
-    # corpus it collapses the rows reaching the (allocation-heavy)
-    # array_intersect stage: measured at sf0.1, 5.31M → 2.83M candidates and
-    # the verify went from 29 s to 2.3 s (GC-cliff territory to steady
-    # state) with byte-identical output.
-    sizes = spread(df).select(
-        F.col(id_col).alias("doc"),
-        F.size(F.array_distinct(tokens(F.col(text_col)))).alias("n"),
-    )
-    cand = (
-        cand.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .filter(
-            F.least("na", "nb").cast("double")
-            >= F.lit(threshold) * F.greatest("na", "nb")
-        )
-        .select("doc_a", "doc_b")
     )
     # Verify on the bigint token-hash arrays, not the token strings: integer
     # intersection is several× cheaper, and the oracle applies the identical
