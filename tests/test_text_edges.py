@@ -51,3 +51,75 @@ def test_cosine_of_zero_vector_is_null(spark):
     )
     got = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
     assert got == [None, 1.0]
+
+
+def test_repetition_signals_on_short_and_repetitive_docs(spark):
+    """Bigram repetition fractions: a sub-2-token doc falls back to one
+    whole-text 'bigram' (share 1.0, dup 0.0); a doc that is one phrase
+    repeated must score dup_bigram_fraction near 1."""
+    df = spark.createDataFrame(
+        [
+            (1, "solo"),
+            (2, "a b"),
+            (3, "spam spam spam spam spam"),
+            (4, "all bigrams here are unique"),
+        ],
+        "doc_id long, text string",
+    )
+    bigrams = df.select(
+        "doc_id", F.explode(tx.word_shingles(F.col("text"), 2)).alias("bg")
+    )
+    counts = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    got = {
+        r.doc_id: (r.top, r.dup, r.total)
+        for r in counts.groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top"),
+            F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)).alias("dup"),
+            F.sum("c").alias("total"),
+        )
+        .collect()
+    }
+    assert got[1] == (1, 0, 1)  # whole-text fallback
+    assert got[2] == (1, 0, 1)  # exactly 2 tokens -> one real bigram
+    assert got[3] == (4, 4, 4)  # 'spam spam' x4: all occurrences duplicated
+    assert got[4] == (1, 0, 4)  # unique bigrams -> no duplication
+
+
+def test_decontamination_overlap_requires_full_ngram(spark):
+    """An 8-gram match requires 8 contiguous shared tokens: doc 10 copies
+    benchmark doc 0's opening 8 tokens (flagged); doc 11 shares only 7
+    contiguous tokens (clean); doc 12 is a short doc equal to a short
+    benchmark doc (whole-text fallback still matches)."""
+    bench0 = "t1 t2 t3 t4 t5 t6 t7 t8 tail9 tail10"
+    df = spark.createDataFrame(
+        [
+            (0, bench0),
+            (50, "tiny doc"),
+            (10, "t1 t2 t3 t4 t5 t6 t7 t8 different end"),
+            (11, "t1 t2 t3 t4 t5 t6 t7 x y z"),
+            (12, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def posts(d, alias):
+        return d.select(
+            F.col("doc_id").alias(alias),
+            F.explode(
+                F.array_distinct(tx.word_shingles(F.col("text"), 8))
+            ).alias("ngram"),
+        )
+
+    is_bench = (F.col("doc_id") % 50) == 0
+    flagged = {
+        r.doc_id: r.bench_id
+        for r in posts(df.filter(~is_bench), "doc_id")
+        .join(F.broadcast(posts(df.filter(is_bench), "bench_id")), "ngram")
+        .groupBy("doc_id")
+        .agg(F.min("bench_id").alias("bench_id"))
+        .collect()
+    }
+    assert 10 in flagged and flagged[10] == 0
+    assert 11 not in flagged
+    assert flagged[12] == 50
