@@ -1,0 +1,166 @@
+"""End-to-end pretraining-data pipeline: raw corpus → packed token bins.
+
+The full funnel a 100 TB text pipeline runs, composed from this engine's
+operators — every stage is a lazy DataFrame transform, so Catalyst sees
+one plan per materialization and stages prune each other's work:
+
+1. quality gate        (length / stopword / punctuation heuristics)
+2. language filter     (n-gram stopword language ID)
+3. repetition filter   (Gopher-style duplicate-bigram fraction)
+4. exact dedup         (keep canonical doc per content hash)
+5. near-dup removal    (MinHash+LSH pairs → connected components,
+                        keep one doc per cluster)
+6. decontamination     (drop docs sharing an 8-gram with the eval set)
+7. deterministic sample(md5 Bernoulli — replayable, no RNG)
+8. sequence packing    (shard-local cumulative token bins)
+
+Run: python examples/pretraining_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame, functions as F
+
+sys.path.insert(0, ".")
+
+from data_engineering_datawarehousingandetlpipeline_spark.functions.hashing import (
+    u32_hash,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+    dedup as dd,
+    text as tx,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.session import get_spark
+from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+    load_table,
+)
+
+QUALITY_MIN = 0.3
+LANGS = ("en",)
+MAX_DUP_BIGRAM_FRACTION = 0.8
+DECON_WIDTH = 8
+SAMPLE_RATE = 0.9
+PACK_CAPACITY = 512
+PACK_SHARD_DOCS = 100
+
+
+def build_pipeline(docs: DataFrame, bench: DataFrame) -> dict[str, DataFrame]:
+    """Each stage as a named lazy DataFrame; later stages build on earlier.
+
+    ``bench`` is the eval/benchmark set to decontaminate against (tiny —
+    its n-gram postings broadcast).
+    """
+    text = F.col("text")
+
+    # 1-2: row-local scoring — one scan computes quality + language
+    scored = docs.select(
+        "doc_id",
+        "text",
+        tx.quality_score(text).alias("quality"),
+        tx.predicted_lang(text).alias("lang_pred"),
+    )
+    gated = scored.filter(
+        (F.col("quality") >= QUALITY_MIN) & F.col("lang_pred").isin(*LANGS)
+    )
+
+    # 3: repetition — aggregation-based signal, joined back by doc_id
+    bigrams = gated.select(
+        "doc_id", F.explode(tx.word_shingles(text, 2)).alias("bg")
+    )
+    rep = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+                / F.sum("c")
+            ).alias("dup_frac")
+        )
+    )
+    clean = (
+        gated.join(rep, "doc_id")
+        .filter(F.col("dup_frac") <= MAX_DUP_BIGRAM_FRACTION)
+        .select("doc_id", "text")
+    )
+
+    # 4: exact dedup (keep canonical doc per content hash)
+    deduped = dd.dedup_keep_canonical(clean)
+
+    # 5: near-dup clusters → keep the cluster representative
+    pairs = dd.minhash_near_dup_pairs(deduped, threshold=0.9)
+    clusters = dd.near_dup_clusters(deduped, pairs)
+    survivors = deduped.join(
+        clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id"),
+        "doc_id",
+    )
+
+    # 6: decontamination — any shared 8-gram with the benchmark set
+    def posts(d: DataFrame, alias: str) -> DataFrame:
+        return d.select(
+            F.col("doc_id").alias(alias),
+            F.explode(
+                F.array_distinct(tx.word_shingles(F.col("text"), DECON_WIDTH))
+            ).alias("ngram"),
+        )
+
+    contaminated = (
+        posts(survivors, "doc_id")
+        .join(F.broadcast(posts(bench, "bench_id")), "ngram")
+        .select("doc_id")
+        .distinct()
+    )
+    decontaminated = survivors.join(contaminated, "doc_id", "left_anti")
+
+    # 7: deterministic hash sample (replayable at any scale — no RNG)
+    sampled = decontaminated.filter(
+        u32_hash(F.col("doc_id").cast("string"))
+        < F.lit(int(SAMPLE_RATE * (1 << 32)))
+    )
+
+    # 8: pack into token bins, shard-local
+    sized = sampled.select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = tx.pack_token_bins(
+        sized, capacity=PACK_CAPACITY, shard_docs=PACK_SHARD_DOCS
+    )
+
+    return {
+        "gated": gated,
+        "clean": clean,
+        "deduped": deduped,
+        "survivors": survivors,
+        "decontaminated": decontaminated,
+        "sampled": sampled,
+        "packed": packed,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="pretraining-pipeline")
+    docs = load_table(spark, sf_dir, "documents")
+    # the benchmark stand-in: every 50th doc (disjoint from the train side)
+    bench = docs.filter((F.col("doc_id") % 50) == 0)
+    train = docs.filter((F.col("doc_id") % 50) != 0)
+
+    stages = build_pipeline(train, bench)
+    n = train.count()
+    print(f"documents          : {n}")
+    for name in (
+        "gated", "clean", "deduped", "survivors", "decontaminated", "sampled"
+    ):
+        m = stages[name].count()
+        print(f"{name:<19}: {m}  (-{n - m})")
+        n = m
+    packed = stages["packed"]
+    bins = packed.select("shard", "bin_in_shard").distinct().count()
+    toks = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    print(f"packed             : {toks} tokens into {bins} bins of {PACK_CAPACITY}")
+
+
+if __name__ == "__main__":
+    main()
