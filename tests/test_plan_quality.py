@@ -42,9 +42,13 @@ def test_pricing_summary_pushdown_and_pruning(spark):
     assert "l_orderkey" not in read_schema, read_schema
 
 
-def test_events_range_scan_pushes_nanos_predicate(spark):
+def test_events_range_scan_pushes_timestamp_predicate(spark):
+    """The day-window range must reach the parquet scan (row-group
+    skipping). Current corpus vintage stores timestamp[us], so the
+    predicate pushes natively; the legacy TIMESTAMP(NANOS) vintage pushes
+    via the raw-nanos transposition in sources/readers.py — either way the
+    scan must carry the pushed range, never a post-scan-only filter."""
     plan = _plan(spark, "day_window")
-    # the µs range is transposed into raw-nanos space so it pushes down
     assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
 
 
