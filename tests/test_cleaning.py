@@ -156,3 +156,38 @@ def test_validate_split_quarantines_bad_rows(spark, sample):
     assert valid.count() == 6
     assert invalid.count() == 1
     assert invalid.collect()[0]["station_name"] == "Ghost"
+
+
+def test_malformed_payloads_become_nulls_then_drop(spark):
+    """Dirty-transport contract end to end: a consumer batch mixing valid
+    JSON, syntactic garbage, wrong-shape JSON, and empty strings must
+    decode PERMISSIVEly (NULL-field rows, no job failure — Spark 4 ANSI
+    mode makes silent-throw regressions easy) and required-field cleaning
+    must then drop exactly the unusable rows."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.cleaning import (
+        drop_missing_required,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.sources.kafka import (
+        decode_json,
+    )
+
+    good = (
+        '{"station_id": "101", "station_name": "s", "timestamp": '
+        '"2024-01-01T00:00:00Z", "temperature": 1.5}'
+    )
+    payloads = [
+        (good,),
+        ("{not json at all",),
+        ('{"station_id": null, "timestamp": null}',),
+        ("",),
+        ('[1, 2, 3]',),
+    ]
+    decoded = decode_json(
+        spark.createDataFrame(payloads, "value string")
+    )
+    assert decoded.count() == len(payloads)  # nothing thrown, nothing lost
+    kept = drop_missing_required(decoded)
+    rows = kept.collect()
+    assert len(rows) == 1 and rows[0]["station_id"] == "101"
