@@ -41,7 +41,10 @@ def main() -> None:
         # next query's timing
         spark._jvm.System.gc()
         best = float("inf")
-        for _ in range(2):  # best-of-2: JVM GC pauses otherwise add seconds of noise
+        # best-of-3: JVM GC pauses and multi-second host contention bursts
+        # (observed: identical queries varying 2-4x minutes apart) otherwise
+        # bill random noise to whichever query they land on
+        for _ in range(3):
             start = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - start)
