@@ -460,3 +460,70 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup-style cluster-bounded semantic dedup (Abbas et al. 2023).
+
+    Cluster the corpus with the deterministic k-means coarse quantizer
+    (:func:`kmeans_centroids`), then compute pairwise cosines only WITHIN
+    each cluster and flag a vector as ``pruned`` when any smaller-id
+    member of its cluster matches at ≥ ``threshold``. Unlike the
+    LSH-bucketed :func:`embedding_near_dup_pairs` (which targets pair
+    RECALL), this is the keep/drop decision a pretraining pipeline feeds
+    to its filter stage: one row per vector, ``pruned`` = drop.
+
+    Scale shape: the only quadratic work is the within-cluster self-join,
+    and cluster population is ~``corpus / n_centroids`` — so ``n_centroids``
+    is the knob that must grow with the corpus (exactly the paper's setup:
+    tens of thousands of clusters at web scale). Assignment is a broadcast
+    join + partial-agg argmax (one shuffled row per vector), the pairwise
+    join shuffles on well-distributed ``cid``, and the keep rule is a
+    single pass — no iteration, no driver-side loop.
+
+    The keep rule is deliberately one-pass greedy (prune iff ANY
+    smaller-id in-cluster neighbor ≥ threshold): a pruned vector can still
+    shadow later ids, matching the usual single-sweep near-dup convention
+    and keeping the operator a pure join + anti-lookup at any scale.
+    Output (``id_col``, cid, pruned), ordered by id.
+    """
+    cents = kmeans_centroids(
+        corpus, n_centroids, iterations, id_col, vec_col, train_fraction
+    ).withColumn("cnorm", norm(F.col("cvec")))
+    vecs = (
+        spread(corpus)
+        .select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("dv"))
+        .withColumn("nv", norm(F.col("dv")))
+    )
+    assigned = vecs.join(_nearest_cid(vecs, cents), "vid")
+    left = assigned.select(
+        "cid", F.col("vid").alias("id_a"), F.col("dv").alias("dva")
+    )
+    right = assigned.select(
+        "cid", F.col("vid").alias("id_b"), F.col("dv").alias("dvb")
+    )
+    pruned = (
+        left.join(right, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("dva"), F.col("dvb")) >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assigned.join(pruned, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cid"),
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("pruned"),
+        )
+        .orderBy(id_col)
+    )

@@ -199,3 +199,51 @@ def pack_token_bins(
         ((cum - F.col(tokens_col)) / capacity).cast("bigint").alias("bin_in_shard"),
         (cum - F.col(tokens_col)).alias("offset_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows (chunking).
+
+    The context-window prep step of a pretraining/RAG pipeline: each doc
+    becomes chunks of ``chunk_size`` tokens starting every ``stride``
+    tokens (overlap = ``chunk_size - stride``; require ``stride <=
+    chunk_size`` so coverage has no gaps). Chunk count is
+    ``1 + ceil(max(0, n - chunk_size) / stride)`` — a doc shorter than one
+    window still yields its single (short) chunk, and the final window is
+    truncated at the document end rather than padded.
+
+    Implementation is one narrow scan: tokenize once, explode a
+    ``sequence()`` of chunk indices, ``slice()`` the token array per
+    index — all JVM-side array expressions, no UDF, no shuffle (the
+    explode fan-out is bounded by n/stride and stays partition-local).
+    Output (id, chunk_id, n_chunk_tokens, chunk_text) ordered by
+    (id, chunk_id).
+    """
+    if not 0 < stride <= chunk_size:
+        raise ValueError(f"need 0 < stride <= chunk_size, got {stride=} {chunk_size=}")
+    n = F.size("toks")
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(F.lit(0), n - chunk_size) + (stride - 1)) / F.lit(stride)
+    ).cast("int")
+    chunk = F.slice("toks", F.col("chunk_id") * stride + 1, chunk_size)
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+        .select(
+            id_col,
+            "toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy(id_col, "chunk_id")
+    )

@@ -575,6 +575,50 @@ ORDER BY doc_id
 """
 
 
+CHUNK_SIZE_TOKENS = 64
+CHUNK_STRIDE_TOKENS = 48  # overlap = 16 tokens
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token context windows per document.
+
+    The chunking step of a pretraining/RAG pipeline: 64-token windows
+    every 48 tokens (16-token overlap), final window truncated at doc end.
+    One narrow scan — tokenize, explode a chunk-index sequence, slice —
+    all JVM array expressions, partition-local (no shuffle before the
+    output sort).
+    """
+    return tx.chunk_documents(
+        _docs(spark, sf_dir),
+        chunk_size=CHUNK_SIZE_TOKENS,
+        stride=CHUNK_STRIDE_TOKENS,
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), sized AS (
+  SELECT doc_id, toks,
+         1 + (greatest(0, len(toks) - {CHUNK_SIZE_TOKENS})
+              + {CHUNK_STRIDE_TOKENS - 1}) // {CHUNK_STRIDE_TOKENS} AS n_chunks
+  FROM t
+)
+, idx AS (
+  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM sized
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+       CAST(len(list_slice(toks, i * {CHUNK_STRIDE_TOKENS} + 1,
+                           i * {CHUNK_STRIDE_TOKENS} + {CHUNK_SIZE_TOKENS}))
+            AS INTEGER) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, i * {CHUNK_STRIDE_TOKENS} + 1,
+                                  i * {CHUNK_STRIDE_TOKENS} + {CHUNK_SIZE_TOKENS}),
+                       ' ') AS chunk_text
+FROM idx
+ORDER BY doc_id, chunk_id
+"""
+
+
 TFIDF_TOP_TERMS = 3
 
 
@@ -1073,6 +1117,50 @@ ORDER BY id_a, id_b
 """
 
 
+SEMDEDUP_THRESHOLD = EMBED_NEAR_DUP_THRESHOLD
+
+
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style keep/drop decision per embedding.
+
+    Clusters with the deterministic k-means quantizer (same machinery as
+    ``emb_ivf_topk``), pairwise cosine only within each cluster, prune a
+    vector when a smaller-id cluster-mate matches at >= threshold. The
+    cluster count is the scale knob: per-cluster population stays bounded,
+    so nothing goes corpus-quadratic.
+    """
+    return sim.semantic_dedup(
+        _embs(spark, sf_dir),
+        threshold=SEMDEDUP_THRESHOLD,
+        n_centroids=IVF_CENTROIDS,
+        iterations=IVF_ITERATIONS,
+    )
+
+
+SQL_EMB_SEMANTIC_DEDUP = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+{_sql_kmeans_ctes()},
+assign AS (
+  SELECT vec_id, vv, cid FROM (
+    SELECT v.vec_id, v.vv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQL_CCOS} DESC, c.cid ASC) AS rn
+    FROM v CROSS JOIN {_CF} c) t
+  WHERE rn = 1
+),
+pruned AS (
+  SELECT DISTINCT y.vec_id
+  FROM assign x JOIN assign y
+    ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE {_SQL_COS.format(a='x.vv', b='y.vv')} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cid,
+       (p.vec_id IS NOT NULL) AS pruned
+FROM assign a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+ORDER BY a.vec_id
+"""
+
+
 QUERIES = [
     # The two r4-new queries lead this module so they fall inside the
     # driver's 50-entry CORRECTNESS window (everything after ~position 50
@@ -1084,6 +1172,12 @@ QUERIES = [
     QuerySpec("doc_decontaminate", q_doc_decontaminate, SQL_DOC_DECONTAMINATE,
               "benchmark decontamination: 8-gram overlap vs broadcast eval set",
               tags=("text", "dedup")),
+    QuerySpec("doc_chunks", q_doc_chunks, SQL_DOC_CHUNKS,
+              "overlapping fixed-token context windows (chunking)",
+              tags=("text", "pack")),
+    QuerySpec("emb_semantic_dedup", q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP,
+              "SemDeDup: cluster-bounded semantic keep/drop per embedding",
+              tags=("similarity", "dedup")),
     QuerySpec("doc_exact_dedup", q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP,
               "exact dedup groups via content hash", bench=True, tags=("dedup", "text")),
     QuerySpec("doc_token_stats", q_doc_token_stats, SQL_DOC_TOKEN_STATS,
