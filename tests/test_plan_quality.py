@@ -159,3 +159,25 @@ def test_repetition_is_single_scan_partial_agg(spark):
     plan = _plan(spark, "doc_repetition")
     assert plan.count("FileScan parquet") == 1
     assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_chunking_is_scan_local(spark):
+    """Chunking must be a pure narrow scan: tokenize + explode + slice in
+    one stage. No aggregate, no hash shuffle — the only exchange allowed
+    is the rangepartitioning of the output sort."""
+    plan = _plan(spark, "doc_chunks")
+    assert plan.count("FileScan parquet") == 1
+    assert "HashAggregate" not in plan
+    assert "hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_joins_are_cluster_bounded(spark):
+    """SemDeDup's pairwise stage must join on cid (equi-join, bounded by
+    cluster population) — never a corpus-level cartesian. The only
+    nested-loop joins allowed are the k-means corpus × broadcast(centroids)
+    scans, same contract as IVF."""
+    plan = _plan(spark, "emb_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert frag.startswith(" BuildRight, Cross"), frag[:60]

@@ -123,3 +123,101 @@ def test_decontamination_overlap_requires_full_ngram(spark):
     assert 10 in flagged and flagged[10] == 0
     assert 11 not in flagged
     assert flagged[12] == 50
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk-count formula and final-window truncation, at chunk=4/stride=3:
+    n <= 4 -> one chunk; n = 10 -> starts 0,3,6 with the last window ending
+    exactly at the doc; n = 9 -> last window truncated to 3 tokens. Overlap
+    tokens (chunk - stride = 1) repeat across consecutive chunks."""
+    df = spark.createDataFrame(
+        [
+            (1, ""),                                # '' token -> 1 chunk
+            (2, "a b c d"),                         # n == chunk -> 1 chunk
+            (3, "a b c d e"),                       # n == chunk+1 -> 2 chunks
+            (4, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),  # exact final window
+            (5, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),      # truncated final window
+        ],
+        "doc_id long, text string",
+    )
+    out = tx.chunk_documents(df, chunk_size=4, stride=3)
+    got: dict[int, list[tuple[int, str]]] = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append((r.n_chunk_tokens, r.chunk_text))
+    assert got[1] == [(1, "")]
+    assert got[2] == [(4, "a b c d")]
+    assert got[3] == [(4, "a b c d"), (2, "d e")]
+    assert got[4] == [
+        (4, "t1 t2 t3 t4"),
+        (4, "t4 t5 t6 t7"),
+        (4, "t7 t8 t9 t10"),
+    ]
+    assert got[5] == [(4, "t1 t2 t3 t4"), (4, "t4 t5 t6 t7"), (3, "t7 t8 t9")]
+
+
+def test_chunk_documents_rejects_gapping_stride():
+    import pytest
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.text import (
+        chunk_documents,
+    )
+
+    with pytest.raises(ValueError):
+        chunk_documents(None, chunk_size=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_documents(None, chunk_size=4, stride=0)
+
+
+def test_semantic_dedup_greedy_shadowing(spark):
+    """The one-pass rule: prune iff ANY smaller-id cluster-mate matches.
+    a(0°) ~ b(10°), b ~ c(20°), a !~ c at threshold cos(15°) — b is pruned
+    by a, and c is pruned by the already-pruned b (a pruned vector still
+    shadows later ids; documented single-sweep convention)."""
+    import math
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    def at(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    df = spark.createDataFrame(
+        [(0, at(0.0)), (1, at(10.0)), (2, at(20.0))],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.pruned
+        for r in semantic_dedup(
+            df, threshold=0.96, n_centroids=1, iterations=1
+        ).collect()
+    }
+    assert out == {0: False, 1: True, 2: True}
+
+
+def test_semantic_dedup_is_cluster_bounded(spark):
+    """Cross-cluster near-identical vectors are NOT compared: two opposite
+    groups seed two centroids, and a pair split across them never produces
+    an edge even at cosine 1.0 — the quadratic work is bounded by the
+    cluster, which is the operator's entire scale contract."""
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # seeds centroid 0
+            (1, [-1.0, 0.1]),  # seeds centroid 1
+            (2, [1.0, 0.0]),   # exact dup of 0, same cluster -> pruned
+            (3, [-1.0, 0.1]),  # exact dup of 1, same cluster -> pruned
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: (r.cid, r.pruned)
+        for r in semantic_dedup(
+            df, threshold=0.99, n_centroids=2, iterations=1
+        ).collect()
+    }
+    assert out[0] == (0, False) and out[2] == (0, True)
+    assert out[1] == (1, False) and out[3] == (1, True)
