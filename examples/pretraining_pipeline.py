@@ -10,9 +10,12 @@ one plan per materialization and stages prune each other's work:
 4. exact dedup         (keep canonical doc per content hash)
 5. near-dup removal    (MinHash+LSH pairs → connected components,
                         keep one doc per cluster)
-6. decontamination     (drop docs sharing an 8-gram with the eval set)
-7. deterministic sample(md5 Bernoulli — replayable, no RNG)
-8. sequence packing    (shard-local cumulative token bins)
+6. semantic dedup      (SemDeDup over the embedding column:
+                        cluster-bounded cosine, keep lowest id)
+7. decontamination     (drop docs sharing an 8-gram with the eval set)
+8. deterministic sample(md5 Bernoulli — replayable, no RNG)
+9. chunking            (overlapping fixed-token context windows)
+   + sequence packing  (shard-local cumulative token bins)
 
 Run: python examples/pretraining_pipeline.py [sf_dir]
 """
@@ -30,6 +33,7 @@ from data_engineering_datawarehousingandetlpipeline_spark.functions.hashing impo
 )
 from data_engineering_datawarehousingandetlpipeline_spark.operators import (
     dedup as dd,
+    similarity as sim,
     text as tx,
 )
 from data_engineering_datawarehousingandetlpipeline_spark.session import get_spark
@@ -40,17 +44,25 @@ from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import
 QUALITY_MIN = 0.3
 LANGS = ("en",)
 MAX_DUP_BIGRAM_FRACTION = 0.8
+SEMDEDUP_THRESHOLD = 0.3  # calibrated to the synthetic embedding corpus
+SEMDEDUP_CLUSTERS = 16
 DECON_WIDTH = 8
 SAMPLE_RATE = 0.9
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
 PACK_CAPACITY = 512
 PACK_SHARD_DOCS = 100
 
 
-def build_pipeline(docs: DataFrame, bench: DataFrame) -> dict[str, DataFrame]:
+def build_pipeline(
+    docs: DataFrame, bench: DataFrame, embs: DataFrame | None = None
+) -> dict[str, DataFrame]:
     """Each stage as a named lazy DataFrame; later stages build on earlier.
 
     ``bench`` is the eval/benchmark set to decontaminate against (tiny —
-    its n-gram postings broadcast).
+    its n-gram postings broadcast). ``embs`` is the doc-aligned embedding
+    table (vec_id == doc_id); when absent the semantic-dedup stage is a
+    pass-through.
     """
     text = F.col("text")
 
@@ -97,7 +109,26 @@ def build_pipeline(docs: DataFrame, bench: DataFrame) -> dict[str, DataFrame]:
         "doc_id",
     )
 
-    # 6: decontamination — any shared 8-gram with the benchmark set
+    # 6: semantic dedup — SemDeDup over the embedding column, restricted
+    # to the docs still alive (cluster-bounded cosine, keep lowest id)
+    if embs is not None:
+        emb_alive = embs.join(
+            survivors.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        )
+        sem_keep = (
+            sim.semantic_dedup(
+                emb_alive,
+                threshold=SEMDEDUP_THRESHOLD,
+                n_centroids=SEMDEDUP_CLUSTERS,
+            )
+            .filter(~F.col("pruned"))
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        semantic = survivors.join(sem_keep, "doc_id")
+    else:
+        semantic = survivors
+
+    # 7: decontamination — any shared 8-gram with the benchmark set
     def posts(d: DataFrame, alias: str) -> DataFrame:
         return d.select(
             F.col("doc_id").alias(alias),
@@ -107,20 +138,25 @@ def build_pipeline(docs: DataFrame, bench: DataFrame) -> dict[str, DataFrame]:
         )
 
     contaminated = (
-        posts(survivors, "doc_id")
+        posts(semantic, "doc_id")
         .join(F.broadcast(posts(bench, "bench_id")), "ngram")
         .select("doc_id")
         .distinct()
     )
-    decontaminated = survivors.join(contaminated, "doc_id", "left_anti")
+    decontaminated = semantic.join(contaminated, "doc_id", "left_anti")
 
-    # 7: deterministic hash sample (replayable at any scale — no RNG)
+    # 8: deterministic hash sample (replayable at any scale — no RNG)
     sampled = decontaminated.filter(
         u32_hash(F.col("doc_id").cast("string"))
         < F.lit(int(SAMPLE_RATE * (1 << 32)))
     )
 
-    # 8: pack into token bins, shard-local
+    # 9a: chunk surviving docs into overlapping context windows
+    chunked = tx.chunk_documents(
+        sampled, chunk_size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    )
+
+    # 9b: pack into token bins, shard-local
     sized = sampled.select(
         "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
     )
@@ -133,8 +169,10 @@ def build_pipeline(docs: DataFrame, bench: DataFrame) -> dict[str, DataFrame]:
         "clean": clean,
         "deduped": deduped,
         "survivors": survivors,
+        "semantic": semantic,
         "decontaminated": decontaminated,
         "sampled": sampled,
+        "chunked": chunked,
         "packed": packed,
     }
 
@@ -143,19 +181,26 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="pretraining-pipeline")
     docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
     # the benchmark stand-in: every 50th doc (disjoint from the train side)
     bench = docs.filter((F.col("doc_id") % 50) == 0)
     train = docs.filter((F.col("doc_id") % 50) != 0)
 
-    stages = build_pipeline(train, bench)
+    stages = build_pipeline(train, bench, embs)
     n = train.count()
     print(f"documents          : {n}")
     for name in (
-        "gated", "clean", "deduped", "survivors", "decontaminated", "sampled"
+        "gated", "clean", "deduped", "survivors", "semantic",
+        "decontaminated", "sampled",
     ):
         m = stages[name].count()
         print(f"{name:<19}: {m}  (-{n - m})")
         n = m
+    chunked = stages["chunked"]
+    nc, ct = chunked.agg(
+        F.count("*"), F.sum("n_chunk_tokens")
+    ).collect()[0]
+    print(f"chunked            : {nc} windows of <= {CHUNK_SIZE} tokens ({ct} total)")
     packed = stages["packed"]
     bins = packed.select("shard", "bin_in_shard").distinct().count()
     toks = packed.agg(F.sum("n_tokens")).collect()[0][0]

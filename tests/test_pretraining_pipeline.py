@@ -29,16 +29,19 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def _split(spark):
     docs = load_table(spark, SF_DIR, "documents")
+    embs = load_table(spark, SF_DIR, "embeddings")
     return (
         docs.filter((F.col("doc_id") % 50) != 0),
         docs.filter((F.col("doc_id") % 50) == 0),
+        embs,
     )
 
 
 def test_funnel_only_removes_and_is_deterministic(spark):
-    train, bench = _split(spark)
-    stages = build_pipeline(train, bench)
-    order = ["gated", "clean", "deduped", "survivors", "decontaminated", "sampled"]
+    train, bench, embs = _split(spark)
+    stages = build_pipeline(train, bench, embs)
+    order = ["gated", "clean", "deduped", "survivors", "semantic",
+             "decontaminated", "sampled"]
     ids = {name: set(r.doc_id for r in stages[name].select("doc_id").collect())
            for name in order}
     train_ids = set(r.doc_id for r in train.select("doc_id").collect())
@@ -47,13 +50,16 @@ def test_funnel_only_removes_and_is_deterministic(spark):
         assert ids[name] <= prev, f"{name} added rows"
         prev = ids[name]
     # replay: identical output (deterministic hashing end to end)
-    replay = build_pipeline(train, bench)
+    replay = build_pipeline(train, bench, embs)
     assert set(r.doc_id for r in replay["sampled"].select("doc_id").collect()) == ids["sampled"]
+    # chunk windows cover every sampled doc and nothing else
+    chunk_ids = set(r.doc_id for r in stages["chunked"].select("doc_id").collect())
+    assert chunk_ids == ids["sampled"]
 
 
 def test_decontaminated_set_is_actually_clean(spark):
-    train, bench = _split(spark)
-    decon = build_pipeline(train, bench)["decontaminated"]
+    train, bench, embs = _split(spark)
+    decon = build_pipeline(train, bench, embs)["decontaminated"]
 
     def grams(df):
         return df.select(
@@ -67,8 +73,8 @@ def test_decontaminated_set_is_actually_clean(spark):
 
 
 def test_packing_conserves_tokens_and_respects_capacity_layout(spark):
-    train, bench = _split(spark)
-    stages = build_pipeline(train, bench)
+    train, bench, embs = _split(spark)
+    stages = build_pipeline(train, bench, embs)
     sampled_tokens = (
         stages["sampled"]
         .select(tx.token_count(F.col("text")).alias("n"))
