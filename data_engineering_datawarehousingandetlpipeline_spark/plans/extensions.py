@@ -148,18 +148,87 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_EN_STOPS = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
-SQL_DOC_QUALITY = f"""
-SELECT doc_id,
-       round(
+#: oracle twin of round(tx.quality_score(text), 6) — shared by the per-doc
+#: quality query and the per-source rollup.
+_SQL_QUALITY_EXPR = f"""round(
          0.4 * least(1.0, CAST(len({SQL_TOKS}) AS DOUBLE) / 100.0)
        + 0.3 * (CAST(len(list_filter({SQL_TOKS}, x -> x IN ({_SQL_EN_STOPS}))) AS DOUBLE)
                 / CAST(len({SQL_TOKS}) AS DOUBLE))
        + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
                       / CAST(length(text) AS DOUBLE)),
-       6) AS quality
+       6)"""
+SQL_DOC_QUALITY = f"""
+SELECT doc_id,
+       {_SQL_QUALITY_EXPR} AS quality
 FROM documents
 ORDER BY doc_id
 """
+
+
+SOURCE_QUALITY_MIN = 0.3
+SOURCE_OK_FRACTION_MIN = 0.5
+
+
+def q_doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain-level) quality rollup — the C4-style source
+    filter: a pretraining pipeline drops whole domains whose documents are
+    mostly low-quality, not just individual bad documents.
+
+    One scan → one groupBy(source): count, decimal-anchored average
+    quality, fraction of docs clearing the per-doc threshold, and the
+    drop-this-source flag. All aggregation is map-side partial; source
+    cardinality is tiny vs the corpus, so the shuffle carries partial
+    states only.
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
+        davg,
+    )
+
+    docs = _docs(spark, sf_dir)
+    q = F.round(tx.quality_score(F.col("text")), 6)
+    ok_fraction = F.try_divide(
+        F.sum(F.when(F.col("quality") >= SOURCE_QUALITY_MIN, 1).otherwise(0)).cast(
+            "double"
+        ),
+        F.count("*"),
+    )
+    return (
+        docs.select("source", q.alias("quality"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(davg(F.col("quality"), wide=True), 6).alias("avg_quality"),
+            ok_fraction.alias("ok_fraction"),
+        )
+        .withColumn("flagged", F.col("ok_fraction") < SOURCE_OK_FRACTION_MIN)
+        .orderBy("source")
+    )
+
+
+def _sql_source_stats() -> str:
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
+        sql_davg,
+    )
+
+    frac = (
+        f"(CAST(SUM(CASE WHEN quality >= {SOURCE_QUALITY_MIN} THEN 1 ELSE 0 END)"
+        f" AS DOUBLE) / COUNT(*))"
+    )
+    return f"""
+WITH q AS (
+  SELECT source, {_SQL_QUALITY_EXPR} AS quality FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       round({sql_davg('quality', wide=True)}, 6) AS avg_quality,
+       {frac} AS ok_fraction,
+       ({frac} < {SOURCE_OK_FRACTION_MIN}) AS flagged
+FROM q
+GROUP BY source
+ORDER BY source
+"""
+
+
+SQL_DOC_SOURCE_STATS = _sql_source_stats()
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1178,6 +1247,9 @@ QUERIES = [
     QuerySpec("emb_semantic_dedup", q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP,
               "SemDeDup: cluster-bounded semantic keep/drop per embedding",
               tags=("similarity", "dedup")),
+    QuerySpec("doc_source_stats", q_doc_source_stats, SQL_DOC_SOURCE_STATS,
+              "per-source quality rollup + drop-domain flag (C4-style)",
+              tags=("text", "quality")),
     QuerySpec("doc_exact_dedup", q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP,
               "exact dedup groups via content hash", bench=True, tags=("dedup", "text")),
     QuerySpec("doc_token_stats", q_doc_token_stats, SQL_DOC_TOKEN_STATS,
