@@ -140,3 +140,36 @@ def test_pack_bins_matches_brute_force_packer(spark):
             for r in pack_token_bins(df, capacity, shard_docs).collect()
         }
         assert got == expect
+
+
+def test_chunking_matches_brute_force_chunker(spark):
+    """chunk_documents vs a literal Python chunker over randomized token
+    counts (0 .. several windows, exact-boundary and off-by-one sizes):
+    identical chunk counts, token slices, and truncation of the final
+    window. Tokens are distinct so any slice misalignment is visible."""
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.text import (
+        chunk_documents,
+    )
+
+    chunk, stride = 6, 4
+    rng = random.Random(7)
+    sizes = [0, 1, chunk - 1, chunk, chunk + 1, chunk + stride,
+             chunk + stride + 1] + [rng.randrange(0, 40) for _ in range(20)]
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(n))) for i, n in enumerate(sizes)]
+
+    expect = {}
+    for doc_id, text in rows:
+        toks = text.lower().strip().split() if text else [""]
+        n = len(toks)
+        n_chunks = 1 + max(0, -(-(n - chunk) // stride))
+        expect[doc_id] = [
+            " ".join(toks[k * stride : k * stride + chunk])
+            for k in range(n_chunks)
+        ]
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, list[str]] = {}
+    for r in chunk_documents(df, chunk_size=chunk, stride=stride).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    got_texts = {k: [t for _, t in sorted(v)] for k, v in got.items()}
+    assert got_texts == expect
