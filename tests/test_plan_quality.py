@@ -181,3 +181,12 @@ def test_semantic_dedup_joins_are_cluster_bounded(spark):
     assert "CartesianProduct" not in plan
     for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
         assert frag.startswith(" BuildRight, Cross"), frag[:60]
+
+
+def test_source_stats_is_single_scan_partial_agg(spark):
+    """The domain rollup must be one corpus scan with map-side partial
+    aggregation — the shuffle carries per-source partial states, never raw
+    document rows."""
+    plan = _plan(spark, "doc_source_stats")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
