@@ -1,12 +1,15 @@
 """End-to-end training-data dedup ladder over the documents corpus.
 
-The four rungs a 100 TB text pipeline climbs, cheapest first — each rung
+The five rungs a 100 TB text pipeline climbs, cheapest first — each rung
 removes what it can so the next (more expensive) one sees less data:
 
 1. exact hash dedup          (one shuffle on the content hash)
 2. normalized exact dedup    (case/punct/whitespace canonicalization)
 3. MinHash+LSH near-dup      (banded candidates, exact-Jaccard verify)
 4. connected components      (pair graph → one canonical doc per cluster)
+5. SemDeDup                  (embedding k-means clusters, cosine within
+                              cluster only — catches paraphrases no
+                              token-level rung can see)
 
 Run: python examples/dedup_pipeline.py [sf_dir]
 """
@@ -58,7 +61,20 @@ def main() -> None:
     n_clusters = clusters.select("cluster_id").distinct().count()
     print(f"rung 4 clusters   : {n_clusters} clusters (keep one doc each)")
     kept = clusters.filter(F.col("doc_id") == F.col("cluster_id"))
-    print(f"final corpus      : {kept.count()} of {n_total} documents")
+    n_kept = kept.count()
+    print(f"token-level corpus: {n_kept} of {n_total} documents")
+
+    # rung 5: semantic dedup over the doc-aligned embedding column
+    from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    emb_alive = embs.join(kept.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    sem = sim.semantic_dedup(emb_alive, threshold=0.3, n_centroids=16)
+    n_sem = sem.filter(~F.col("pruned")).count()
+    print(f"rung 5 semantic   : {n_kept - n_sem} more removed -> {n_sem}")
+    print(f"final corpus      : {n_sem} of {n_total} documents")
     print("OK")
 
 
