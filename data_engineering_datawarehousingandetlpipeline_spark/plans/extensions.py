@@ -600,6 +600,50 @@ ORDER BY doc_id
 """
 
 
+SPLIT_TRAIN_FRACTION = 0.9
+SPLIT_VAL_FRACTION = 0.05  # test gets the remainder
+_SPLIT_T_TRAIN = int(SPLIT_TRAIN_FRACTION * _U32)
+_SPLIT_T_VAL = int((SPLIT_TRAIN_FRACTION + SPLIT_VAL_FRACTION) * _U32)
+
+
+def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment by hash range.
+
+    ``md5('split:' || doc_id)`` maps each doc to u32 space; range
+    boundaries at 90%/95% give exact-in-expectation fractions with zero
+    RNG — the split is reproducible on any engine, any cluster layout,
+    any replay, and docs never migrate between splits when the corpus
+    grows (the property `sample()`-based splits lose). The salt prefix
+    makes the decision independent of every other hash-keyed choice
+    (sampling, sharding) on the same ids. One scan, no shuffle except
+    the output ordering.
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.hashing import (
+        u32_hash,
+    )
+
+    docs = _docs(spark, sf_dir)
+    h = u32_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    split = (
+        F.when(h < _SPLIT_T_TRAIN, "train")
+        .when(h < _SPLIT_T_VAL, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split")).orderBy("doc_id")
+
+
+SQL_DOC_SPLIT_ASSIGN = f"""
+SELECT doc_id,
+       CASE WHEN {sql_u32_hash("'split:' || CAST(doc_id AS VARCHAR)")} < {_SPLIT_T_TRAIN}
+              THEN 'train'
+            WHEN {sql_u32_hash("'split:' || CAST(doc_id AS VARCHAR)")} < {_SPLIT_T_VAL}
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
 PACK_CAPACITY_TOKENS = 256
 PACK_SHARD_DOCS = 100
 
@@ -1250,6 +1294,9 @@ QUERIES = [
     QuerySpec("doc_source_stats", q_doc_source_stats, SQL_DOC_SOURCE_STATS,
               "per-source quality rollup + drop-domain flag (C4-style)",
               tags=("text", "quality")),
+    QuerySpec("doc_split_assign", q_doc_split_assign, SQL_DOC_SPLIT_ASSIGN,
+              "deterministic hash-range train/val/test split",
+              tags=("text", "sample")),
     QuerySpec("doc_exact_dedup", q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP,
               "exact dedup groups via content hash", bench=True, tags=("dedup", "text")),
     QuerySpec("doc_token_stats", q_doc_token_stats, SQL_DOC_TOKEN_STATS,
