@@ -503,7 +503,15 @@ def semantic_dedup(
         .select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("dv"))
         .withColumn("nv", norm(F.col("dv")))
     )
-    assigned = vecs.join(_nearest_cid(vecs, cents), "vid")
+    # Pin the (vid, cid) assignment: it feeds BOTH self-join sides and the
+    # final output, and without the checkpoint the argmax assignment scan
+    # (corpus × broadcast centroids) would re-execute once per use — three
+    # full passes at warehouse scale. The pinned table is two longs per
+    # row; the vectors themselves re-join from the cheap column-pruned
+    # parquet scan instead of being materialized. eager=False keeps query
+    # construction lazy (it materializes once, inside the first action).
+    assign_ids = _nearest_cid(vecs, cents).localCheckpoint(eager=False)
+    assigned = vecs.join(assign_ids, "vid")
     left = assigned.select(
         "cid", F.col("vid").alias("id_a"), F.col("dv").alias("dva")
     )
@@ -519,7 +527,7 @@ def semantic_dedup(
         .withColumn("is_dup", F.lit(True))
     )
     return (
-        assigned.join(pruned, "vid", "left")
+        assign_ids.join(pruned, "vid", "left")
         .select(
             F.col("vid").alias(id_col),
             F.col("cid"),
