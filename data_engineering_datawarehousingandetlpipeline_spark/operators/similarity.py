@@ -215,8 +215,10 @@ def kmeans_centroids(
     train_fraction: float | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd k-means: (cid, cvec array<double>) after
-    ``iterations`` rounds from a seeded init (the first ``n_centroids``
-    vectors by id — reproducible in any engine, no RNG).
+    ``iterations`` rounds from a seeded init (the ``n_centroids``
+    LOWEST-id vectors present — reproducible in any engine, no RNG, and
+    robust to filtered corpora whose ids do not start at 0; cid is the
+    seed's own id).
 
     Every step is engine-portable arithmetic: assignment uses rounded
     cosines with cid tie-breaks; the update is a per-dimension
@@ -245,8 +247,13 @@ def kmeans_centroids(
         .select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("dv"))
         .withColumn("nv", norm(F.col("dv")))
     )
-    cents = vecs.filter(F.col("vid") < n_centroids).select(
-        F.col("vid").cast("int").alias("cid"), F.col("dv").alias("cvec")
+    # TakeOrdered (per-partition top-k, no full shuffle), not a filter on
+    # `vid < n`: a pre-filtered corpus may have no ids below n_centroids,
+    # which would silently yield zero centroids and an empty result.
+    cents = (
+        vecs.orderBy("vid")
+        .limit(n_centroids)
+        .select(F.col("vid").cast("int").alias("cid"), F.col("dv").alias("cvec"))
     )
     train = vecs
     if train_fraction is not None:
@@ -512,16 +519,26 @@ def semantic_dedup(
     # construction lazy (it materializes once, inside the first action).
     assign_ids = _nearest_cid(vecs, cents).localCheckpoint(eager=False)
     assigned = vecs.join(assign_ids, "vid")
+    # norms ride the join sides: nv is already computed per VECTOR on the
+    # scan, so the O(cluster²) pairwise filter pays one O(dim) dot product
+    # per pair — not two extra O(dim) norm folds per pair. Bit-identical
+    # to cosine() (dv is already double; nv = norm(dv)).
     left = assigned.select(
-        "cid", F.col("vid").alias("id_a"), F.col("dv").alias("dva")
+        "cid", F.col("vid").alias("id_a"), F.col("dv").alias("dva"),
+        F.col("nv").alias("nva"),
     )
     right = assigned.select(
-        "cid", F.col("vid").alias("id_b"), F.col("dv").alias("dvb")
+        "cid", F.col("vid").alias("id_b"), F.col("dv").alias("dvb"),
+        F.col("nv").alias("nvb"),
+    )
+    pair_cos = F.round(
+        F.try_divide(dot(F.col("dva"), F.col("dvb")), F.col("nva") * F.col("nvb")),
+        COSINE_SCALE,
     )
     pruned = (
         left.join(right, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("dva"), F.col("dvb")) >= threshold)
+        .filter(pair_cos >= threshold)
         .select(F.col("id_b").alias("vid"))
         .distinct()
         .withColumn("is_dup", F.lit(True))

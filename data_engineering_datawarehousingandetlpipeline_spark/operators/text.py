@@ -201,6 +201,42 @@ def pack_token_bins(
     )
 
 
+def source_quality_rollup(
+    scored: DataFrame,
+    min_quality: float,
+    min_ok_fraction: float,
+    source_col: str = "source",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Per-source quality rollup over (source, quality) rows.
+
+    ``n_docs`` counts every row; a NULL quality (unscorable doc) is
+    excluded from the decimal-anchored average (COUNT(quality)
+    denominator) and fails the ``>= min_quality`` test (CASE/when on both
+    engines), so it never inflates ``ok_fraction``. ``flagged`` marks
+    sources whose ok_fraction falls below the floor — the drop-domain
+    decision. All aggregation is map-side partial.
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
+        davg,
+    )
+
+    q = F.col(quality_col)
+    ok_fraction = F.try_divide(
+        F.sum(F.when(q >= min_quality, 1).otherwise(0)).cast("double"),
+        F.count("*"),
+    )
+    return (
+        scored.groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(davg(q, wide=True), 6).alias("avg_quality"),
+            ok_fraction.alias("ok_fraction"),
+        )
+        .withColumn("flagged", F.col("ok_fraction") < min_ok_fraction)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_size: int,

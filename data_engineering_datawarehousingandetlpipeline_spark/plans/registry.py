@@ -41,10 +41,12 @@ def all_queries() -> dict[str, QuerySpec]:
 
     specs: dict[str, QuerySpec] = {}
     # Module order controls which queries land in the driver's per-round
-    # CORRECTNESS window (first 50 of 66). pipeline_queries leads this round:
+    # CORRECTNESS window (first 50 of 72). pipeline_queries leads this round:
     # its 16 post-pivot entries had no driver row in r2/r3, while the
-    # extensions doc/emb/media queries (now the tail) are twice driver-green
-    # and read only the timestamp-free documents/embeddings tables.
+    # extensions doc/emb/media queries past position 49 (the tail) are
+    # multiply driver-green and read only the timestamp-free
+    # documents/embeddings tables. The six r4-new extensions queries sit at
+    # positions 44-49, exactly filling the window.
     for module in (pipeline_queries, reference_queries, analytics, extensions):
         for spec in module.QUERIES:
             if spec.name in specs:

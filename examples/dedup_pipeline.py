@@ -72,9 +72,15 @@ def main() -> None:
     embs = load_table(spark, sf_dir, "embeddings")
     emb_alive = embs.join(kept.select(F.col("doc_id").alias("vec_id")), "vec_id")
     sem = sim.semantic_dedup(emb_alive, threshold=0.3, n_centroids=16)
-    n_sem = sem.filter(~F.col("pruned")).count()
-    print(f"rung 5 semantic   : {n_kept - n_sem} more removed -> {n_sem}")
-    print(f"final corpus      : {n_sem} of {n_total} documents")
+    # anti-join on PRUNED ids: a kept doc with no embedding row was never
+    # compared and passes through rather than vanishing
+    sem_pruned = sem.filter(F.col("pruned")).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    final = kept.join(sem_pruned, "doc_id", "left_anti")
+    n_final = final.count()
+    print(f"rung 5 semantic   : {n_kept - n_final} more removed -> {n_final}")
+    print(f"final corpus      : {n_final} of {n_total} documents")
     print("OK")
 
 

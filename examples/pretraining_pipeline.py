@@ -110,21 +110,23 @@ def build_pipeline(
     )
 
     # 6: semantic dedup — SemDeDup over the embedding column, restricted
-    # to the docs still alive (cluster-bounded cosine, keep lowest id)
+    # to the docs still alive (cluster-bounded cosine, keep lowest id).
+    # Anti-join on the PRUNED ids: a surviving doc with no embedding row
+    # was never compared to anything and must pass through, not vanish.
     if embs is not None:
         emb_alive = embs.join(
             survivors.select(F.col("doc_id").alias("vec_id")), "vec_id"
         )
-        sem_keep = (
+        sem_pruned = (
             sim.semantic_dedup(
                 emb_alive,
                 threshold=SEMDEDUP_THRESHOLD,
                 n_centroids=SEMDEDUP_CLUSTERS,
             )
-            .filter(~F.col("pruned"))
+            .filter(F.col("pruned"))
             .select(F.col("vec_id").alias("doc_id"))
         )
-        semantic = survivors.join(sem_keep, "doc_id")
+        semantic = survivors.join(sem_pruned, "doc_id", "left_anti")
     else:
         semantic = survivors
 

@@ -227,27 +227,17 @@ def test_source_rollup_null_quality_contract(spark):
     """A doc whose quality is NULL (empty text) still counts toward n_docs
     but neither toward the decimal-anchored average (COUNT(quality)
     denominator) nor toward ok_fraction's numerator (NULL >= t is false in
-    the CASE/when on both engines)."""
-    from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
-        davg,
-    )
-
+    the CASE/when on both engines). Exercises the SAME operator the
+    registered doc_source_stats query uses."""
     df = spark.createDataFrame(
         [("a", 0.8), ("a", None), ("b", 0.1)],
         "source string, quality double",
     )
     got = {
-        r.source: (r.n_docs, r.avg_quality, r.ok_fraction)
-        for r in df.groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.round(davg(F.col("quality"), wide=True), 6).alias("avg_quality"),
-            F.try_divide(
-                F.sum(F.when(F.col("quality") >= 0.3, 1).otherwise(0)).cast("double"),
-                F.count("*"),
-            ).alias("ok_fraction"),
-        )
-        .collect()
+        r.source: (r.n_docs, r.avg_quality, r.ok_fraction, r.flagged)
+        for r in tx.source_quality_rollup(
+            df, min_quality=0.3, min_ok_fraction=0.5
+        ).collect()
     }
-    assert got["a"] == (2, 0.8, 0.5)  # NULL: counted in n_docs, not in avg/ok
-    assert got["b"] == (1, 0.1, 0.0)
+    assert got["a"] == (2, 0.8, 0.5, False)  # NULL: in n_docs, not avg/ok
+    assert got["b"] == (1, 0.1, 0.0, True)
