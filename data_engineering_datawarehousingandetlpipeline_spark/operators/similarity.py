@@ -234,9 +234,9 @@ def kmeans_centroids(
     ``train_fraction`` subsamples the Lloyd iterations deterministically
     (keep iff ``md5(id) < fraction × 2³²`` — reproducible on any engine,
     no RNG): at warehouse scale the coarse quantizer trains on a sample,
-    not on full-corpus passes. Seeding still uses the full corpus's first
-    ``n_centroids`` ids, so the centroid COUNT never depends on the
-    sample.
+    not on full-corpus passes. Seeding still uses the full corpus's
+    ``n_centroids`` lowest ids, so the centroid COUNT never depends on
+    the sample.
     """
     from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
         davg,
