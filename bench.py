@@ -32,23 +32,27 @@ def main() -> None:
     spark = get_spark(app_name="dwh-spark-bench")
     specs = {n: s for n, s in all_queries().items() if s.bench}
 
-    timings: dict[str, float] = {}
+    # Warm-up pass: JIT + IO caches, once per query.
     for name in sorted(specs):
-        fn = specs[name].fn
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm JIT+IO once
-        # drain garbage from the warm-up (and from prior queries) so one
-        # query's heap pressure cannot bill multi-second GC pauses to the
-        # next query's timing
-        spark._jvm.System.gc()
-        best = float("inf")
-        # best-of-3: JVM GC pauses and multi-second host contention bursts
-        # (observed: identical queries varying 2-4x minutes apart) otherwise
-        # bill random noise to whichever query they land on
-        for _ in range(3):
+        specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    # INTERLEAVED best-of-3: three full passes over the query set, taking
+    # each query's minimum across passes. The host shows multi-MINUTE
+    # contention bursts (observed: identical queries varying 3 s → 90 s
+    # back-to-back); consecutive per-query repetitions all fall inside one
+    # burst, while interleaving puts a whole set-pass (~30 s) between a
+    # query's repetitions, so a burst must span the entire run to poison
+    # any single query's best.
+    timings: dict[str, float] = {n: float("inf") for n in specs}
+    for _ in range(3):
+        for name in sorted(specs):
+            # drain garbage so one query's heap pressure cannot bill
+            # multi-second GC pauses to the next query's timing
+            spark._jvm.System.gc()
             start = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = min(timings[name], time.perf_counter() - start)
+    timings = {n: round(t, 3) for n, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(
