@@ -86,6 +86,19 @@ def _distinct_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def size_prune_cond(n_a: Column, n_b: Column, threshold: float) -> Column:
+    """Lossless Jaccard size bound: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|).
+
+    A pair whose distinct-set sizes are incompatible with the threshold can
+    never pass exact verification, so the predicate is safe INSIDE any
+    candidate-generating join (both the postings join and the LSH band
+    join use it). At threshold 0 it is a no-op.
+    """
+    return F.least(n_a, n_b).cast("double") >= F.lit(threshold) * F.greatest(
+        n_a, n_b
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -122,10 +135,7 @@ def jaccard_pairs(
     cond = (
         (left["shingle"] == right["shingle"])
         & (left["doc_a"] < right["doc_b"])
-        & (
-            F.least(left["n_a"], right["n_b"]).cast("double")
-            >= F.lit(threshold) * F.greatest(left["n_a"], right["n_b"])
-        )
+        & size_prune_cond(left["n_a"], right["n_b"], threshold)
     )
     common = (
         left.join(right, cond)
@@ -265,10 +275,7 @@ def minhash_near_dup_pairs(
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.band_hash") == F.col("y.band_hash"))
             & (F.col("x.doc") < F.col("y.doc"))
-            & (
-                F.least(F.col("x.n"), F.col("y.n")).cast("double")
-                >= F.lit(threshold) * F.greatest(F.col("x.n"), F.col("y.n"))
-            ),
+            & size_prune_cond(F.col("x.n"), F.col("y.n"), threshold),
         )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()

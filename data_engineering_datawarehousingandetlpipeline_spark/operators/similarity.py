@@ -249,11 +249,16 @@ def kmeans_centroids(
     )
     # TakeOrdered (per-partition top-k, no full shuffle), not a filter on
     # `vid < n`: a pre-filtered corpus may have no ids below n_centroids,
-    # which would silently yield zero centroids and an empty result.
-    cents = (
-        vecs.orderBy("vid")
-        .limit(n_centroids)
-        .select(F.col("vid").cast("int").alias("cid"), F.col("dv").alias("cvec"))
+    # which would silently yield zero centroids and an empty result. cid
+    # is the seed's RANK (dense 0..n-1 int), not the vid itself: vids can
+    # exceed int range (hash/snowflake ids), where a cast would overflow
+    # under ANSI. Rank is monotone in vid, so tie-break order — and on a
+    # 0-based corpus the cid values themselves — are unchanged. The
+    # window spans only the n seed rows, not the corpus.
+    seeds = vecs.orderBy("vid").limit(n_centroids)
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("vid")) - 1).cast("int").alias("cid"),
+        F.col("dv").alias("cvec"),
     )
     train = vecs
     if train_fraction is not None:

@@ -185,19 +185,30 @@ def pack_token_bins(
     """
     from pyspark.sql import Window
 
-    shard = (F.col(id_col) / shard_docs).cast("bigint").alias("shard")
+    # integral `div`, never double `/`: ids beyond 2^53 lose low bits in a
+    # double and land in the wrong shard (doubles space > 1 apart there)
+    shard = F.expr(f"{id_col} div {shard_docs}").alias("shard")
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(tokens_col).over(w)
-    return sized.select(F.col(id_col), shard, F.col(tokens_col)).select(
-        id_col,
-        "shard",
-        tokens_col,
-        ((cum - F.col(tokens_col)) / capacity).cast("bigint").alias("bin_in_shard"),
-        (cum - F.col(tokens_col)).alias("offset_tokens"),
+    return (
+        sized.select(F.col(id_col), shard, F.col(tokens_col))
+        .select(
+            id_col,
+            "shard",
+            tokens_col,
+            (cum - F.col(tokens_col)).alias("offset_tokens"),
+        )
+        .select(
+            id_col,
+            "shard",
+            tokens_col,
+            F.expr(f"offset_tokens div {capacity}").alias("bin_in_shard"),
+            "offset_tokens",
+        )
     )
 
 

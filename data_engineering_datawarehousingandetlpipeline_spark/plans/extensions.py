@@ -860,9 +860,19 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one row per contaminated doc with the match count and the first
     matching benchmark doc. 8-gram width follows the published practice of
     long-n-gram matching (false positives vanish as width grows).
+
+    A benchmark doc SHORTER than the width only has its whole-text
+    fallback gram, which no 8-gram of a longer training doc can equal —
+    so the training side additionally emits k-grams for every distinct
+    short bench width. The width set is a broadcast 1-column DataFrame
+    (fully lazy, no driver action); when every bench doc clears the width
+    — the common case, and this corpus — it is empty and the extra branch
+    emits zero rows at zero cost.
     """
     docs = _docs(spark, sf_dir)
     is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == 0
+    bench_docs = docs.filter(is_bench)
+    train_docs = docs.filter(~is_bench)
 
     def posts(df: DataFrame, id_alias: str) -> DataFrame:
         return df.select(
@@ -874,8 +884,32 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ngram"),
         )
 
-    bench = posts(docs.filter(is_bench), "bench_id")
-    train = posts(docs.filter(~is_bench), "doc_id")
+    short_widths = (
+        bench_docs.select(tx.token_count(F.col("text")).alias("w"))
+        .filter((F.col("w") >= 1) & (F.col("w") < DECON_NGRAM_WIDTH))
+        .distinct()
+    )
+    train_short = (
+        train_docs.crossJoin(F.broadcast(short_widths))
+        .select("doc_id", tx.tokens(F.col("text")).alias("toks"), "w")
+        .filter(F.size("toks") >= F.col("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - F.col("w") + 1),
+                        lambda i: F.array_join(
+                            F.slice(F.col("toks"), i, F.col("w")), " "
+                        ),
+                    )
+                )
+            ).alias("ngram"),
+        )
+    )
+
+    bench = posts(bench_docs, "bench_id")
+    train = posts(train_docs, "doc_id").unionByName(train_short)
     return (
         train.join(F.broadcast(bench), "ngram")
         .groupBy("doc_id")
@@ -900,9 +934,21 @@ WITH t AS (
 ), bench AS (
   SELECT doc_id AS bench_id, unnest(sh) AS ngram FROM s
   WHERE doc_id % {DECON_BENCH_MOD} = 0
+), short_widths AS (
+  SELECT DISTINCT len(toks) AS w FROM t
+  WHERE doc_id % {DECON_BENCH_MOD} = 0
+    AND len(toks) >= 1 AND len(toks) < {DECON_NGRAM_WIDTH}
+), train_short AS (
+  SELECT t.doc_id, unnest(list_distinct(
+           [array_to_string(t.toks[i:i+sw.w-1], ' ')
+            for i in range(1, len(t.toks) - sw.w + 2)])) AS ngram
+  FROM t, short_widths sw
+  WHERE t.doc_id % {DECON_BENCH_MOD} <> 0 AND len(t.toks) >= sw.w
 ), train AS (
   SELECT doc_id, unnest(sh) AS ngram FROM s
   WHERE doc_id % {DECON_BENCH_MOD} <> 0
+  UNION ALL
+  SELECT doc_id, ngram FROM train_short
 )
 SELECT t.doc_id,
        COUNT(DISTINCT t.ngram) AS n_shared_ngrams,
@@ -1105,12 +1151,14 @@ def _sql_kmeans_ctes(iterations: int = IVF_ITERATIONS) -> str:
         sql_dsum,
     )
 
-    # seed = the IVF_CENTROIDS lowest-id vectors (mirror of the operator's
-    # TakeOrdered seeding — identical to `vec_id < n` on the full corpus,
-    # robust on filtered corpora whose ids do not start at 0)
+    # seed = the IVF_CENTROIDS lowest-id vectors, cid = seed RANK (mirror
+    # of the operator's TakeOrdered + row_number seeding — identical to
+    # `vec_id < n` with cid = vec_id on the full 0-based corpus, robust on
+    # filtered corpora and on ids exceeding int range)
     parts = [
-        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, vv AS cvec FROM v"
-        f" ORDER BY vec_id LIMIT {IVF_CENTROIDS})"
+        f"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)"
+        f" AS cid, vv AS cvec FROM"
+        f" (SELECT vec_id, vv FROM v ORDER BY vec_id LIMIT {IVF_CENTROIDS}))"
     ]
     for i in range(iterations):
         parts.append(f"""a{i} AS (

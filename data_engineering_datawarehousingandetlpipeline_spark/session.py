@@ -53,8 +53,11 @@ def default_parallelism() -> int:
 #: probe below forces physical planning of the input subtree; every query
 #: in the registry spreads the same handful of table scans, so one probe
 #: per distinct plan per session is enough. Bounded: the key space is the
-#: distinct spread() inputs (~tables), not queries.
-_SPREAD_PROBE_CACHE: dict[tuple[int, int], int] = {}
+#: distinct spread() inputs (~tables), not queries. Keyed by the JVM
+#: session UUID, not id(session): CPython reuses freed object addresses,
+#: so an id() key could serve a dead session's partition count to its
+#: successor.
+_SPREAD_PROBE_CACHE: dict[tuple[str, int], int] = {}
 
 
 def spread(df, parallelism: int | None = None):
@@ -80,7 +83,7 @@ def spread(df, parallelism: int | None = None):
     target = parallelism or default_parallelism()
     try:
         key = (
-            id(df.sparkSession),
+            df.sparkSession._jsparkSession.sessionUUID(),
             df._jdf.queryExecution().analyzed().semanticHash(),
         )
     except Exception:  # pragma: no cover - connect-mode / internals drift

@@ -1,8 +1,11 @@
 """End-to-end pretraining-data pipeline: raw corpus → packed token bins.
 
 The full funnel a 100 TB text pipeline runs, composed from this engine's
-operators — every stage is a lazy DataFrame transform, so Catalyst sees
-one plan per materialization and stages prune each other's work:
+operators — each stage is a lazy DataFrame transform (one exception: the
+near-dup clustering stage materializes its pair graph and label table,
+since iterative label propagation needs a driver-side convergence loop),
+so Catalyst sees one plan per materialization and stages prune each
+other's work:
 
 1. quality gate        (length / stopword / punctuation heuristics)
 2. language filter     (n-gram stopword language ID)

@@ -190,3 +190,27 @@ def test_source_stats_is_single_scan_partial_agg(spark):
     plan = _plan(spark, "doc_source_stats")
     assert plan.count("FileScan parquet") == 1
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_driver_correctness_window_contains_unverified_queries():
+    """The round driver records correctness rows for only the FIRST 50
+    registry entries. Every query that has not yet accumulated multiple
+    driver-green rounds must sit inside that window; everything past
+    position 49 must be a multiply-verified extensions-tail query. A
+    failure here means someone registered a query into the silent zone —
+    rotate the tail before shipping."""
+    names = list(all_queries())
+    in_window_required = [
+        # never driver-verified before round 4 (pipeline tail + r4-new)
+        "event_grouping_sets", "click_days_no_purchase", "user_day_overlap",
+        "streaming_window_stats", "streaming_sessions", "user_rolling_stats",
+        "value_quantiles", "session_stats", "value_correlations",
+        "doc_edit_distance", "approx_sketches", "asof_last_error",
+        "doc_repetition", "doc_decontaminate", "doc_chunks",
+        "emb_semantic_dedup", "doc_source_stats", "doc_split_assign",
+    ]
+    for name in in_window_required:
+        assert names.index(name) < 50, (
+            f"{name} at position {names.index(name)} — outside the driver's "
+            "50-entry correctness window"
+        )

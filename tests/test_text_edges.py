@@ -241,3 +241,35 @@ def test_source_rollup_null_quality_contract(spark):
     }
     assert got["a"] == (2, 0.8, 0.5, False)  # NULL: in n_docs, not avg/ok
     assert got["b"] == (1, 0.1, 0.0, True)
+
+
+def test_decontamination_catches_short_benchmark_doc_in_long_training_doc(
+    spark, tmp_path
+):
+    """A benchmark doc SHORTER than the n-gram width quoted verbatim inside
+    a LONG training doc must be flagged: the training side emits k-grams
+    for each distinct short bench width, so the bench doc's whole-text
+    fallback gram finds its match. Exercises the registered query via a
+    synthetic documents table."""
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.extensions import (
+        q_doc_decontaminate,
+    )
+
+    rows = [
+        # doc_id % 50 == 0 -> benchmark side; 5 tokens (< width 8)
+        (0, "alpha beta gamma delta epsilon"),
+        # long training doc quoting the bench doc verbatim mid-text
+        (1, "intro words here alpha beta gamma delta epsilon and a longer tail"),
+        # long training doc without the quote
+        (2, "totally unrelated content spanning more than eight whole tokens here"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r.first_bench_id
+        for r in q_doc_decontaminate(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 0}
