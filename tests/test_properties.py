@@ -77,3 +77,33 @@ def test_extract_fields_first_candidate_wins(column, value):
 def test_extract_fields_total_on_arbitrary_payloads(payload):
     row = extract_fields(payload)
     assert set(row) == set(FIELD_CANDIDATES)  # always the full column set
+
+
+def test_u32_hash_contract_matches_duckdb_oracle(spark):
+    """u32_hash (Spark) and sql_u32_hash (DuckDB) implement ONE contract:
+    first 32 md5 bits as a non-negative bigint. Every deterministic
+    sampling / split / plane-seed decision in the engine rides this
+    equivalence, so pin it directly over representative keys (plain ids,
+    salted ids, empty string, unicode)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.hashing import (
+        sql_u32_hash,
+        u32_hash,
+    )
+
+    keys = ["0", "1", "4294967295", "split:123", "", "käse-Ω", "a b  c"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got_spark = {
+        r.k: r.h
+        for r in df.select("k", u32_hash(F.col("k")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for k in keys:
+        expr = sql_u32_hash("?")
+        h = con.execute(f"SELECT {expr.replace('?', '$k$')}".replace(
+            "$k$", "'" + k.replace("'", "''") + "'"), ).fetchone()[0]
+        assert got_spark[k] == h, k
+        assert 0 <= h < (1 << 32)
