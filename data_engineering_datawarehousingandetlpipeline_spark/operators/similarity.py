@@ -256,9 +256,19 @@ def kmeans_centroids(
     # 0-based corpus the cid values themselves — are unchanged. The
     # window spans only the n seed rows, not the corpus.
     seeds = vecs.orderBy("vid").limit(n_centroids)
-    cents = seeds.select(
-        (F.row_number().over(Window.orderBy("vid")) - 1).cast("int").alias("cid"),
-        F.col("dv").alias("cvec"),
+    # Rank via collect_list → array_sort → posexplode, NOT an unpartitioned
+    # row_number window: the work is identical (n_centroids rows on one
+    # task either way) but WindowExec would log its single-partition scale
+    # warning — and Spark 4 folds away a constant partitionBy(lit) key, so
+    # that warning cannot be silenced spec-side. Keeping the log clean
+    # preserves the warning's signal value where it marks a REAL
+    # corpus-wide window. Struct sort orders by vid (first field; unique).
+    packed = seeds.agg(
+        F.array_sort(F.collect_list(F.struct("vid", "dv"))).alias("a")
+    )
+    cents = packed.select(F.posexplode("a").alias("pos", "s")).select(
+        F.col("pos").cast("int").alias("cid"),
+        F.col("s.dv").alias("cvec"),
     )
     train = vecs
     if train_fraction is not None:
@@ -428,6 +438,15 @@ def embedding_near_dup_pairs(
     """
     if n_planes is None:
         if corpus_rows is None:
+            import warnings
+
+            warnings.warn(
+                "embedding_near_dup_pairs: neither n_planes nor corpus_rows "
+                "given — running an eager df.count() (one extra corpus scan) "
+                "to size the LSH index. Pass corpus_rows (any recent "
+                "estimate) at warehouse scale.",
+                stacklevel=2,
+            )
             corpus_rows = df.count()
         n_planes = planes_for_corpus(corpus_rows, target_bucket_size)
     table_planes = [
@@ -556,4 +575,75 @@ def semantic_dedup(
             F.coalesce(F.col("is_dup"), F.lit(False)).alias("pruned"),
         )
         .orderBy(id_col)
+    )
+
+
+def cluster_profile(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """Per-cluster diagnostics for the k-means coarse quantizer.
+
+    The index-health check an ANN/SemDeDup deployment runs before trusting
+    its clustering: per centroid, the member count (occupancy — skewed
+    occupancy means the LSH/IVF probe cost is unbalanced), the mean cosine
+    of members to their centroid (cohesion), and the worst member cosine
+    (radius). Empty clusters surface with ``n_vecs = 0`` and NULL stats —
+    exactly the clusters wasting index slots.
+
+    One broadcast-join scan computes assignment AND the member-to-centroid
+    cosine together (the argmax carries the winning cosine in the same
+    partial-aggregatable ``min(struct(...))`` — no second pass over the
+    corpus); the profile is then a partial-agg groupBy on ``cid`` whose
+    state is three numbers per cluster. Mean cosine is decimal-anchored
+    (:func:`...functions.numeric.davg`) so the profile value-hash-matches
+    any engine at any partitioning. Scale: one corpus scan + one
+    ``n_centroids``-sized shuffle — scan-bound at 100 TB.
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
+        davg,
+    )
+
+    cents = kmeans_centroids(
+        corpus, n_centroids, iterations, id_col, vec_col, train_fraction
+    ).withColumn("cnorm", norm(F.col("cvec")))
+    vecs = (
+        spread(corpus)
+        .select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("dv"))
+        .withColumn("nv", norm(F.col("dv")))
+    )
+    # same shape as _nearest_cid, but the struct keeps the winning cosine.
+    pairs = vecs.crossJoin(F.broadcast(cents)).select(
+        "vid",
+        "cid",
+        (-_centroid_cosine(F.col("dv"), F.col("nv"))).alias("negc"),
+    )
+    best = (
+        pairs.groupBy("vid")
+        .agg(
+            F.min(F.struct(F.col("negc").alias("n"), F.col("cid").alias("c"))).alias(
+                "b"
+            )
+        )
+        .select(F.col("b.c").alias("cid"), (-F.col("b.n")).alias("ccos"))
+    )
+    prof = best.groupBy("cid").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(davg(F.col("ccos"), wide=True), COSINE_SCALE).alias("avg_cos"),
+        F.min("ccos").alias("min_cos"),
+    )
+    return (
+        cents.select("cid")
+        .join(prof, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce(F.col("n_vecs"), F.lit(0)).alias("n_vecs"),
+            "avg_cos",
+            "min_cos",
+        )
+        .orderBy("cid")
     )

@@ -279,8 +279,12 @@ def chunk_documents(
         (F.greatest(F.lit(0), n - chunk_size) + (stride - 1)) / F.lit(stride)
     ).cast("int")
     chunk = F.slice("toks", F.col("chunk_id") * stride + 1, chunk_size)
+    # NULL text coalesces to an empty token array → one empty chunk, so
+    # the "every doc yields ≥ 1 chunk" contract holds for NULL-text docs
+    # too (without this, a NULL n_chunks makes explode drop the doc).
+    toks = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+        df.select(F.col(id_col), toks.alias("toks"))
         .select(
             id_col,
             "toks",

@@ -694,7 +694,10 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_CHUNKS = f"""
 WITH t AS (
-  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+  -- NULL text → empty token array → one empty chunk (operator contract:
+  -- every doc yields at least one chunk)
+  SELECT doc_id, COALESCE({SQL_TOKS}, CAST([] AS VARCHAR[])) AS toks
+  FROM documents
 ), sized AS (
   SELECT doc_id, toks,
          1 + (greatest(0, len(toks) - {CHUNK_SIZE_TOKENS})
@@ -1071,9 +1074,9 @@ def _sql_plane_literal(plane: list[float]) -> str:
     return "[" + ", ".join(f"{p:.1f}" for p in plane) + "]"
 
 
-def _sql_bucket(vec_expr: str, seed_offset: int = 0) -> str:
+def _sql_bucket(vec_expr: str, seed_offset: int = 0, n_planes: int = ANN_PLANES) -> str:
     planes = [
-        sim.hyperplane(seed_offset + b, EMBED_DIM) for b in range(ANN_PLANES)
+        sim.hyperplane(seed_offset + b, EMBED_DIM) for b in range(n_planes)
     ]
     terms = [
         f"(CASE WHEN round(list_dot_product({vec_expr}, {_sql_plane_literal(p)}), "
@@ -1223,21 +1226,31 @@ ORDER BY query_id, rank
 
 
 EMBED_TABLES = 4
+#: pinned row count of the correctness corpus (driver runs sf0.01; its
+#: embeddings table is 500 rows). The registered query derives its plane
+#: count from this via planes_for_corpus — exercising the occupancy knob
+#: that must grow with the corpus — while keeping the oracle SQL static
+#: (a live count() would both add an eager scan and desync the oracle's
+#: baked plane literals). Deployments pass their own corpus_rows.
+EMBED_CORPUS_ROWS = 500
+NEAR_DUP_BUCKET_TARGET = 64
+NEAR_DUP_PLANES = sim.planes_for_corpus(EMBED_CORPUS_ROWS, NEAR_DUP_BUCKET_TARGET)
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(
         _embs(spark, sf_dir),
         threshold=EMBED_NEAR_DUP_THRESHOLD,
-        n_planes=ANN_PLANES,
         n_tables=EMBED_TABLES,
         dim=EMBED_DIM,
+        corpus_rows=EMBED_CORPUS_ROWS,
+        target_bucket_size=NEAR_DUP_BUCKET_TARGET,
     ).orderBy("id_a", "id_b")
 
 
 _SQL_NEAR_DUP_BUCKETS = " UNION ALL ".join(
     f"SELECT vec_id, {t} AS tbl, "
-    f"{_sql_bucket('CAST(embedding AS DOUBLE[])', seed_offset=t * ANN_PLANES)} AS bucket "
+    f"{_sql_bucket('CAST(embedding AS DOUBLE[])', seed_offset=t * NEAR_DUP_PLANES, n_planes=NEAR_DUP_PLANES)} AS bucket "
     "FROM embeddings"
     for t in range(EMBED_TABLES)
 )
@@ -1309,12 +1322,173 @@ ORDER BY a.vec_id
 """
 
 
+NGRAM_TOPK_K = 50
+
+
+def q_doc_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k bigram counts — the LM-stats sweep.
+
+    The vocabulary/frequency profile a pretraining pipeline computes before
+    choosing tokenizer merges or filtering boilerplate: every bigram's
+    total occurrence count and document frequency, keeping the global
+    top ``NGRAM_TOPK_K`` by occurrences. One explode + one aggregation:
+    the (bigram) shuffle key is well distributed, partial aggregation
+    collapses the per-partition counts map-side, and the global top-k is
+    a ``TakeOrdered`` over the aggregated bigram table (no full sort).
+    Short docs (< 2 tokens) contribute their whole-text shingle, same as
+    every shingling operator here. Ordering is total (count desc, bigram
+    asc), so the cut at k is deterministic on any engine.
+    """
+    docs = _docs(spark, sf_dir)
+    bigrams = docs.select(
+        "doc_id", F.explode(tx.word_shingles(F.col("text"), 2)).alias("ngram")
+    )
+    return (
+        bigrams.groupBy("ngram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(NGRAM_TOPK_K)
+    )
+
+
+SQL_DOC_NGRAM_TOPK = f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), bg AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+             THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+             ELSE [array_to_string(toks, ' ')] END) AS ngram
+  FROM t
+)
+SELECT ngram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM bg
+GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT {NGRAM_TOPK_K}
+"""
+
+
+GROUP_SAMPLE_PER_SOURCE = 10
+
+
+def q_doc_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group fixed-size sample (hash reservoir).
+
+    A reservoir-style "n docs per source" sample with zero RNG: rank each
+    doc within its source by ``md5('gsample:' || doc_id)`` and keep the
+    ``GROUP_SAMPLE_PER_SOURCE`` smallest — a uniform-per-group choice
+    that is identical on any engine, cluster layout, or replay, and
+    stable under reruns (the property ``sample()``/reservoir RNG loses).
+    The salt prefix decorrelates it from every other hash-keyed decision
+    (sampling, splits, sharding) on the same ids. The rank filter is a
+    per-group top-n, which Spark executes with WindowGroupLimit partial
+    pushdown: each task keeps only its local top-n per group before the
+    shuffle, so a skewed source (one domain = half the corpus) never
+    materializes its full partition — the post-shuffle state per group is
+    O(n), not O(group).
+    """
+    from pyspark.sql import Window
+
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.hashing import (
+        u32_hash,
+    )
+
+    docs = _docs(spark, sf_dir)
+    h = u32_hash(F.concat(F.lit("gsample:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(
+        F.col("u32").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("source", "doc_id", h.alias("u32"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= GROUP_SAMPLE_PER_SOURCE)
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+SQL_DOC_GROUP_SAMPLE = f"""
+SELECT source, doc_id, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY u32 ASC, doc_id ASC) AS rk
+  FROM (
+    SELECT source, doc_id,
+           {sql_u32_hash("'gsample:' || CAST(doc_id AS VARCHAR)")} AS u32
+    FROM documents
+  )
+) ranked
+WHERE rk <= {GROUP_SAMPLE_PER_SOURCE}
+ORDER BY source, rk
+"""
+
+
+def q_emb_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-health diagnostics for the shared k-means quantizer.
+
+    Occupancy, cohesion (mean member→centroid cosine), and radius (worst
+    member cosine) per centroid — the index-health check run before
+    trusting ``emb_ivf_topk``'s probe pruning or ``emb_semantic_dedup``'s
+    cluster bound. Same trained centroids as both (one oracle CTE chain
+    verifies all three).
+    """
+    return sim.cluster_profile(
+        _embs(spark, sf_dir),
+        n_centroids=IVF_CENTROIDS,
+        iterations=IVF_ITERATIONS,
+    )
+
+
+def _sql_emb_cluster_profile() -> str:
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
+        sql_dsum,
+    )
+
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+{_sql_kmeans_ctes()},
+scored AS (
+  SELECT cid, ccos FROM (
+    SELECT c.cid, {_SQL_CCOS} AS ccos,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQL_CCOS} DESC, c.cid ASC) AS rn
+    FROM v CROSS JOIN {_CF} c) t
+  WHERE rn = 1
+),
+prof AS (
+  SELECT cid, COUNT(*) AS n_vecs,
+         round({sql_dsum('ccos', wide=True)} / COUNT(ccos), {sim.COSINE_SCALE})
+           AS avg_cos,
+         MIN(ccos) AS min_cos
+  FROM scored GROUP BY cid
+)
+SELECT c.cid, COALESCE(p.n_vecs, 0) AS n_vecs, p.avg_cos, p.min_cos
+FROM {_CF} c LEFT JOIN prof p USING (cid)
+ORDER BY c.cid
+"""
+
+
+SQL_EMB_CLUSTER_PROFILE = _sql_emb_cluster_profile()
+
+
 QUERIES = [
-    # The six r4-new queries lead this module so they fall inside the
-    # driver's 50-entry CORRECTNESS window at positions 44-49 (everything
-    # from position 50 on gets no per-round driver row; the rest of this
-    # module is already multiply driver-green). The window is now FULL —
-    # adding a seventh leading spec would push doc_split_assign out.
+    # Driver-window placement is governed by registry.WINDOW_HEAD, not by
+    # position in this list — register new queries there as well (new or
+    # changed queries MUST sit inside the first 50 registry entries or
+    # they get no per-round driver correctness row).
+    QuerySpec("doc_ngram_topk", q_doc_ngram_topk, SQL_DOC_NGRAM_TOPK,
+              "corpus-wide top-k bigram counts (LM stats sweep)",
+              tags=("text",)),
+    QuerySpec("doc_group_sample", q_doc_group_sample, SQL_DOC_GROUP_SAMPLE,
+              "deterministic per-source fixed-size hash reservoir sample",
+              tags=("text", "sample")),
+    QuerySpec("emb_cluster_profile", q_emb_cluster_profile,
+              SQL_EMB_CLUSTER_PROFILE,
+              "k-means cluster occupancy/cohesion/radius diagnostics",
+              tags=("similarity",)),
     QuerySpec("doc_repetition", q_doc_repetition, SQL_DOC_REPETITION,
               "Gopher-style repetition signals: top/dup bigram fractions",
               tags=("text",)),

@@ -755,36 +755,116 @@ ORDER BY doc_a, doc_b
 """
 
 
+#: HLL relative standard deviation (tighter than the 0.05 default so the
+#: 5 % cardinality contract below is ~5σ wide) and the quantile-sketch
+#: rank-error budget: approx_percentile guarantees rank error ≤
+#: n/accuracy, so the verifiable contract is RANK-based (a value-space
+#: tolerance is distribution-dependent — sparse tails break it).
+SKETCH_HLL_RSD = 0.01
+SKETCH_HLL_TOLERANCE = 0.05
+SKETCH_PCT_ACCURACY = 10000
+SKETCH_QUANTILES = (0.5, 0.9, 0.99)
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximations: the one-pass mergeable scale path.
 
-    HyperLogLog distinct counts and t-digest percentiles replace their
-    exact twins (`distinct_counts`, `value_quantiles`) when a full sort or
-    exact distinct set no longer fits the shuffle budget — both sketches
-    merge associatively across partitions, so cost is one scan regardless
-    of cardinality. No SQL oracle: sketch estimates are engine-specific
-    by construction (the driver records the weaker rows-only check); the
-    exact twins above are the value-verified versions of the same answers.
+    HyperLogLog distinct counts and quantile sketches replace their exact
+    twins (`distinct_counts`, `value_quantiles`) when a full sort or exact
+    distinct set no longer fits the shuffle budget — both sketches merge
+    associatively across partitions, so cost is one scan regardless of
+    cardinality.
+
+    Sketch estimates are engine-specific, so raw estimates can never
+    hash-match a DuckDB oracle. The driver-verifiable contract instead:
+    emit the EXACT portable aggregates plus booleans asserting each sketch
+    met its error bound — HLL within 5 % of the exact distinct count, and
+    each approx quantile within its guaranteed RANK window (the fraction
+    of values ≤/< the estimate brackets q ± (1/accuracy + 2/n)); the
+    oracle emits the same exact values and TRUE literals. A hash match
+    therefore proves the exact aggregates AND every sketch bound. Both
+    sketches are deterministic functions of the data (no RNG), so the
+    booleans are replay-stable. The rank check re-joins the estimates
+    (5 broadcast rows) against the events scan — that second pass is the
+    verification harness, not the production sketch path (which is the
+    single groupBy scan).
     """
     ensure_runtime_confs(spark)
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
-            F.expr("approx_percentile(value, array(0.5, 0.9, 0.99))").alias("pcts"),
-            F.count("*").alias("n_events"),
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    qarr = ", ".join(str(q) for q in SKETCH_QUANTILES)
+    sketched = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.expr(f"approx_count_distinct(user_id, {SKETCH_HLL_RSD})").alias(
+            "hll_users"
+        ),
+        F.expr(
+            f"approx_percentile(value, array({qarr}), {SKETCH_PCT_ACCURACY})"
+        ).alias("pap"),
+        F.count("value").alias("n_vals"),
+        F.count("*").alias("n_events"),
+    )
+    ranked = events.join(F.broadcast(sketched), "event_type").groupBy(
+        "event_type"
+    ).agg(
+        *[
+            agg
+            for i in range(len(SKETCH_QUANTILES))
+            for agg in (
+                F.sum(
+                    F.when(F.col("value") <= F.col("pap")[i], 1).otherwise(0)
+                ).alias(f"le{i}"),
+                F.sum(
+                    F.when(F.col("value") < F.col("pap")[i], 1).otherwise(0)
+                ).alias(f"lt{i}"),
+            )
+        ]
+    )
+    eps = F.lit(1.0 / SKETCH_PCT_ACCURACY) + F.lit(2.0) / F.col("n_vals")
+
+    def rank_ok(i: int, q: float):
+        # estimate's rank window must bracket q: enough values at or below
+        # it, not too many strictly below it. NULL estimate (all-NULL
+        # group) verifies vacuously.
+        return F.coalesce(
+            (F.col(f"le{i}") / F.col("n_vals") >= F.lit(q) - eps)
+            & (F.col(f"lt{i}") / F.col("n_vals") <= F.lit(q) + eps),
+            F.lit(True),
         )
+
+    hll_ok = (
+        F.abs(F.col("hll_users").cast("double") - F.col("exact_users"))
+        <= F.greatest(F.col("exact_users"), F.lit(1)).cast("double")
+        * SKETCH_HLL_TOLERANCE
+    )
+    return (
+        sketched.join(ranked, "event_type")
         .select(
             "event_type",
-            "approx_users",
-            F.col("pcts")[0].alias("p50"),
-            F.col("pcts")[1].alias("p90"),
-            F.col("pcts")[2].alias("p99"),
+            "exact_users",
             "n_events",
+            hll_ok.alias("hll_within_5pct"),
+            rank_ok(0, 0.5).alias("p50_rank_ok"),
+            rank_ok(1, 0.9).alias("p90_rank_ok"),
+            rank_ok(2, 0.99).alias("p99_rank_ok"),
         )
         .orderBy("event_type")
     )
+
+
+SQL_APPROX_SKETCHES = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(*) AS n_events,
+       TRUE AS hll_within_5pct,
+       TRUE AS p50_rank_ok,
+       TRUE AS p90_rank_ok,
+       TRUE AS p99_rank_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 QUERIES = [
@@ -834,8 +914,8 @@ QUERIES = [
               "corr/covar/stddev statistical aggregates", tags=("agg",)),
     QuerySpec("doc_edit_distance", q_doc_edit_distance, SQL_DOC_EDIT_DISTANCE,
               "Levenshtein over a shortlisted candidate set", tags=("dedup", "text")),
-    QuerySpec("approx_sketches", q_approx_sketches, None,
-              "HLL distinct + t-digest percentiles (mergeable sketches; "
-              "rows-only check — estimates are engine-specific)",
+    QuerySpec("approx_sketches", q_approx_sketches, SQL_APPROX_SKETCHES,
+              "HLL distinct + t-digest percentiles: exact values + "
+              "within-tolerance booleans (hash-verifiable sketch contract)",
               tags=("agg", "sketch")),
 ]

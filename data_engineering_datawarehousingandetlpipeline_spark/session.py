@@ -92,8 +92,12 @@ def spread(df, parallelism: int | None = None):
     if n is None:
         n = df.rdd.getNumPartitions()
         if key is not None:
-            if len(_SPREAD_PROBE_CACHE) > 256:  # stale-session hygiene
-                _SPREAD_PROBE_CACHE.clear()
+            if len(_SPREAD_PROBE_CACHE) > 256:  # stale-session hygiene:
+                # drop only DEAD sessions' keys — wiping the live session's
+                # entries would re-probe (re-plan) every scan it touches next.
+                live = key[0]
+                for k in [k for k in _SPREAD_PROBE_CACHE if k[0] != live]:
+                    del _SPREAD_PROBE_CACHE[k]
             _SPREAD_PROBE_CACHE[key] = n
     if n >= target:
         return df

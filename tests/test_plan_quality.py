@@ -201,13 +201,17 @@ def test_driver_correctness_window_contains_unverified_queries():
     rotate the tail before shipping."""
     names = list(all_queries())
     in_window_required = [
-        # never driver-verified before round 4 (pipeline tail + r4-new)
-        "event_grouping_sets", "click_days_no_purchase", "user_day_overlap",
-        "streaming_window_stats", "streaming_sessions", "user_rolling_stats",
-        "value_quantiles", "session_stats", "value_correlations",
-        "doc_edit_distance", "approx_sketches", "asof_last_error",
-        "doc_repetition", "doc_decontaminate", "doc_chunks",
-        "emb_semantic_dedup", "doc_source_stats", "doc_split_assign",
+        # r5 debuts + the reworked tolerance-contract sketch query
+        "doc_ngram_topk", "doc_group_sample", "emb_cluster_profile",
+        "approx_sketches",
+        # changed since their last driver row (r3): in-join size prune /
+        # lazy-checkpoint + rank-cid training / derived plane count
+        "doc_minhash_neardup", "emb_ivf_topk", "emb_near_dup",
+        # kmeans seed-window change + NULL-chunk fix ride these
+        "emb_semantic_dedup", "doc_chunks",
+        # r2/r3-green tail rotated back in for fresh rows
+        "doc_exact_dedup", "doc_dedup_clusters", "emb_cosine_topk",
+        "media_features",
     ]
     for name in in_window_required:
         assert names.index(name) < 50, (
