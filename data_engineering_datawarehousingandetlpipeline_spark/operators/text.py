@@ -254,6 +254,7 @@ def chunk_documents(
     stride: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sort_output: bool = True,
 ) -> DataFrame:
     """Split documents into overlapping fixed-token windows (chunking).
 
@@ -283,7 +284,7 @@ def chunk_documents(
     # the "every doc yields ≥ 1 chunk" contract holds for NULL-text docs
     # too (without this, a NULL n_chunks makes explode drop the doc).
     toks = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
-    return (
+    out = (
         df.select(F.col(id_col), toks.alias("toks"))
         .select(
             id_col,
@@ -296,5 +297,9 @@ def chunk_documents(
             F.size(chunk).alias("n_chunk_tokens"),
             F.array_join(chunk, " ").alias("chunk_text"),
         )
-        .orderBy(id_col, "chunk_id")
     )
+    # sort_output=False: every expression above is stateless, so the
+    # operator composes directly with Structured Streaming (global sort is
+    # both unsupported and meaningless on an unbounded stream — readers
+    # order on consumption).
+    return out.orderBy(id_col, "chunk_id") if sort_output else out

@@ -719,6 +719,71 @@ ORDER BY doc_id, chunk_id
 """
 
 
+STREAM_CHUNK_MOD = 7  # doc_id % 7 == 0 subset keeps the e2e drain small
+
+
+def q_streaming_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking composed with the streaming path, end to end.
+
+    A document subset is staged as a JSON file stream (the Kafka stand-in,
+    all-string payload), chunked AS A STREAM (stateless operator, no
+    foreachBatch), and written through the exactly-once parquet file sink
+    with a checkpoint; the sink contents are returned. The oracle states
+    the batch chunking semantics over the same subset, so the comparison
+    proves the streaming drain emits exactly the batch answer — the
+    contract that lets a pretraining pipeline run its chunk stage
+    incrementally as shards land instead of re-chunking the corpus.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_chunking,
+    )
+
+    docs = _docs(spark, sf_dir).filter(
+        (F.col("doc_id") % STREAM_CHUNK_MOD) == 0
+    )
+    # Test-scale plumbing (tempdir + single staged file stand in for a
+    # Kafka topic / landing bucket), mirroring q_streaming_ingest.
+    workdir = tempfile.mkdtemp(prefix="streaming_chunks_q_")
+    indir = os.path.join(workdir, "incoming")
+    docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).coalesce(1).write.mode("overwrite").json(indir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    out_dir = os.path.join(workdir, "chunks")
+    query = start_chunking(
+        spark.readStream.schema(schema).json(indir),
+        out_dir,
+        os.path.join(workdir, "ckpt"),
+        chunk_size=CHUNK_SIZE_TOKENS,
+        stride=CHUNK_STRIDE_TOKENS,
+        available_now=True,
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("doc_id", "chunk_id")
+
+
+def _sql_streaming_chunks() -> str:
+    # the batch chunking oracle, restricted to the streamed subset. JSON
+    # staging drops null fields; the schema read restores them as NULL, so
+    # the NULL-text → one-empty-chunk contract is exercised end to end.
+    return SQL_DOC_CHUNKS.replace(
+        "FROM documents", f"FROM documents WHERE doc_id % {STREAM_CHUNK_MOD} = 0"
+    )
+
+
+SQL_STREAMING_CHUNKS = _sql_streaming_chunks()
+
+
 TFIDF_TOP_TERMS = 3
 
 
@@ -1489,6 +1554,10 @@ QUERIES = [
               SQL_EMB_CLUSTER_PROFILE,
               "k-means cluster occupancy/cohesion/radius diagnostics",
               tags=("similarity",)),
+    QuerySpec("streaming_chunks", q_streaming_chunks, SQL_STREAMING_CHUNKS,
+              "chunking run AS a stream through the exactly-once parquet "
+              "sink, verified against the batch chunking oracle",
+              tags=("streaming", "text", "pack")),
     QuerySpec("doc_repetition", q_doc_repetition, SQL_DOC_REPETITION,
               "Gopher-style repetition signals: top/dup bigram fractions",
               tags=("text",)),

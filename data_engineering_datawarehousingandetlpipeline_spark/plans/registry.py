@@ -37,10 +37,10 @@ class QuerySpec:
 #: been driver-verified, MUST be in this list; multiply-green unchanged
 #: queries rotate out to make room and rotate back in later rounds.
 #:
-#: Round-5 window: the 4 debut/reworked queries; the 22 extension-tail
+#: Round-5 window: the 5 debut/reworked queries; the 22 extension-tail
 #: queries whose last driver row was r2/r3 (led by doc_minhash_neardup
 #: and emb_ivf_topk, changed since); the 6 r4-debut queries (second row);
-#: 18 r4-green keepers biased toward the most machinery-heavy paths
+#: 17 r4-green keepers biased toward the most machinery-heavy paths
 #: (streaming, stateful sessions, as-of/range joins, warehouse merge).
 #: Rotated out this round (all r4-green, unchanged): long_term_users,
 #: event_grouping_sets, click_days_no_purchase, user_day_overlap,
@@ -49,12 +49,13 @@ class QuerySpec:
 #: watermark_filter, schema_projection, validate_counts, hourly_rollup,
 #: json_props, composite_sort, region_revenue, top_customers,
 #: order_priority, supplier_volume, part_type_stats, revenue_rollup,
-#: event_cube.
+#: event_cube, top_orders_per_customer.
 WINDOW_HEAD: tuple[str, ...] = (
     # r5 debuts + the reworked sketch contract
     "doc_ngram_topk",
     "doc_group_sample",
     "emb_cluster_profile",
+    "streaming_chunks",
     "approx_sketches",
     # extension tail, last driver row r2/r3 — changed-since first
     "doc_minhash_neardup",
@@ -104,7 +105,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     "salted_rollup",
     "pivot_daily",
     "pricing_summary",
-    "top_orders_per_customer",
 )
 
 

@@ -107,3 +107,45 @@ def run_available(
         source, warehouse, checkpoint_dir, available_now=True
     )
     query.awaitTermination()
+
+
+def start_chunking(
+    source: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    chunk_size: int,
+    stride: int,
+    available_now: bool = False,
+    trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Streaming document chunking: source → overlapping token windows →
+    exactly-once parquet sink.
+
+    The chunking stage (operators/text.chunk_documents) is stateless, so
+    it runs directly ON the stream — no foreachBatch — and the built-in
+    parquet file sink's metadata log provides exactly-once output across
+    restarts (a replayed micro-batch overwrites its own files and commits
+    once). ``doc_id`` arrives as a string (the Kafka/JSON payload
+    contract, same dirtiness as the ingestion path) and is cast here.
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.text import (
+        chunk_documents,
+    )
+    from pyspark.sql import functions as F
+
+    chunks = chunk_documents(
+        source.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        chunk_size=chunk_size,
+        stride=stride,
+        sort_output=False,
+    )
+    writer = (
+        chunks.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -112,6 +112,42 @@ def test_brute_force_topk_broadcasts_query_side(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ngram_topk_takes_ordered_no_full_sort(spark):
+    """The global top-k must be a TakeOrdered over the aggregated bigram
+    table — a full Sort + Limit materializes and orders the entire n-gram
+    vocabulary (billions of rows at corpus scale) for 50 outputs."""
+    plan = _plan(spark, "doc_ngram_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [n_occurrences" not in plan
+
+
+def test_group_sample_pushes_window_group_limit(spark):
+    """The per-source rank filter must push a partial top-n into each task
+    (WindowGroupLimit) — without it a skewed source materializes its whole
+    partition in one window state."""
+    plan = _plan(spark, "doc_group_sample")
+    assert "WindowGroupLimit" in plan
+
+
+def test_cluster_profile_joins_are_centroid_bounded(spark):
+    """Same bound as IVF: the only nested loop allowed is corpus ×
+    broadcast(centroids); the profile aggregation must be partial
+    (map-side combine) so the shuffle carries one row per vector at most."""
+    plan = _plan(spark, "emb_cluster_profile")
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert frag.startswith(" BuildRight, Cross"), frag[:60]
+
+
+def test_sketch_query_stays_single_agg_scan_plus_rank_join(spark):
+    """The sketch path itself must stay one aggregation (mergeable
+    sketches, no sort); the rank-verification join must broadcast the
+    5-row sketch table, never shuffle-join the events scan against it."""
+    plan = _plan(spark, "approx_sketches")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_tfidf_corpus_count_is_in_plan_not_on_driver(spark):
     """N (corpus size) must ride the plan as a broadcast 1-row aggregate.
 

@@ -123,6 +123,55 @@ def test_sketch_contract_bools_hold(spark):
         assert r.p99_rank_ok is True
 
 
+def test_streaming_chunks_restart_idempotent(spark, tmp_path):
+    """The exactly-once parquet sink + checkpoint must make the chunk
+    stream restartable: a second drain over the same checkpoint emits
+    nothing new, and newly landed files emit ONLY their own chunks."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_chunking,
+    )
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    (indir / "a.json").write_text(
+        json.dumps({"doc_id": "1", "text": "a b c d e"}) + "\n"
+        + json.dumps({"doc_id": "2", "text": None}) + "\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    out, ckpt = str(tmp_path / "chunks"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_chunking(
+            spark.readStream.schema(schema).json(str(indir)),
+            out, ckpt, chunk_size=2, stride=2, available_now=True,
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.doc_id, r.chunk_id, r.n_chunk_tokens, r.chunk_text)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    first = drain()
+    assert first == [
+        (1, 0, 2, "a b"), (1, 1, 2, "c d"), (1, 2, 1, "e"),
+        (2, 0, 0, ""),  # NULL text → one empty chunk, streamed too
+    ]
+    assert drain() == first  # replay with nothing new: no duplicates
+    (indir / "b.json").write_text(
+        json.dumps({"doc_id": "3", "text": "x y"}) + "\n"
+    )
+    assert drain() == first + [(3, 0, 2, "x y")]  # only the new file's chunks
+
+
 def test_chunk_documents_null_text_yields_one_empty_chunk(spark):
     df = spark.createDataFrame(
         [(1, None), (2, "a b c")], "doc_id long, text string"
