@@ -490,3 +490,67 @@ def dedup_keep_canonical(
     """Exact dedup that keeps one full row per distinct content (min id wins)."""
     w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col).asc())
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+#: Span-dedup k-gram width (tokens). 8 ≈ the 50-char spans of the
+#: suffix-array dedup literature at this corpus's ~6-char mean token; wide
+#: enough that chance collisions vanish, short enough that real repeated
+#: passages are caught.
+SPAN_WIDTH = 8
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = SPAN_WIDTH,
+) -> DataFrame:
+    """Per-document duplicated-span profile (suffix-array dedup signal).
+
+    The "what fraction of this document is copied text" measure behind
+    span-level training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a ``width``-token gram
+    occurrence counts as duplicated iff that gram appears ≥2 times
+    corpus-wide — again in the same document or in any other. A true
+    suffix array finds arbitrary-length repeats; fixed-width gram postings
+    are the shuffle-friendly approximation (any repeat ≥ width tokens is
+    caught by every gram inside it), which is how this runs as three
+    bounded shuffles instead of a global sort of every suffix.
+
+    Output: (doc_id, n_spans, n_dup_spans, dup_frac), one row per doc.
+
+    Scale shape: grams are md5-hashed BEFORE the shuffle so the postings
+    carry 32-byte keys, not free-text; shuffle 1 groups (gram, doc) —
+    partial-agg collapses each doc's repeats map-side; shuffle 2 computes
+    corpus-wide gram totals; the totals join back to the per-doc postings
+    on the gram hash (equi-join, AQE-sized) and shuffle 3 re-groups by
+    doc. Nothing is ever collected; every stage is bounded by the
+    postings list, which is |tokens| per document. Short docs (< width
+    tokens) contribute their whole-text gram, same fallback as
+    fingerprinting, so no document silently drops out of the denominator.
+    """
+    grams = spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), width)).alias("gram"),
+    ).select("doc", F.md5("gram").alias("g"))
+    local = grams.groupBy("g", "doc").agg(F.count("*").alias("occ"))
+    totals = local.groupBy("g").agg(F.sum("occ").alias("tot"))
+    return (
+        local.join(totals, "g")
+        .groupBy("doc")
+        .agg(
+            F.sum("occ").alias("n_spans"),
+            F.sum(F.when(F.col("tot") >= 2, F.col("occ")).otherwise(F.lit(0))).alias(
+                "n_dup_spans"
+            ),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -647,3 +647,78 @@ def cluster_profile(
         )
         .orderBy("cid")
     )
+
+
+#: int8 symmetric quantization range: values map to round(x/scale) with
+#: scale = max|x|/127, so the largest-magnitude component lands exactly on
+#: ±127. Power-of-two-free and sign-symmetric — the layout faiss/ANN
+#: serving stacks use for 4× memory compression of float32 embeddings.
+QUANT_LEVELS = 127
+#: Per-row error metrics are rounded to this scale BEFORE aggregation so
+#: the decimal-anchored averages are bit-identical across engines and
+#: partitionings (same contract as COSINE_SCALE for cosines).
+QUANT_ERR_SCALE = 8
+
+
+def scalar_quantize(vec: Column) -> Column:
+    """Symmetric int8 quantization: struct(scale double, q array<int>).
+
+    ``scale = max|x| / 127`` per vector (so reconstruction is ``q_i *
+    scale``), guarded to stay positive on an all-zero vector, where every
+    component quantizes to 0 and reconstructs exactly. Pure array
+    expressions — runs inside codegen, no UDF, no shuffle.
+    """
+    dv = _as_double(vec)
+    maxabs = F.array_max(F.transform(dv, F.abs))
+    scale = F.greatest(maxabs, F.lit(1e-30)) / QUANT_LEVELS
+    q = F.transform(dv, lambda x: F.round(x / scale).cast("int"))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize(quant: Column) -> Column:
+    """Reconstruct array<double> from a :func:`scalar_quantize` struct."""
+    return F.transform(quant["q"], lambda i: i.cast("double") * quant["scale"])
+
+
+def quantization_error_profile(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Per-group int8 quantization fidelity report.
+
+    The go/no-go check before switching an ANN index to compressed
+    vectors: per group, mean squared reconstruction error, the worst
+    per-component absolute error, and the mean cosine between each vector
+    and its reconstruction (the number that actually predicts retrieval
+    quality — cosine ≈ 1 means ranking is preserved).
+
+    Single scan: quantize → dequantize → error metrics are all row-local
+    column expressions; the only shuffle is the final partial-agg groupBy
+    on ``group_col``. Per-row metrics are rounded (QUANT_ERR_SCALE) before
+    the decimal-anchored mean so results hash-match across engines.
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
+        davg,
+    )
+
+    dv = _as_double(F.col(vec_col))
+    quant = scalar_quantize(F.col(vec_col))
+    deq = dequantize(quant)
+    err = F.zip_with(dv, deq, lambda x, y: x - y)
+    mse = F.round(dot(err, err) / F.size(dv), QUANT_ERR_SCALE)
+    max_abs_err = F.round(F.array_max(F.transform(err, F.abs)), QUANT_ERR_SCALE)
+    cos_rec = cosine(dv, deq)
+    per_vec = spread(corpus).select(
+        F.col(group_col),
+        mse.alias("mse"),
+        max_abs_err.alias("max_abs_err"),
+        cos_rec.alias("cos_rec"),
+    )
+    return per_vec.groupBy(group_col).agg(
+        F.count("*").alias("n_vecs"),
+        F.round(davg(F.col("mse"), wide=True), QUANT_ERR_SCALE).alias("avg_mse"),
+        F.max("max_abs_err").alias("worst_abs_err"),
+        F.round(davg(F.col("cos_rec"), wide=True), COSINE_SCALE).alias("avg_cos_rec"),
+    )

@@ -303,3 +303,69 @@ def chunk_documents(
     # both unsupported and meaningless on an unbounded stream — readers
     # order on consumption).
     return out.orderBy(id_col, "chunk_id") if sort_output else out
+
+
+#: PII detection patterns, in REDACTION PRIORITY order (email before bare
+#: digit-runs, so an address is replaced whole rather than having its
+#: digits punched out first). Engine-portable regex subset only: character
+#: classes, counted repetition, word boundaries — no lookaround, no
+#: backreferences — so Java's regex (Spark) and RE2 (the DuckDB oracle)
+#: agree match-for-match. Patterns match on the RAW text (PII is
+#: case-normalizable but redaction must preserve surrounding case, so
+#: classes spell out both cases instead of lowercasing the document).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("phone", r"\+[0-9][0-9 ()./-]{6,}[0-9]"),
+    ("id_number", r"\b[0-9]{9,}\b"),
+)
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-pattern match counts, one ``<kind>_hits`` int column each."""
+    return [
+        F.regexp_count(text, F.lit(pat)).alias(f"{kind}_hits")
+        for kind, pat in PII_PATTERNS
+    ]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its ``<KIND>`` placeholder.
+
+    Chained ``regexp_replace`` in :data:`PII_PATTERNS` order — a single
+    codegen'd pass per pattern, no UDF. Earlier (more specific) patterns
+    consume their text before later (more general) ones see it, so an
+    email's digits are never double-redacted as an id_number.
+    """
+    out = text
+    for kind, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def pii_scan(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-group PII exposure profile: hit counts + redaction deltas.
+
+    The pre-release scrub audit of a training-data pipeline: counts per
+    pattern, how many documents carry any PII at all, and how many
+    characters redaction would rewrite. One scan, all expressions
+    codegen'd, one partial-agg shuffle on the group key.
+    """
+    text = F.col(text_col)
+    hit_cols = [f"{kind}_hits" for kind, _ in PII_PATTERNS]
+    per_doc = df.select(
+        F.col(group_col),
+        *pii_counts(text),
+        (F.length(redact_pii(text)) - F.length(text)).cast("bigint").alias(
+            "redact_delta"
+        ),
+    )
+    any_hit = sum(F.col(c) for c in hit_cols) > 0
+    return per_doc.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(any_hit, 1).otherwise(0)).alias("n_docs_with_pii"),
+        *[F.sum(c).cast("bigint").alias(f"total_{c}") for c in hit_cols],
+        F.sum("redact_delta").alias("total_redact_delta"),
+    )

@@ -371,6 +371,174 @@ ORDER BY event_type ASC NULLS FIRST, day_ts ASC NULLS FIRST
 """
 
 
+# --------------------------------------------------- behavioral analytics
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users active N days after first activity.
+
+    The standard product-analytics retention report: cohort = a user's
+    first active day, and for each (cohort_day, day_offset) the count of
+    cohort members active that day plus the retention rate against the
+    cohort's size. Two partial-agg shuffles on user_id (first-day, then
+    distinct active days — both well-distributed keys), then a join of
+    two tiny aggregates (days × offsets vs days); at warehouse scale both
+    sides of that final join are dimension-sized, so it broadcasts under
+    AQE. No windows, no collect.
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    active = events.distinct()  # (user, day) activity matrix
+    cohorts = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_users")
+    )
+    cells = (
+        active.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        cells.join(sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "n_active",
+            "cohort_users",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_users"), 6
+            ).alias("retention_rate"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id
+), sizes AS (
+  SELECT cohort_day, COUNT(*) AS cohort_users FROM cohorts GROUP BY cohort_day
+), cells AS (
+  SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+         COUNT(*) AS n_active
+  FROM active a JOIN cohorts c USING (user_id)
+  GROUP BY c.cohort_day, a.day - c.cohort_day
+)
+SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset, n_active,
+       cohort_users,
+       round(CAST(n_active AS DOUBLE) / cohort_users, 6) AS retention_rate
+FROM cells JOIN sizes USING (cohort_day)
+ORDER BY cohort_day, day_offset
+"""
+
+
+#: The strict event-order funnel stages, in order.
+FUNNEL_STAGES: tuple[str, ...] = ("signup", "view", "click", "purchase")
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel signup → view → click → purchase.
+
+    A user converts at stage k+1 only with an event of that type STRICTLY
+    AFTER their stage-k conversion time (first-touch attribution). Each
+    stage is one filtered partial-agg (min ts per user) joined to the
+    previous stage's per-user frontier on user_id — co-partitioned
+    shuffles on the same key, so at scale every stage after the first
+    reuses the exchange. The alternative single-pass form (collect each
+    user's full sorted event array, fold it) holds a whole user's history
+    in one task — the staged joins instead keep state at one timestamp
+    per user per stage, which survives power-law users. Output is one row
+    per stage with absolute counts and the conversion rate from the
+    previous stage.
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+
+    frontier = None  # per-user conversion time at the current stage
+    stage_counts = []
+    for idx, stage in enumerate(FUNNEL_STAGES):
+        staged = events.filter(F.col("event_type") == stage)
+        if frontier is None:
+            frontier = staged.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            frontier = (
+                staged.join(frontier, "user_id")
+                .filter(F.col("ts") > F.col("t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        stage_counts.append(
+            frontier.agg(F.count("*").cast("bigint").alias("n_users")).select(
+                F.lit(stage).alias("stage"),
+                "n_users",
+                F.lit(idx + 1).cast("int").alias("stage_idx"),
+            )
+        )
+    out = stage_counts[0]
+    for df in stage_counts[1:]:
+        out = out.unionByName(df)
+    # previous-stage count via a 4-row self-join on stage_idx − 1, NOT a
+    # LAG window: an unpartitioned window would log the single-partition
+    # WindowExec warning, which this repo reserves for genuine corpus-wide
+    # windows (the warning stays a real scale signal).
+    prev = out.select(
+        (F.col("stage_idx") + 1).alias("stage_idx"),
+        F.col("n_users").alias("__prev_users"),
+    )
+    return (
+        out.join(prev, "stage_idx", "left")
+        .select(
+            "stage",
+            "n_users",
+            "stage_idx",
+            F.round(
+                F.col("n_users").cast("double") / F.col("__prev_users"), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id
+), s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id
+), counts AS (
+  SELECT 'signup' AS stage, 1 AS stage_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL SELECT 'view', 2, CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL SELECT 'click', 3, CAST(COUNT(*) AS BIGINT) FROM s3
+  UNION ALL SELECT 'purchase', 4, CAST(COUNT(*) AS BIGINT) FROM s4
+)
+SELECT stage, n_users, CAST(stage_idx AS INTEGER) AS stage_idx,
+       round(CAST(n_users AS DOUBLE)
+             / LAG(n_users) OVER (ORDER BY stage_idx), 6) AS conversion_rate
+FROM counts
+ORDER BY stage_idx
+"""
+
+
+
 QUERIES = [
     QuerySpec(
         "pricing_summary",
@@ -439,5 +607,19 @@ QUERIES = [
         SQL_EVENT_CUBE,
         "CUBE with GROUPING() markers over event_type × day",
         tags=("agg", "rollup"),
+    ),
+    QuerySpec(
+        "retention_cohorts",
+        q_retention_cohorts,
+        SQL_RETENTION_COHORTS,
+        "cohort-day x offset retention triangle over events",
+        tags=("agg", "behavioral"),
+    ),
+    QuerySpec(
+        "event_funnel",
+        q_event_funnel,
+        SQL_EVENT_FUNNEL,
+        "strictly-ordered 4-stage conversion funnel with stage rates",
+        tags=("agg", "behavioral"),
     ),
 ]

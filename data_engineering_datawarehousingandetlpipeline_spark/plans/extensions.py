@@ -1539,6 +1539,227 @@ ORDER BY c.cid
 SQL_EMB_CLUSTER_PROFILE = _sql_emb_cluster_profile()
 
 
+# ------------------------------------------------- span-level dedup signal
+
+def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span profile — operators/dedup.duplicated_span_stats."""
+    return dd.duplicated_span_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _sql_doc_span_dedup() -> str:
+    w = dd.SPAN_WIDTH
+    return f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id, md5(gram) AS g FROM (
+    SELECT doc_id, unnest(CASE WHEN len(toks) >= {w}
+         THEN [array_to_string(toks[i:i+{w - 1}], ' ')
+               for i in range(1, len(toks) - {w - 2})]
+         ELSE [array_to_string(toks, ' ')] END) AS gram
+    FROM t) grams
+), loc AS (
+  SELECT g, doc_id, COUNT(*) AS occ FROM g GROUP BY g, doc_id
+), tot AS (
+  SELECT g, SUM(occ) AS tot FROM loc GROUP BY g
+)
+SELECT loc.doc_id,
+       CAST(SUM(occ) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN tot >= 2 THEN occ ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(CAST(SUM(CASE WHEN tot >= 2 THEN occ ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(occ) AS DOUBLE), 6) AS dup_frac
+FROM loc JOIN tot USING (g)
+GROUP BY loc.doc_id
+ORDER BY loc.doc_id
+"""
+
+
+SQL_DOC_SPAN_DEDUP = _sql_doc_span_dedup()
+
+
+# ----------------------------------------------------------- PII scrubbing
+
+def q_doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure audit — operators/text.pii_scan.
+
+    This corpus is a synthetic closed-vocabulary word salad, so every
+    count is legitimately zero — the driver row proves the REGEX CONTRACT
+    (Java vs RE2 agreement on counts and on redaction deltas), while
+    tests/test_text_edges.py exercises the patterns on strings that do
+    contain emails/IPs/phones/id numbers.
+    """
+    return tx.pii_scan(_docs(spark, sf_dir)).orderBy("source")
+
+
+def _sql_doc_pii_scan() -> str:
+    hit_exprs = []
+    for kind, pat in tx.PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        hit_exprs.append(
+            f"CAST(len(regexp_extract_all(text, '{lit}')) AS INTEGER)"
+            f" AS {kind}_hits"
+        )
+    redacted = "text"
+    for kind, pat in tx.PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        redacted = (
+            f"regexp_replace({redacted}, '{lit}', '<{kind.upper()}>', 'g')"
+        )
+    any_hit = " + ".join(f"{kind}_hits" for kind, _ in tx.PII_PATTERNS)
+    sums = ",\n       ".join(
+        f"CAST(SUM({kind}_hits) AS BIGINT) AS total_{kind}_hits"
+        for kind, _ in tx.PII_PATTERNS
+    )
+    cols = ",\n         ".join(hit_exprs)
+    return f"""
+WITH per AS (
+  SELECT source,
+         {cols},
+         CAST(length({redacted}) - length(text) AS BIGINT) AS redact_delta
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN {any_hit} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_pii,
+       {sums},
+       CAST(SUM(redact_delta) AS BIGINT) AS total_redact_delta
+FROM per
+GROUP BY source
+ORDER BY source
+"""
+
+
+SQL_DOC_PII_SCAN = _sql_doc_pii_scan()
+
+
+# -------------------------------------------------- int8 vector compression
+
+def q_emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label int8 quantization fidelity — similarity.quantization_error_profile."""
+    return sim.quantization_error_profile(_embs(spark, sf_dir)).orderBy("label")
+
+
+def _sql_emb_quantize_stats() -> str:
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
+        sql_davg,
+    )
+
+    q = sim.QUANT_LEVELS
+    s = sim.QUANT_ERR_SCALE
+    return f"""
+WITH v AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+), sc AS (
+  SELECT label, dv,
+         greatest(list_max(list_transform(dv, x -> abs(x))), 1e-30) / {q}
+           AS scale
+  FROM v
+), dq AS (
+  SELECT label, dv,
+         list_transform(dv,
+             x -> CAST(round(x / scale) AS INTEGER) * scale) AS deq
+  FROM sc
+), e AS (
+  SELECT label, dv, deq,
+         [dv[i] - deq[i] for i in range(1, len(dv) + 1)] AS err
+  FROM dq
+), m AS (
+  SELECT label,
+         round(list_dot_product(err, err) / len(dv), {s}) AS mse,
+         round(list_max(list_transform(err, x -> abs(x))), {s})
+           AS max_abs_err,
+         round(list_dot_product(dv, deq)
+               / (sqrt(list_dot_product(dv, dv))
+                  * sqrt(list_dot_product(deq, deq))), {sim.COSINE_SCALE})
+           AS cos_rec
+  FROM e
+)
+SELECT label, COUNT(*) AS n_vecs,
+       round({sql_davg('mse', wide=True)}, {s}) AS avg_mse,
+       MAX(max_abs_err) AS worst_abs_err,
+       round({sql_davg('cos_rec', wide=True)}, {sim.COSINE_SCALE})
+         AS avg_cos_rec
+FROM m
+GROUP BY label
+ORDER BY label
+"""
+
+
+SQL_EMB_QUANTIZE_STATS = _sql_emb_quantize_stats()
+
+
+# ------------------------------------------------ domain mixture reweighting
+
+#: Resampling weight ceiling: no source is upsampled past 4 epochs — the
+#: repetition-harm knee for pretraining data (Muennighoff et al. 2023,
+#: "Scaling Data-Constrained Language Models": ~4 epochs is near-free,
+#: value decays fast beyond).
+MIXTURE_MAX_WEIGHT = 4.0
+
+
+def q_doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights that flatten the token mixture.
+
+    The DoReMi-style mixture-rebalancing input: each source's token share,
+    and the resampling weight ``target / actual`` (uniform target = 1 /
+    n_sources) that a sampler would apply to equalize domains, capped at
+    :data:`MIXTURE_MAX_WEIGHT` epochs. One scan with a map-side
+    partial-agg token count per source; the corpus totals (token sum,
+    source count) are a broadcast 1-row aggregate OF THE 20-row grouped
+    result — no second corpus scan, no driver count, no window. The
+    weight divides by the UNROUNDED share (total / (n_sources · tokens))
+    so display rounding never perturbs it.
+    """
+    docs = _docs(spark, sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tx.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").cast("double").alias("__total"),
+        F.count("*").cast("double").alias("__n_sources"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("__total"), 6).alias("token_share"),
+            F.round(
+                F.least(
+                    F.lit(MIXTURE_MAX_WEIGHT),
+                    F.col("__total")
+                    / (F.col("__n_sources") * F.col("n_tokens")),
+                ),
+                6,
+            ).alias("resample_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOC_MIXTURE_WEIGHTS = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({SQL_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total,
+         CAST(COUNT(*) AS DOUBLE) AS n_sources
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / total, 6) AS token_share,
+       round(least({MIXTURE_MAX_WEIGHT}, total / (n_sources * n_tokens)), 6)
+         AS resample_weight
+FROM per CROSS JOIN tot
+ORDER BY source
+"""
+
+
+
 QUERIES = [
     # Driver-window placement is governed by registry.WINDOW_HEAD, not by
     # position in this list — register new queries there as well (new or
@@ -1628,4 +1849,18 @@ QUERIES = [
               bench=True, tags=("similarity",)),
     QuerySpec("emb_near_dup", q_emb_near_dup, SQL_EMB_NEAR_DUP,
               "embedding-cosine near-dup pairs (bucketed)", tags=("similarity", "dedup")),
+    QuerySpec("doc_span_dedup", q_doc_span_dedup, SQL_DOC_SPAN_DEDUP,
+              "per-doc duplicated k-gram span fraction (suffix-array-style "
+              "dedup signal)", tags=("dedup", "text")),
+    QuerySpec("doc_pii_scan", q_doc_pii_scan, SQL_DOC_PII_SCAN,
+              "per-source PII hit counts + redaction delta audit",
+              tags=("text", "pii")),
+    QuerySpec("emb_quantize_stats", q_emb_quantize_stats,
+              SQL_EMB_QUANTIZE_STATS,
+              "per-label int8 quantization fidelity (mse / worst err / "
+              "reconstruction cosine)", tags=("similarity",)),
+    QuerySpec("doc_mixture_weights", q_doc_mixture_weights,
+              SQL_DOC_MIXTURE_WEIGHTS,
+              "per-source token shares + capped uniform-target resampling "
+              "weights", tags=("text", "sample")),
 ]

@@ -37,11 +37,13 @@ class QuerySpec:
 #: been driver-verified, MUST be in this list; multiply-green unchanged
 #: queries rotate out to make room and rotate back in later rounds.
 #:
-#: Round-5 window: the 5 debut/reworked queries; the 22 extension-tail
-#: queries whose last driver row was r2/r3 (led by doc_minhash_neardup
-#: and emb_ivf_topk, changed since); the 6 r4-debut queries (second row);
-#: 17 r4-green keepers biased toward the most machinery-heavy paths
-#: (streaming, stateful sessions, as-of/range joins, warehouse merge).
+#: Round-5 window: the 11 debut/reworked queries (6 brand-new this round:
+#: doc_span_dedup, doc_pii_scan, emb_quantize_stats, doc_mixture_weights,
+#: retention_cohorts, event_funnel); the 22 extension-tail queries whose
+#: last driver row was r2/r3 (led by doc_minhash_neardup and emb_ivf_topk,
+#: changed since); the 6 r4-debut queries (second row); 11 r4-green
+#: keepers biased toward the most machinery-heavy paths (streaming,
+#: stateful sessions, as-of/range joins, warehouse merge).
 #: Rotated out this round (all r4-green, unchanged): long_term_users,
 #: event_grouping_sets, click_days_no_purchase, user_day_overlap,
 #: user_rolling_stats, value_correlations, doc_edit_distance, dup_audit,
@@ -49,9 +51,17 @@ class QuerySpec:
 #: watermark_filter, schema_projection, validate_counts, hourly_rollup,
 #: json_props, composite_sort, region_revenue, top_customers,
 #: order_priority, supplier_volume, part_type_stats, revenue_rollup,
-#: event_cube, top_orders_per_customer.
+#: event_cube, top_orders_per_customer, plus (to make room for the six
+#: r5 debuts) pivot_daily, salted_rollup, distinct_counts,
+#: value_quantiles, dup_audit_hourly, dashboard_summary.
 WINDOW_HEAD: tuple[str, ...] = (
     # r5 debuts + the reworked sketch contract
+    "doc_span_dedup",
+    "doc_pii_scan",
+    "emb_quantize_stats",
+    "doc_mixture_weights",
+    "retention_cohorts",
+    "event_funnel",
     "doc_ngram_topk",
     "doc_group_sample",
     "emb_cluster_profile",
@@ -96,14 +106,8 @@ WINDOW_HEAD: tuple[str, ...] = (
     "asof_last_error",
     "nearby_clicks",
     "day_window",
-    "dashboard_summary",
     "dedup_keep_first",
     "dedup_hourly_last",
-    "dup_audit_hourly",
-    "value_quantiles",
-    "distinct_counts",
-    "salted_rollup",
-    "pivot_daily",
     "pricing_summary",
 )
 

@@ -238,6 +238,8 @@ def test_driver_correctness_window_contains_unverified_queries():
     names = list(all_queries())
     in_window_required = [
         # r5 debuts + the reworked tolerance-contract sketch query
+        "doc_span_dedup", "doc_pii_scan", "emb_quantize_stats",
+        "doc_mixture_weights", "retention_cohorts", "event_funnel",
         "doc_ngram_topk", "doc_group_sample", "emb_cluster_profile",
         "approx_sketches",
         # changed since their last driver row (r3): in-join size prune /
@@ -254,3 +256,52 @@ def test_driver_correctness_window_contains_unverified_queries():
             f"{name} at position {names.index(name)} — outside the driver's "
             "50-entry correctness window"
         )
+
+
+def test_span_dedup_is_postings_shaped(spark):
+    """Span dedup must stay an equi-join over hashed-gram postings with
+    partial aggregation — one corpus scan feeding the postings, no
+    cartesian, no Python in the hot path."""
+    plan = _plan(spark, "doc_span_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_pii_scan_is_single_scan_partial_agg(spark):
+    """The PII audit is one codegen'd scan (regex counts + redaction delta
+    as column expressions) with a map-side partial agg on source — no UDF,
+    no second pass for the redacted length."""
+    plan = _plan(spark, "doc_pii_scan")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quantize_stats_is_single_scan_partial_agg(spark):
+    """Quantize → dequantize → error metrics are row-local array
+    expressions; the only shuffle is the label partial-agg."""
+    plan = _plan(spark, "emb_quantize_stats")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_weights_totals_broadcast(spark):
+    """The corpus totals must crossJoin in as a broadcast 1-row aggregate
+    (the tfidf contract) — never a shuffle join, never a driver count."""
+    plan = _plan(spark, "doc_mixture_weights")
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_behavioral_queries_avoid_cartesian(spark):
+    """Retention and funnel are chains of per-user partial aggs and
+    equi-joins on user_id — a cartesian anywhere means a stage lost its
+    join key."""
+    for name in ("retention_cohorts", "event_funnel"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
