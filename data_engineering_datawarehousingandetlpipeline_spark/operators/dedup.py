@@ -121,24 +121,30 @@ def jaccard_pairs(
     postings = shingled.select(
         "doc", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
     )
-    left = postings.select(
-        F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "shingle"
-    )
-    right = postings.select(
-        F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), "shingle"
-    )
+    # Qualified-alias self-join (same shape as minhash_near_dup_pairs):
+    # projections of one parent make the shared `shingle` column ambiguous
+    # to the analyzer, which logs a "trivially true equals predicate" repair
+    # before fixing it up itself. Dataset aliases keep the equi-join key
+    # unambiguous and the log clean.
     # Lossless size prune inside the join condition: J(A,B) ≤ min/max of the
     # set sizes, so size-incompatible pairs can never reach the threshold.
     # At high thresholds this collapses the postings-join output before the
     # pair aggregation (the expensive part on skew-heavy vocabularies);
     # at threshold 0 it is a no-op predicate.
     cond = (
-        (left["shingle"] == right["shingle"])
-        & (left["doc_a"] < right["doc_b"])
-        & size_prune_cond(left["n_a"], right["n_b"], threshold)
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc") < F.col("b.doc"))
+        & size_prune_cond(F.col("a.n"), F.col("b.n"), threshold)
     )
     common = (
-        left.join(right, cond)
+        postings.alias("a")
+        .join(postings.alias("b"), cond)
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_common"))
     )

@@ -308,25 +308,47 @@ def chunk_documents(
 #: PII detection patterns, in REDACTION PRIORITY order (email before bare
 #: digit-runs, so an address is replaced whole rather than having its
 #: digits punched out first). Engine-portable regex subset only: character
-#: classes, counted repetition, word boundaries — no lookaround, no
-#: backreferences — so Java's regex (Spark) and RE2 (the DuckDB oracle)
-#: agree match-for-match. Patterns match on the RAW text (PII is
-#: case-normalizable but redaction must preserve surrounding case, so
-#: classes spell out both cases instead of lowercasing the document).
+#: classes, counted repetition, alternation, word boundaries — no
+#: lookaround, no backreferences — so Java's regex (Spark) and RE2 (the
+#: DuckDB oracle) agree match-for-match. Patterns match on the RAW text
+#: (PII is case-normalizable but redaction must preserve surrounding case,
+#: so classes spell out both cases instead of lowercasing the document).
+#:
+#: Precision/recall stance (a scrub audit wants few false alarms; recall
+#: gaps are listed so they are chosen, not accidental):
+#: - ipv4 octets are range-checked (0-255 via alternation), so 999.9.9.9
+#:   no longer counts; without lookaround a DOTTED RUN LONGER THAN FOUR
+#:   OCTETS still matches its first four ("1.2.3.4.5" hits on "1.2.3.4") —
+#:   version strings that deep are rare and an over-redaction there is the
+#:   safe failure direction.
+#: - phone requires the international '+' prefix: national formats like
+#:   "(555) 123-4567" are NOT detected (a bare-digit-run rule loose enough
+#:   to catch them would false-positive on prices, ranges and dates);
+#:   9+-digit national numbers still fall through to id_number.
+_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
-    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("ipv4", rf"\b{_OCTET}\.{_OCTET}\.{_OCTET}\.{_OCTET}\b"),
     ("phone", r"\+[0-9][0-9 ()./-]{6,}[0-9]"),
     ("id_number", r"\b[0-9]{9,}\b"),
 )
 
 
 def pii_counts(text: Column) -> list[Column]:
-    """Per-pattern match counts, one ``<kind>_hits`` int column each."""
-    return [
-        F.regexp_count(text, F.lit(pat)).alias(f"{kind}_hits")
-        for kind, pat in PII_PATTERNS
-    ]
+    """Per-pattern match counts, one ``<kind>_hits`` int column each.
+
+    Pattern k is counted on the text with patterns 1..k-1 already replaced
+    — the same sequence :func:`redact_pii` applies — so the counts describe
+    exactly what redaction rewrites: a digit-run inside an email is ONE
+    email hit, never also an id_number hit. (Counting every pattern on the
+    raw text would overstate exposure relative to the actual scrub.)
+    """
+    cols = []
+    cur = text
+    for kind, pat in PII_PATTERNS:
+        cols.append(F.regexp_count(cur, F.lit(pat)).alias(f"{kind}_hits"))
+        cur = F.regexp_replace(cur, pat, f"<{kind.upper()}>")
+    return cols
 
 
 def redact_pii(text: Column) -> Column:

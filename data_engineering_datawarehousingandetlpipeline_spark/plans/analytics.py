@@ -499,8 +499,15 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stage",
             "n_users",
             "stage_idx",
+            # try_divide, not `/`: an empty funnel stage would otherwise
+            # yield Infinity/NaN here while the oracle's division semantics
+            # depend on its IEEE setting — NULL-on-zero is the repo-wide
+            # division convention (cosine, davg, quality_score).
             F.round(
-                F.col("n_users").cast("double") / F.col("__prev_users"), 6
+                F.try_divide(
+                    F.col("n_users").cast("double"), F.col("__prev_users")
+                ),
+                6,
             ).alias("conversion_rate"),
         )
         .orderBy("stage_idx")
@@ -532,7 +539,8 @@ WITH s1 AS (
 )
 SELECT stage, n_users, CAST(stage_idx AS INTEGER) AS stage_idx,
        round(CAST(n_users AS DOUBLE)
-             / LAG(n_users) OVER (ORDER BY stage_idx), 6) AS conversion_rate
+             / NULLIF(LAG(n_users) OVER (ORDER BY stage_idx), 0), 6)
+         AS conversion_rate
 FROM counts
 ORDER BY stage_idx
 """

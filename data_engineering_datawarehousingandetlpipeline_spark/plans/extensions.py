@@ -1585,23 +1585,23 @@ def q_doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     This corpus is a synthetic closed-vocabulary word salad, so every
     count is legitimately zero — the driver row proves the REGEX CONTRACT
     (Java vs RE2 agreement on counts and on redaction deltas), while
-    tests/test_text_edges.py exercises the patterns on strings that do
+    tests/test_r5b_queries.py exercises the patterns on strings that do
     contain emails/IPs/phones/id numbers.
     """
     return tx.pii_scan(_docs(spark, sf_dir)).orderBy("source")
 
 
 def _sql_doc_pii_scan() -> str:
+    # Pattern k counts on the text with patterns 1..k-1 already replaced —
+    # the exact sequence pii_counts/redact_pii apply on the Spark side.
     hit_exprs = []
-    for kind, pat in tx.PII_PATTERNS:
-        lit = pat.replace("'", "''")
-        hit_exprs.append(
-            f"CAST(len(regexp_extract_all(text, '{lit}')) AS INTEGER)"
-            f" AS {kind}_hits"
-        )
     redacted = "text"
     for kind, pat in tx.PII_PATTERNS:
         lit = pat.replace("'", "''")
+        hit_exprs.append(
+            f"CAST(len(regexp_extract_all({redacted}, '{lit}')) AS INTEGER)"
+            f" AS {kind}_hits"
+        )
         redacted = (
             f"regexp_replace({redacted}, '{lit}', '<{kind.upper()}>', 'g')"
         )
