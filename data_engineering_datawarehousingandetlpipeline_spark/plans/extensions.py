@@ -784,6 +784,72 @@ def _sql_streaming_chunks() -> str:
 SQL_STREAMING_CHUNKS = _sql_streaming_chunks()
 
 
+STREAM_DEDUP_MOD = 5  # doc_id % 5 == 0 subset keeps the e2e drain small
+
+
+def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup run INCREMENTALLY as shards land — streaming/pipeline.
+
+    A document subset is staged as three range-sharded JSON files (the
+    Kafka stand-in), streamed ONE FILE PER MICRO-BATCH
+    (``maxFilesPerTrigger=1``), deduplicated on the sha256 content hash
+    with cross-batch ``dropDuplicates`` state, and written through the
+    exactly-once parquet sink. The oracle is the batch ``SELECT
+    DISTINCT`` over the same subset, so the comparison proves the
+    incremental-dedup contract a 100 TB pipeline actually runs: a shard
+    landing today drops every document already ingested yesterday,
+    without re-scanning the corpus. Output is survivor-agnostic (hash +
+    per-content length), so the answer is independent of shard order.
+    Restart idempotence (state recovery mid-corpus) is pytest-covered in
+    tests/test_warehouse_streaming.py.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_exact_dedup,
+    )
+
+    docs = _docs(spark, sf_dir).filter(
+        (F.col("doc_id") % STREAM_DEDUP_MOD) == 0
+    )
+    # Test-scale plumbing (tempdir + staged shard files stand in for a
+    # Kafka topic / landing bucket), mirroring q_streaming_chunks.
+    workdir = tempfile.mkdtemp(prefix="streaming_exact_dedup_q_")
+    indir = os.path.join(workdir, "incoming")
+    docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).repartitionByRange(3, "doc_id").write.mode("overwrite").json(indir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    out_dir = os.path.join(workdir, "deduped")
+    query = start_exact_dedup(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(indir),
+        out_dir,
+        os.path.join(workdir, "ckpt"),
+        available_now=True,
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("text_hash")
+
+
+SQL_STREAMING_EXACT_DEDUP = f"""
+SELECT DISTINCT sha256(text) AS text_hash,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE doc_id % {STREAM_DEDUP_MOD} = 0
+ORDER BY text_hash
+"""
+
+
 TFIDF_TOP_TERMS = 3
 
 
@@ -1779,6 +1845,12 @@ QUERIES = [
               "chunking run AS a stream through the exactly-once parquet "
               "sink, verified against the batch chunking oracle",
               tags=("streaming", "text", "pack")),
+    QuerySpec("streaming_exact_dedup", q_streaming_exact_dedup,
+              SQL_STREAMING_EXACT_DEDUP,
+              "cross-batch dropDuplicates dedup run as a stream through "
+              "the exactly-once parquet sink, verified against the batch "
+              "DISTINCT oracle",
+              tags=("streaming", "dedup")),
     QuerySpec("doc_repetition", q_doc_repetition, SQL_DOC_REPETITION,
               "Gopher-style repetition signals: top/dup bigram fractions",
               tags=("text",)),

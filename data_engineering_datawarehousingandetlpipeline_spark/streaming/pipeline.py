@@ -149,3 +149,49 @@ def start_chunking(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def start_exact_dedup(
+    source: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Streaming exact dedup: first arrival of each content hash survives.
+
+    The incremental form of ``operators/dedup.exact_dedup_groups``: as
+    document shards land, ``dropDuplicates`` on the sha256 content hash
+    keeps one row per distinct content ACROSS micro-batches — state lives
+    in the checkpointed state store, so a later shard's copy of an
+    already-seen document is dropped even across a restart. Survivors
+    flow through the exactly-once parquet file sink.
+
+    The emitted schema is deliberately survivor-agnostic — the hash plus
+    per-content columns (``n_chars``) equal among all copies — so the
+    output SET is identical for every arrival order and matches the batch
+    ``SELECT DISTINCT`` answer bit-for-bit; which physical copy carried it
+    is irrelevant. (Canonical min-id selection is the batch operator's
+    job; a stream cannot retract an earlier survivor.)
+
+    State is one row per DISTINCT content — the inherent floor for exact
+    corpus dedup, and far below corpus size on dup-heavy crawls. For
+    bounded-window dedup (e.g. per-day shard replays) compose with
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` instead.
+    """
+    from pyspark.sql import functions as F
+
+    survivors = source.select(
+        F.sha2(F.col("text"), 256).alias("text_hash"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).dropDuplicates(["text_hash"])
+    writer = (
+        survivors.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -189,3 +189,67 @@ def test_delta_format_exercised_or_skipped_with_reason(spark, tmp_path):
         )
     got = spark.read.format("delta").load(target)
     assert sorted(r.k for r in got.collect()) == [0, 1, 2]
+
+
+def test_streaming_exact_dedup_state_survives_restart(spark, tmp_path):
+    """Cross-batch dedup state must persist in the checkpoint: a shard
+    landing AFTER a restart whose content was already ingested before the
+    restart is dropped by the recovered state store, not re-emitted."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_exact_dedup,
+    )
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+
+    def land(rows, name):
+        with open(indir / name, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row) + "\n")
+
+    def drain():
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType(), True),
+                T.StructField("text", T.StringType(), True),
+            ]
+        )
+        query = start_exact_dedup(
+            spark.readStream.schema(schema).json(str(indir)),
+            str(tmp_path / "deduped"),
+            str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        query.awaitTermination()
+        return spark.read.parquet(str(tmp_path / "deduped"))
+
+    sha = lambda s: hashlib.sha256(s.encode()).hexdigest()  # noqa: E731
+
+    # shard 1 carries an INTRA-shard duplicate (beta twice)
+    land(
+        [
+            {"doc_id": "1", "text": "alpha"},
+            {"doc_id": "2", "text": "beta"},
+            {"doc_id": "3", "text": "beta"},
+        ],
+        "shard1.json",
+    )
+    got = {r.text_hash: r.n_chars for r in drain().collect()}
+    assert got == {sha("alpha"): 5, sha("beta"): 4}
+
+    # shard 2 lands after the drain stopped: one CROSS-restart duplicate
+    # (beta again) and one genuinely new content
+    land(
+        [
+            {"doc_id": "4", "text": "beta"},
+            {"doc_id": "5", "text": "gamma"},
+        ],
+        "shard2.json",
+    )
+    rows = drain().collect()
+    assert len(rows) == 3  # beta NOT re-emitted after state recovery
+    assert {r.text_hash for r in rows} == {sha("alpha"), sha("beta"), sha("gamma")}
