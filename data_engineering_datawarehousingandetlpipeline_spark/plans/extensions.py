@@ -1356,6 +1356,85 @@ ORDER BY query_id, rank
 """
 
 
+IVFPQ_RERANK = 3 * TOPK_K
+
+
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-index ANN: IVF + int8 codes, full-precision re-rank.
+
+    Composes the two independently-verified pieces (``emb_ivf_topk``'s
+    coarse quantizer, ``emb_quantize_stats``'s int8 contract) into the
+    faiss-standard serving layout: probe → score int8 codes → re-rank the
+    top ``3k`` survivors exactly. The oracle unrolls the identical
+    pipeline, so the hash proves the compressed-domain ranking AND the
+    re-rank cut agree bit-for-bit across engines.
+    """
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < TOPK_QUERY_IDS)
+    return sim.cosine_top_k_ivfpq(
+        embs, queries, k=TOPK_K, n_centroids=IVF_CENTROIDS,
+        n_probe=IVF_PROBES, iterations=IVF_ITERATIONS, rerank=IVFPQ_RERANK,
+    )
+
+
+SQL_EMB_IVFPQ_TOPK = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+{_sql_kmeans_ctes()},
+assign AS (
+  SELECT vec_id AS neighbor_id, vv, cid FROM (
+    SELECT v.vec_id, v.vv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQL_CCOS} DESC, c.cid ASC) AS rn
+    FROM v CROSS JOIN {_CF} c) t
+  WHERE rn = 1
+),
+quantized AS (
+  SELECT neighbor_id, cid,
+         list_transform(vv,
+             x -> CAST(round(x / scale) AS INTEGER) * scale) AS deq
+  FROM (
+    SELECT neighbor_id, cid, vv,
+           greatest(list_max(list_transform(vv, x -> abs(x))), 1e-30)
+             / {sim.QUANT_LEVELS} AS scale
+    FROM assign)
+),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT v.vec_id AS query_id, v.vv AS qv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQL_CCOS} DESC, c.cid ASC) AS rn
+    FROM v CROSS JOIN {_CF} c WHERE v.vec_id < {TOPK_QUERY_IDS}) t
+  WHERE rn <= {IVF_PROBES}
+),
+approx AS (
+  SELECT p.query_id, p.qv, q.neighbor_id,
+         {_SQL_COS.format(a='p.qv', b='q.deq')} AS cos_q
+  FROM quantized q JOIN probes p ON q.cid = p.cid
+  WHERE q.neighbor_id <> p.query_id
+),
+survivors AS (
+  SELECT query_id, qv, neighbor_id, cos_q FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_q DESC, neighbor_id ASC) AS rq
+    FROM approx) t
+  WHERE rq <= {IVFPQ_RERANK}
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id, s.cos_q,
+         {_SQL_COS.format(a='s.qv', b='v.vv')} AS cos_sim
+  FROM survivors s JOIN v ON v.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_q, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) ranked
+WHERE rank <= {TOPK_K}
+ORDER BY query_id, rank
+"""
+
+
 EMBED_TABLES = 4
 #: pinned row count of the correctness corpus (driver runs sf0.01; its
 #: embeddings table is 500 rows). The registered query derives its plane
@@ -1916,6 +1995,10 @@ QUERIES = [
               "brute-force cosine top-k neighbors", bench=True, tags=("similarity",)),
     QuerySpec("emb_ann_topk", q_emb_ann_topk, SQL_EMB_ANN_TOPK,
               "LSH-bucketed approximate top-k", tags=("similarity",)),
+    QuerySpec("emb_ivfpq_topk", q_emb_ivfpq_topk, SQL_EMB_IVFPQ_TOPK,
+              "IVF + int8 compressed-index ANN top-k with full-precision "
+              "re-rank of the top-3k survivors",
+              tags=("embeddings", "ann", "quantize")),
     QuerySpec("emb_ivf_topk", q_emb_ivf_topk, SQL_EMB_IVF_TOPK,
               "IVF coarse-quantized ANN top-k (probe nearest clusters)",
               bench=True, tags=("similarity",)),

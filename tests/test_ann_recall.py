@@ -140,3 +140,26 @@ def test_near_dup_planes_derive_from_corpus_size(spark):
     counted = sim.embedding_near_dup_pairs(embs)
     hinted = sim.embedding_near_dup_pairs(embs, corpus_rows=embs.count())
     assert bucket_legs(counted) == bucket_legs(hinted)
+
+
+def test_ivfpq_recall_at_5(spark):
+    """The compressed index (IVF + int8 codes, exact re-rank of the top-3k
+    survivors) must hold the same recall@5 ≥ 0.8 bar as uncompressed IVF —
+    the go/no-go behind serving quantized vectors."""
+    assert _recall(spark, "emb_ivfpq_topk") >= 0.8
+
+
+def test_ivfpq_rerank_recovers_exact_scores(spark):
+    """Every emitted cos_sim must equal the exact cosine the brute-force
+    baseline computes for that (query, neighbor) pair — re-ranking restores
+    full precision, so compression can only affect WHICH candidates
+    surface, never their reported scores."""
+    qs = all_queries()
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in qs["emb_cosine_topk"].fn(spark, SF_DIR).collect()
+    }
+    for r in qs["emb_ivfpq_topk"].fn(spark, SF_DIR).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:  # pair also present in the exact top-k
+            assert r["cos_sim"] == exact[key], key
