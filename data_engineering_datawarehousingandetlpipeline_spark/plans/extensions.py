@@ -1842,20 +1842,16 @@ SQL_EMB_QUANTIZE_STATS = _sql_emb_quantize_stats()
 MIXTURE_MAX_WEIGHT = 4.0
 
 
-def q_doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source sampling weights that flatten the token mixture.
-
-    The DoReMi-style mixture-rebalancing input: each source's token share,
-    and the resampling weight ``target / actual`` (uniform target = 1 /
-    n_sources) that a sampler would apply to equalize domains, capped at
-    :data:`MIXTURE_MAX_WEIGHT` epochs. One scan with a map-side
-    partial-agg token count per source; the corpus totals (token sum,
-    source count) are a broadcast 1-row aggregate OF THE 20-row grouped
-    result — no second corpus scan, no driver count, no window. The
-    weight divides by the UNROUNDED share (total / (n_sources · tokens))
-    so display rounding never perturbs it.
+def _mixture_weights(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_tokens, token_share, resample_weight) — the
+    shared weight computation behind both mixture queries. One scan with
+    a map-side partial-agg token count per source; the corpus totals are
+    a broadcast 1-row aggregate OF THE grouped result — no second corpus
+    scan, no driver count, no window. The weight divides by the UNROUNDED
+    share (total / (n_sources · tokens)) so display rounding never
+    perturbs it; the ROUNDED 6-decimal value is the published contract
+    every downstream consumer (the sampler included) applies.
     """
-    docs = _docs(spark, sf_dir)
     per_source = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(tx.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
@@ -1864,28 +1860,35 @@ def q_doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("double").alias("__total"),
         F.count("*").cast("double").alias("__n_sources"),
     )
-    return (
-        per_source.crossJoin(F.broadcast(totals))
-        .select(
-            "source",
-            "n_docs",
-            "n_tokens",
-            F.round(F.col("n_tokens") / F.col("__total"), 6).alias("token_share"),
-            F.round(
-                F.least(
-                    F.lit(MIXTURE_MAX_WEIGHT),
-                    F.col("__total")
-                    / (F.col("__n_sources") * F.col("n_tokens")),
-                ),
-                6,
-            ).alias("resample_weight"),
-        )
-        .orderBy("source")
+    return per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__total"), 6).alias("token_share"),
+        F.round(
+            F.least(
+                F.lit(MIXTURE_MAX_WEIGHT),
+                F.col("__total") / (F.col("__n_sources") * F.col("n_tokens")),
+            ),
+            6,
+        ).alias("resample_weight"),
     )
 
 
-SQL_DOC_MIXTURE_WEIGHTS = f"""
-WITH per AS (
+def q_doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights that flatten the token mixture.
+
+    The DoReMi-style mixture-rebalancing input: each source's token share,
+    and the resampling weight ``target / actual`` (uniform target = 1 /
+    n_sources) that a sampler would apply to equalize domains, capped at
+    :data:`MIXTURE_MAX_WEIGHT` epochs. See :func:`_mixture_weights` for
+    the plan shape; ``doc_mixture_sample`` applies these weights.
+    """
+    return _mixture_weights(_docs(spark, sf_dir)).orderBy("source")
+
+
+#: shared weight CTEs (oracle twin of _mixture_weights).
+_SQL_MIXTURE_CTES = f"""per AS (
   SELECT source, COUNT(*) AS n_docs,
          CAST(SUM(len({SQL_TOKS})) AS BIGINT) AS n_tokens
   FROM documents
@@ -1894,13 +1897,87 @@ WITH per AS (
   SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total,
          CAST(COUNT(*) AS DOUBLE) AS n_sources
   FROM per
-)
-SELECT source, n_docs, n_tokens,
-       round(n_tokens / total, 6) AS token_share,
-       round(least({MIXTURE_MAX_WEIGHT}, total / (n_sources * n_tokens)), 6)
-         AS resample_weight
-FROM per CROSS JOIN tot
+), weights AS (
+  SELECT source, n_docs, n_tokens,
+         round(n_tokens / total, 6) AS token_share,
+         round(least({MIXTURE_MAX_WEIGHT}, total / (n_sources * n_tokens)), 6)
+           AS resample_weight
+  FROM per CROSS JOIN tot
+)"""
+
+SQL_DOC_MIXTURE_WEIGHTS = f"""
+WITH {_SQL_MIXTURE_CTES}
+SELECT source, n_docs, n_tokens, token_share, resample_weight
+FROM weights
 ORDER BY source
+"""
+
+
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the mixture weights: the rebalanced corpus manifest.
+
+    Executes what ``doc_mixture_weights`` only computes: every document
+    receives ``floor(w)`` guaranteed copies plus one more iff
+    ``md5('mix:' || doc_id) < frac(w) · 2³²`` — the repo's deterministic
+    hash-Bernoulli contract (same md5-u32 primitive as
+    ``doc_split_assign``/``doc_hash_sample``, its own salt so the keep
+    decision is independent of split/sample choices on the same ids). In
+    expectation each source contributes exactly ``w × tokens``, flattening
+    the token mixture; zero RNG, so the manifest is reproducible on any
+    engine, any partitioning, any replay.
+
+    Plan shape: the 20-row weights aggregate broadcast-joins onto one
+    corpus scan; the copy fan-out is a partition-local explode bounded by
+    ``ceil(MIXTURE_MAX_WEIGHT)`` — no shuffle beyond the weights agg and
+    the output ordering. Docs drawn zero times are filtered BEFORE the
+    explode (Spark's ``sequence(0, n-1)`` would step backwards at n=0).
+    """
+    docs = _docs(spark, sf_dir)
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.hashing import (
+        u32_hash,
+    )
+
+    weights = _mixture_weights(docs).select("source", "resample_weight")
+    w = F.col("resample_weight")
+    h = u32_hash(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    n_copies = (
+        F.floor(w).cast("bigint")
+        + F.when(h < (w - F.floor(w)) * F.lit(4294967296.0), 1).otherwise(0)
+    ).alias("n_copies")
+    manifest = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(weights), "source")
+        .select("doc_id", "source", "resample_weight", n_copies)
+        .filter(F.col("n_copies") > 0)
+    )
+    return manifest.select(
+        "doc_id",
+        "source",
+        "resample_weight",
+        F.col("n_copies").cast("int").alias("n_copies"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_copies") - 1).cast("int"))
+        ).alias("copy_id"),
+    ).orderBy("doc_id", "copy_id")
+
+
+SQL_DOC_MIXTURE_SAMPLE = f"""
+WITH {_SQL_MIXTURE_CTES},
+manifest AS (
+  SELECT d.doc_id, d.source, w.resample_weight,
+         CAST(floor(w.resample_weight) AS BIGINT)
+         + CASE WHEN {sql_u32_hash("'mix:' || CAST(d.doc_id AS VARCHAR)")}
+                  < (w.resample_weight - floor(w.resample_weight))
+                    * 4294967296.0
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN weights w USING (source)
+)
+SELECT doc_id, source, resample_weight,
+       CAST(n_copies AS INTEGER) AS n_copies,
+       CAST(c.i AS INTEGER) AS copy_id
+FROM manifest CROSS JOIN unnest(range(0, n_copies)) AS c(i)
+WHERE n_copies > 0
+ORDER BY doc_id, copy_id
 """
 
 
@@ -2018,4 +2095,8 @@ QUERIES = [
               SQL_DOC_MIXTURE_WEIGHTS,
               "per-source token shares + capped uniform-target resampling "
               "weights", tags=("text", "sample")),
+    QuerySpec("doc_mixture_sample", q_doc_mixture_sample,
+              SQL_DOC_MIXTURE_SAMPLE,
+              "hash-Bernoulli application of the mixture weights: the "
+              "rebalanced corpus copy manifest", tags=("text", "sample")),
 ]

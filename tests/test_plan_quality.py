@@ -305,3 +305,28 @@ def test_behavioral_queries_avoid_cartesian(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_ivfpq_joins_are_centroid_bounded(spark):
+    """The compressed index inherits IVF's bound: nested loops only as
+    corpus × broadcast(centroids); quantize/dequantize are row-local array
+    expressions (no Python), and the exact re-rank joins survivors back by
+    id — equi-join, never a second corpus-wide pass."""
+    plan = _plan(spark, "emb_ivfpq_topk")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert frag.startswith(" BuildRight, Cross"), frag[:60]
+
+
+def test_mixture_sample_broadcasts_weights(spark):
+    """Applying the mixture weights must broadcast the tiny weights
+    aggregate onto the corpus scan (hash join on source) — never shuffle
+    the corpus — and the copy fan-out must be the plan's only explode,
+    bounded by the weight cap."""
+    plan = _plan(spark, "doc_mixture_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Generate explode") == 1

@@ -1,0 +1,84 @@
+"""Contract tests for the round-6 queries: mixture-sample manifest
+semantics and the IVF+int8 compressed index composition.
+
+(Streaming exact dedup's restart contract lives in
+tests/test_warehouse_streaming.py; ANN recall gates in
+tests/test_ann_recall.py.)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_engineering_datawarehousingandetlpipeline_spark.plans import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_mixture_sample_copies_bounded_by_weight(spark):
+    """Every doc draws floor(w) or floor(w)+1 copies of its source weight —
+    the hash-Bernoulli contract — and the manifest enumerates copy_id
+    densely from 0."""
+    qs = all_queries()
+    weights = {
+        r.source: r.resample_weight
+        for r in qs["doc_mixture_weights"].fn(spark, SF_DIR).collect()
+    }
+    rows = qs["doc_mixture_sample"].fn(spark, SF_DIR).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, copies in per_doc.items():
+        w = weights[copies[0].source]
+        n = copies[0].n_copies
+        assert n in (math.floor(w), math.floor(w) + 1), (doc_id, w, n)
+        assert sorted(c.copy_id for c in copies) == list(range(n))
+
+
+def test_mixture_sample_hits_expected_source_totals(spark):
+    """In expectation each source contributes weight × n_docs copies; with
+    deterministic hashes the realized total must sit within a generous
+    binomial band (±5 σ) of that — a systematic bias (e.g. hashing the
+    wrong salt, comparing against the wrong threshold) lands far outside."""
+    qs = all_queries()
+    wrows = qs["doc_mixture_weights"].fn(spark, SF_DIR).collect()
+    got = {
+        r["source"]: r["total"]
+        for r in qs["doc_mixture_sample"]
+        .fn(spark, SF_DIR)
+        .groupBy("source")
+        .agg(F.count("*").alias("total"))
+        .collect()
+    }
+    for r in wrows:
+        frac = r.resample_weight - math.floor(r.resample_weight)
+        expected = r.n_docs * r.resample_weight
+        sigma = math.sqrt(r.n_docs * frac * (1 - frac))
+        assert abs(got.get(r.source, 0) - expected) <= 5 * sigma + 1, (
+            r.source, expected, got.get(r.source, 0)
+        )
+
+
+def test_mixture_sample_is_replay_stable(spark):
+    """Zero RNG: two independent runs produce the identical manifest."""
+    fn = all_queries()["doc_mixture_sample"].fn
+    a = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    assert a == b
+
+
+def test_ivfpq_output_contract(spark):
+    """Per query: exactly k rows, ranks dense 1..k, exact score ordering
+    with id tie-breaks, and cos_q present as the compressed-domain score."""
+    rows = all_queries()["emb_ivfpq_topk"].fn(spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q  # the query set is non-empty
+    for qid, nbrs in by_q.items():
+        assert [r.rank for r in nbrs] == list(range(1, len(nbrs) + 1))
+        key = [(-r.cos_sim, r.neighbor_id) for r in nbrs]
+        assert key == sorted(key), qid
+        assert all(r.cos_q is not None for r in nbrs)
