@@ -9,7 +9,9 @@ Scale notes (100 TB): every dedup here is one hash shuffle on the key
 columns; keep-first/keep-last use a window ``row_number`` which sorts only
 *within* each key group (no global sort). For heavily skewed keys AQE
 skew-join/partition-splitting applies; for repeated dedups over the same
-keys, pre-bucketing the warehouse table by key avoids the shuffle entirely.
+keys, pre-bucketing the warehouse table by key avoids the shuffle entirely
+(plan-gated: tests/test_bucketing.py::test_bucketed_dedup_has_no_exchange
+pins that keep-last over a key-bucketed table carries no Exchange).
 """
 
 from __future__ import annotations

@@ -37,78 +37,85 @@ class QuerySpec:
 #: been driver-verified, MUST be in this list; multiply-green unchanged
 #: queries rotate out to make room and rotate back in later rounds.
 #:
-#: Round-5 window: the 11 debut/reworked queries (6 brand-new this round:
-#: doc_span_dedup, doc_pii_scan, emb_quantize_stats, doc_mixture_weights,
-#: retention_cohorts, event_funnel); the 22 extension-tail queries whose
-#: last driver row was r2/r3 (led by doc_minhash_neardup and emb_ivf_topk,
-#: changed since); the 6 r4-debut queries (second row); 11 r4-green
-#: keepers biased toward the most machinery-heavy paths (streaming,
-#: stateful sessions, as-of/range joins, warehouse merge).
-#: Rotated out this round (all r4-green, unchanged): long_term_users,
-#: event_grouping_sets, click_days_no_purchase, user_day_overlap,
-#: user_rolling_stats, value_correlations, doc_edit_distance, dup_audit,
-#: missingness, outliers, filtered_count, max_ts_per_user,
-#: watermark_filter, schema_projection, validate_counts, hourly_rollup,
-#: json_props, composite_sort, region_revenue, top_customers,
-#: order_priority, supplier_volume, part_type_stats, revenue_rollup,
-#: event_cube, top_orders_per_customer, plus (to make room for the six
-#: r5 debuts) pivot_daily, salted_rollup, distinct_counts,
-#: value_quantiles, dup_audit_hourly, dashboard_summary.
+#: Round-6 window: the 3 r6 debuts (streaming_exact_dedup, emb_ivfpq_topk,
+#: doc_mixture_sample); the 5 queries whose implementation changed this
+#: round (doc_ngram_jaccard + doc_dedup_clusters ride the aliased
+#: jaccard_pairs self-join, doc_pii_scan counts sequentially on the
+#: progressively-redacted text + tightened ipv4 octets, event_funnel's
+#: try_divide/NULLIF convergence, doc_mixture_weights' shared-helper
+#: refactor); the 32 r4-green queries rotated out in r5, back for their
+#: promised re-verification (COVERAGE.md rotation policy — keeps every
+#: registry query ≤ 2 rounds stale); the 7 remaining r5 debuts for a
+#: second driver row on unchanged code; 3 machinery-heavy keepers
+#: (streaming ingest checkpoint path; minhash + IVF, whose shared k-means
+#: machinery the new ivfpq query also exercises).
+#: Rotated out this round (all r5-green, unchanged): emb_near_dup,
+#: doc_chunks, doc_exact_dedup, doc_token_stats, doc_lang_profile,
+#: doc_quality, doc_fingerprints, doc_simhash, doc_simhash_pairs,
+#: doc_tfidf_terms, doc_bpe_tokens, doc_hash_sample, doc_pack_bins,
+#: doc_norm_dedup, media_features, media_feature_vectors,
+#: media_frame_sample, emb_cosine_topk, emb_ann_topk, doc_repetition,
+#: doc_decontaminate, emb_semantic_dedup, doc_source_stats,
+#: doc_split_assign, streaming_window_stats, streaming_sessions,
+#: sessionization, session_stats, asof_last_error, nearby_clicks,
+#: day_window, dedup_keep_first, dedup_hourly_last, pricing_summary,
+#: approx_sketches.
 WINDOW_HEAD: tuple[str, ...] = (
-    # r5 debuts + the reworked sketch contract
-    "doc_span_dedup",
+    # r6 debuts
+    "streaming_exact_dedup",
+    "emb_ivfpq_topk",
+    "doc_mixture_sample",
+    # changed this round
+    "doc_ngram_jaccard",
+    "doc_dedup_clusters",
     "doc_pii_scan",
-    "emb_quantize_stats",
-    "doc_mixture_weights",
-    "retention_cohorts",
     "event_funnel",
+    "doc_mixture_weights",
+    # the 32 r4-green queries rotated back in (last driver row r4)
+    "long_term_users",
+    "event_grouping_sets",
+    "click_days_no_purchase",
+    "user_day_overlap",
+    "user_rolling_stats",
+    "value_correlations",
+    "doc_edit_distance",
+    "dup_audit",
+    "missingness",
+    "outliers",
+    "filtered_count",
+    "max_ts_per_user",
+    "watermark_filter",
+    "schema_projection",
+    "validate_counts",
+    "hourly_rollup",
+    "json_props",
+    "composite_sort",
+    "region_revenue",
+    "top_customers",
+    "order_priority",
+    "supplier_volume",
+    "part_type_stats",
+    "revenue_rollup",
+    "event_cube",
+    "top_orders_per_customer",
+    "pivot_daily",
+    "salted_rollup",
+    "distinct_counts",
+    "value_quantiles",
+    "dup_audit_hourly",
+    "dashboard_summary",
+    # r5 debuts — second driver row on unchanged code
+    "doc_span_dedup",
+    "emb_quantize_stats",
+    "retention_cohorts",
     "doc_ngram_topk",
     "doc_group_sample",
     "emb_cluster_profile",
     "streaming_chunks",
-    "approx_sketches",
-    # extension tail, last driver row r2/r3 — changed-since first
+    # machinery-heavy keepers
+    "streaming_ingest",
     "doc_minhash_neardup",
     "emb_ivf_topk",
-    "emb_near_dup",
-    "doc_chunks",
-    "doc_exact_dedup",
-    "doc_token_stats",
-    "doc_lang_profile",
-    "doc_quality",
-    "doc_fingerprints",
-    "doc_simhash",
-    "doc_simhash_pairs",
-    "doc_ngram_jaccard",
-    "doc_tfidf_terms",
-    "doc_bpe_tokens",
-    "doc_hash_sample",
-    "doc_pack_bins",
-    "doc_norm_dedup",
-    "doc_dedup_clusters",
-    "media_features",
-    "media_feature_vectors",
-    "media_frame_sample",
-    "emb_cosine_topk",
-    "emb_ann_topk",
-    # r4 debuts — second driver row
-    "doc_repetition",
-    "doc_decontaminate",
-    "emb_semantic_dedup",
-    "doc_source_stats",
-    "doc_split_assign",
-    # r4-green keepers: machinery-heavy paths most worth re-proving
-    "streaming_ingest",
-    "streaming_window_stats",
-    "streaming_sessions",
-    "sessionization",
-    "session_stats",
-    "asof_last_error",
-    "nearby_clicks",
-    "day_window",
-    "dedup_keep_first",
-    "dedup_hourly_last",
-    "pricing_summary",
 )
 
 

@@ -107,3 +107,29 @@ def test_path_read_loses_bucketing_loudly(spark, bucketed_tables):
         read_bucketed(spark, right), "user_id"
     )
     assert "Exchange" in _plan(by_path)
+
+
+def test_bucketed_dedup_has_no_exchange(spark, bucketed_tables):
+    """The shuffle-free dedup promised in operators/cleaning.py's scale
+    notes: keep-last over a table BUCKETED ON THE DEDUP KEY must satisfy
+    the window's clustering requirement straight from the bucket layout —
+    no hashpartitioning Exchange anywhere in the plan. (The in-partition
+    Sort remains: row_number still orders within each key group.)"""
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.cleaning import (
+        dedup_keep_last,
+    )
+
+    left, _ = bucketed_tables
+    deduped = dedup_keep_last(
+        read_bucketed(spark, left), keys=("user_id",), order_by=("value",)
+    )
+    plan = _plan(deduped)
+    assert "Exchange" not in plan, plan
+    # correctness: one survivor per key, same key set as the plain path
+    expect = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert deduped.count() == expect

@@ -237,19 +237,21 @@ def test_driver_correctness_window_contains_unverified_queries():
     rotate the tail before shipping."""
     names = list(all_queries())
     in_window_required = [
-        # r5 debuts + the reworked tolerance-contract sketch query
-        "doc_span_dedup", "doc_pii_scan", "emb_quantize_stats",
-        "doc_mixture_weights", "retention_cohorts", "event_funnel",
+        # r6 debuts — never driver-verified
+        "streaming_exact_dedup", "emb_ivfpq_topk", "doc_mixture_sample",
+        # changed this round: aliased jaccard self-join / sequential PII
+        # counts + tightened ipv4 / funnel try_divide / weights refactor
+        "doc_ngram_jaccard", "doc_dedup_clusters", "doc_pii_scan",
+        "event_funnel", "doc_mixture_weights",
+        # r5 debuts with a single green row — second row due
+        "doc_span_dedup", "emb_quantize_stats", "retention_cohorts",
         "doc_ngram_topk", "doc_group_sample", "emb_cluster_profile",
-        "approx_sketches",
-        # changed since their last driver row (r3): in-join size prune /
-        # lazy-checkpoint + rank-cid training / derived plane count
-        "doc_minhash_neardup", "emb_ivf_topk", "emb_near_dup",
-        # kmeans seed-window change + NULL-chunk fix ride these
-        "emb_semantic_dedup", "doc_chunks",
-        # r2/r3-green tail rotated back in for fresh rows
-        "doc_exact_dedup", "doc_dedup_clusters", "emb_cosine_topk",
-        "media_features",
+        "streaming_chunks",
+        # r4-green queries at the 2-round staleness limit (rotation
+        # policy: no registry query may go > 2 rounds without a row)
+        "long_term_users", "dup_audit", "missingness", "hourly_rollup",
+        "region_revenue", "dashboard_summary", "pivot_daily",
+        "salted_rollup", "event_cube", "top_orders_per_customer",
     ]
     for name in in_window_required:
         assert names.index(name) < 50, (
