@@ -746,8 +746,12 @@ def q_streaming_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(
         (F.col("doc_id") % STREAM_CHUNK_MOD) == 0
     )
-    # Test-scale plumbing (tempdir + single staged file stand in for a
-    # Kafka topic / landing bucket), mirroring q_streaming_ingest.
+    # TEST-SCALE ONLY: the eager coalesce(1).write.json below stages the
+    # subset as one file inside query construction — a tempdir standing in
+    # for the Kafka topic / landing bucket this harness has no broker for.
+    # A production deployment points start_chunking at the real stream and
+    # never funnels the corpus through one writer task; the clean entry
+    # point is streaming/pipeline.start_chunking.
     workdir = tempfile.mkdtemp(prefix="streaming_chunks_q_")
     indir = os.path.join(workdir, "incoming")
     docs.select(
@@ -1852,9 +1856,18 @@ def _mixture_weights(docs: DataFrame) -> DataFrame:
     perturbs it; the ROUNDED 6-decimal value is the published contract
     every downstream consumer (the sampler included) applies.
     """
-    per_source = docs.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(tx.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    # Pin the grouped result: it feeds BOTH the weight projection and the
+    # totals aggregate, and Spark plans those as separate subtrees (the
+    # join side's isnotnull(source) filter defeats exchange reuse), which
+    # would re-scan the corpus once per use. The checkpoint is ~20 rows;
+    # eager=False keeps construction lazy (kmeans_centroids convention).
+    per_source = (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tx.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=False)
     )
     totals = per_source.agg(
         F.sum("n_tokens").cast("double").alias("__total"),
