@@ -195,3 +195,50 @@ def start_exact_dedup(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def start_windowed_exact_dedup(
+    source: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    event_time_col: str = "ts",
+    delay: str = "1 hour",
+    available_now: bool = False,
+    trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Bounded-state exact dedup: ``dropDuplicatesWithinWatermark``.
+
+    The variant :func:`start_exact_dedup` documents for bounded-window
+    replays: a content hash's state lives only until the watermark passes
+    its event time + ``delay``, so total state is bounded by the distinct
+    contents seen within one watermark window — NOT the whole corpus
+    history. The contract traded for that bound: a duplicate arriving
+    within ``delay`` of the original is dropped; one arriving after state
+    expiry is re-emitted (downstream compaction — e.g. the warehouse
+    ``merge_upsert`` — absorbs these rare late twins). This is the right
+    shape when shards replay within a known lateness horizon; corpus-wide
+    exact dedup keeps :func:`start_exact_dedup`'s one-row-per-content
+    state instead. Expiry semantics are pinned in
+    tests/test_warehouse_streaming.py.
+    """
+    from pyspark.sql import functions as F
+
+    survivors = (
+        source.select(
+            F.sha2(F.col("text"), 256).alias("text_hash"),
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.col(event_time_col),
+        )
+        .withWatermark(event_time_col, delay)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+    writer = (
+        survivors.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -253,3 +253,64 @@ def test_streaming_exact_dedup_state_survives_restart(spark, tmp_path):
     rows = drain().collect()
     assert len(rows) == 3  # beta NOT re-emitted after state recovery
     assert {r.text_hash for r in rows} == {sha("alpha"), sha("beta"), sha("gamma")}
+
+
+def test_windowed_dedup_drops_within_delay_and_expires_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract: a duplicate inside the
+    lateness horizon is dropped (even across a restart); once the
+    watermark passes the original's event time + delay, its state is
+    gone and a far-future twin is re-emitted — the bounded-state trade
+    the operator documents."""
+    from pyspark.sql import types as T
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_windowed_exact_dedup,
+    )
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+
+    def land(rows, name):
+        with open(indir / name, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row) + "\n")
+
+    def drain():
+        schema = T.StructType(
+            [
+                T.StructField("text", T.StringType(), True),
+                T.StructField("ts", T.TimestampType(), True),
+            ]
+        )
+        query = start_windowed_exact_dedup(
+            spark.readStream.schema(schema).json(str(indir)),
+            str(tmp_path / "deduped"),
+            str(tmp_path / "ckpt"),
+            delay="1 hour",
+            available_now=True,
+        )
+        query.awaitTermination()
+        return spark.read.parquet(str(tmp_path / "deduped"))
+
+    land(
+        [
+            {"text": "alpha", "ts": "2024-03-01T10:00:00.000Z"},
+            {"text": "beta", "ts": "2024-03-01T10:00:00.000Z"},
+        ],
+        "shard1.json",
+    )
+    assert drain().count() == 2
+
+    # duplicate 30 min after the original: inside the 1 h horizon, state
+    # recovered from the checkpoint across the restart → dropped
+    land([{"text": "alpha", "ts": "2024-03-01T10:30:00.000Z"}], "shard2.json")
+    assert drain().count() == 2
+
+    # advance the watermark far past alpha's expiry (10:00 + 1 h)...
+    land([{"text": "gamma", "ts": "2024-03-01T20:00:00.000Z"}], "shard3.json")
+    assert drain().count() == 3
+    # ...then a far-future twin of alpha: its state has expired → re-emitted
+    land([{"text": "alpha", "ts": "2024-03-01T20:00:00.000Z"}], "shard4.json")
+    got = drain()
+    assert got.count() == 4
+    assert got.filter("n_chars = 5").count() == 3  # alpha twice + gamma
