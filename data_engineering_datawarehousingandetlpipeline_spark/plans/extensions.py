@@ -1439,6 +1439,144 @@ ORDER BY query_id, rank
 """
 
 
+PQ_M = 8           # subspaces: 64-dim vectors → eight 8-dim subvectors
+PQ_CODEWORDS = 16  # 16 codewords/subspace → 4-bit codes, 64× compression
+PQ_ITERATIONS = 2
+#: PQ's recall dial is the re-rank budget. This synthetic corpus is
+#: uniform random — NO cluster structure, the provable worst case for
+#: codebook compression — so 64× compression needs a deeper re-rank
+#: (75/500 = 15% of the correctness corpus) to clear the ≥ 0.8 recall
+#: gate; measured here: rerank 15 → 0.53, 50 → 0.78, 75 → 0.85. Real
+#: embedding distributions cluster, where PQ's measured recall at 3k
+#: re-rank is far higher — deployments tune this against their own
+#: recall gate exactly as tests/test_ann_recall.py does.
+PQ_RERANK = 75
+
+
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True product quantization (Jégou et al.): per-subspace codebooks,
+    ADC cosine scoring against the reconstructions, exact re-rank of the
+    top-``PQ_RERANK`` survivors. The 64×-compression rung below
+    ``emb_ivfpq_topk``'s int8 (4×) — the oracle unrolls all eight
+    subspace k-means trainings, the encode argmin, the reconstruction
+    and both ranking cuts, so the hash proves the full compressed
+    pipeline bit-for-bit.
+    """
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < TOPK_QUERY_IDS)
+    return sim.cosine_top_k_pq(
+        embs, queries, dim=EMBED_DIM, k=TOPK_K, m=PQ_M,
+        n_codewords=PQ_CODEWORDS, iterations=PQ_ITERATIONS,
+        rerank=PQ_RERANK,
+    )
+
+
+def _sql_pq_ctes(iterations: int = PQ_ITERATIONS) -> str:
+    """Unrolled per-subspace Lloyd iterations: qc0 (seeded) → qc{L}.
+
+    Mirrors operators/similarity.pq_codebooks step-for-step — all m
+    subspaces ride one keyed table (sv), rounded-L2² assignment with cid
+    tie-breaks, decimal-anchored per-dimension updates, empty codewords
+    keep their previous value.
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
+        sql_dsum,
+    )
+
+    sub_d = EMBED_DIM // PQ_M
+    diff = f"[sv.sub[i] - c.cvec[i] for i in range(1, {sub_d} + 1)]"
+    parts = [
+        f"""sv AS (
+  SELECT vec_id, g.s AS s,
+         list_slice(vv, g.s * {sub_d} + 1, (g.s + 1) * {sub_d}) AS sub
+  FROM v CROSS JOIN generate_series(0, {PQ_M - 1}) AS g(s)
+)""",
+        f"""qc0 AS (
+  SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1
+                 AS INT) AS cid, sub AS cvec
+  FROM sv
+  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {PQ_CODEWORDS})
+)""",
+    ]
+    for i in range(iterations):
+        parts.append(f"""qa{i} AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT sv.vec_id, sv.s, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s
+             ORDER BY round(list_dot_product({diff}, {diff}),
+                            {sim.COSINE_SCALE}) ASC, c.cid ASC) AS rn
+    FROM sv JOIN qc{i} c ON sv.s = c.s) t
+  WHERE rn = 1
+)""")
+        parts.append(f"""qu{i} AS (
+  SELECT a.s, a.cid, g.i AS dim,
+         round({sql_dsum('sv.sub[g.i]', wide=True)} / COUNT(sv.sub[g.i]),
+               {sim.COSINE_SCALE}) AS cval
+  FROM qa{i} a JOIN sv ON a.vec_id = sv.vec_id AND a.s = sv.s
+  CROSS JOIN generate_series(1, {sub_d}) AS g(i)
+  GROUP BY a.s, a.cid, g.i
+)""")
+        parts.append(f"""qc{i + 1} AS (
+  SELECT c.s, c.cid, COALESCE(n.cvec, c.cvec) AS cvec
+  FROM qc{i} c LEFT JOIN (
+    SELECT s, cid, list(cval ORDER BY dim) AS cvec FROM qu{i}
+    GROUP BY s, cid
+  ) n USING (s, cid)
+)""")
+    return ",\n".join(parts)
+
+
+_QCF = f"qc{PQ_ITERATIONS}"
+_PQ_DIFF_F = (
+    f"[sv.sub[i] - c.cvec[i] for i in range(1, {EMBED_DIM // PQ_M} + 1)]"
+)
+SQL_EMB_PQ_TOPK = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+{_sql_pq_ctes()},
+enc AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT sv.vec_id, sv.s, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s
+             ORDER BY round(list_dot_product({_PQ_DIFF_F}, {_PQ_DIFF_F}),
+                            {sim.COSINE_SCALE}) ASC, c.cid ASC) AS rn
+    FROM sv JOIN {_QCF} c ON sv.s = c.s) t
+  WHERE rn = 1
+),
+recon AS (
+  SELECT e.vec_id, flatten(list(c.cvec ORDER BY e.s)) AS recon
+  FROM enc e JOIN {_QCF} c ON e.s = c.s AND e.cid = c.cid
+  GROUP BY e.vec_id
+),
+approx AS (
+  SELECT q.vec_id AS query_id, q.vv AS qv, r.vec_id AS neighbor_id,
+         {_SQL_COS.format(a='q.vv', b='r.recon')} AS cos_q
+  FROM recon r CROSS JOIN (SELECT vec_id, vv FROM v
+                           WHERE vec_id < {TOPK_QUERY_IDS}) q
+  WHERE r.vec_id <> q.vec_id
+),
+survivors AS (
+  SELECT query_id, qv, neighbor_id, cos_q FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_q DESC, neighbor_id ASC) AS rq
+    FROM approx) t
+  WHERE rq <= {PQ_RERANK}
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id, s.cos_q,
+         {_SQL_COS.format(a='s.qv', b='v.vv')} AS cos_sim
+  FROM survivors s JOIN v ON v.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_q, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) ranked
+WHERE rank <= {TOPK_K}
+ORDER BY query_id, rank
+"""
+
+
 EMBED_TABLES = 4
 #: pinned row count of the correctness corpus (driver runs sf0.01; its
 #: embeddings table is 500 rows). The registered query derives its plane
@@ -2085,6 +2223,10 @@ QUERIES = [
               "brute-force cosine top-k neighbors", bench=True, tags=("similarity",)),
     QuerySpec("emb_ann_topk", q_emb_ann_topk, SQL_EMB_ANN_TOPK,
               "LSH-bucketed approximate top-k", tags=("similarity",)),
+    QuerySpec("emb_pq_topk", q_emb_pq_topk, SQL_EMB_PQ_TOPK,
+              "true product quantization: per-subspace codebooks, ADC "
+              "scoring, exact re-rank (64x compression)",
+              tags=("embeddings", "ann", "quantize")),
     QuerySpec("emb_ivfpq_topk", q_emb_ivfpq_topk, SQL_EMB_IVFPQ_TOPK,
               "IVF + int8 compressed-index ANN top-k with full-precision "
               "re-rank of the top-3k survivors",

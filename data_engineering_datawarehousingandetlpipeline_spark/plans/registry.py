@@ -61,9 +61,12 @@ class QuerySpec:
 #: day_window, dedup_keep_first, dedup_hourly_last, pricing_summary,
 #: approx_sketches.
 WINDOW_HEAD: tuple[str, ...] = (
-    # r6 debuts
+    # r6 debuts (emb_pq_topk took the slot of the emb_ivf_topk keeper:
+    # r5-green unchanged, and the two debut quantization queries exercise
+    # the same k-means machinery plus the codebook generalization)
     "streaming_exact_dedup",
     "emb_ivfpq_topk",
+    "emb_pq_topk",
     "doc_mixture_sample",
     # changed this round
     "doc_ngram_jaccard",
@@ -115,7 +118,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     # machinery-heavy keepers
     "streaming_ingest",
     "doc_minhash_neardup",
-    "emb_ivf_topk",
 )
 
 

@@ -163,3 +163,11 @@ def test_ivfpq_rerank_recovers_exact_scores(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact:  # pair also present in the exact top-k
             assert r["cos_sim"] == exact[key], key
+
+
+def test_pq_recall_at_5(spark):
+    """True PQ at 64× compression on a uniform-random corpus — the
+    provable worst case for codebook compression (no cluster structure) —
+    must still clear ≥ 0.8 recall@5 at its registered re-rank budget
+    (PQ_RERANK; see plans/extensions.py for the measured dial)."""
+    assert _recall(spark, "emb_pq_topk") >= 0.8

@@ -238,7 +238,8 @@ def test_driver_correctness_window_contains_unverified_queries():
     names = list(all_queries())
     in_window_required = [
         # r6 debuts — never driver-verified
-        "streaming_exact_dedup", "emb_ivfpq_topk", "doc_mixture_sample",
+        "streaming_exact_dedup", "emb_ivfpq_topk", "emb_pq_topk",
+        "doc_mixture_sample",
         # changed this round: aliased jaccard self-join / sequential PII
         # counts + tightened ipv4 / funnel try_divide / weights refactor
         "doc_ngram_jaccard", "doc_dedup_clusters", "doc_pii_scan",
@@ -332,3 +333,16 @@ def test_mixture_sample_broadcasts_weights(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Generate explode") == 1
+
+
+def test_pq_training_stays_keyed_and_broadcast(spark):
+    """All m subspace trainings ride ONE keyed plan: subvector table ⋈
+    broadcast(codebooks) — no cartesian, no per-subspace nested loop over
+    the corpus, no Python. The only sanctioned nested loop is the ADC
+    scoring's corpus × broadcast(query set) cross join (the brute-force
+    baseline's contract)."""
+    plan = _plan(spark, "emb_pq_topk")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert frag.startswith(" BuildRight, Cross"), frag[:60]
