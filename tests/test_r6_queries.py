@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_engineering_datawarehousingandetlpipeline_spark.plans import all_queries
@@ -69,10 +70,12 @@ def test_mixture_sample_is_replay_stable(spark):
     assert a == b
 
 
-def test_ivfpq_output_contract(spark):
-    """Per query: exactly k rows, ranks dense 1..k, exact score ordering
-    with id tie-breaks, and cos_q present as the compressed-domain score."""
-    rows = all_queries()["emb_ivfpq_topk"].fn(spark, SF_DIR).collect()
+@pytest.mark.parametrize("name", ["emb_ivfpq_topk", "emb_pq_topk"])
+def test_compressed_index_output_contract(spark, name):
+    """Per query: ranks dense from 1, exact score ordering with id
+    tie-breaks, and cos_q present as the compressed-domain score — the
+    shared contract of both compressed indexes (int8 and true PQ)."""
+    rows = all_queries()[name].fn(spark, SF_DIR).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r.query_id, []).append(r)
