@@ -35,6 +35,44 @@ _PARTIAL = {
 }
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt_col: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side, replicate the small.
+
+    The manual fix for a hot join key when AQE's skew splitting cannot
+    apply (it only rewrites sort-merge joins whose partitions it is free
+    to re-plan — pinned distributions, streaming micro-batches, and
+    non-SMJ shapes fall outside it) and the small side is too big or too
+    hot to broadcast outright. The big side gains a deterministic salt
+    (``pmod(xxhash64(salt_col), buckets)`` — no ``rand()``: retried and
+    speculative tasks must re-derive the SAME salt or rows migrate
+    between buckets mid-query); the small side is replicated once per
+    bucket, and the join runs on ``on + [salt]`` so each hot key's rows
+    spread over ``buckets`` reducers instead of pinning one.
+
+    Semantically identical to ``big.join(small, on, how)`` for inner and
+    left joins: every big row carries exactly one salt value, matching
+    exactly one replica of its small-side row. Replication multiplies
+    the small side ``buckets``× — the knob trades reducer balance
+    against build size, and both sides of that trade are linear.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets)).cast("int")
+    big_s = big.withColumn("__salt", salt)
+    small_s = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))),
+    )
+    return big_s.join(small_s, [*on, "__salt"], how).drop("__salt")
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],

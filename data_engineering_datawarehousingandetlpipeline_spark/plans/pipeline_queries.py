@@ -132,6 +132,49 @@ ORDER BY event_type
 """
 
 
+def q_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant dimension join via operators/skew.salted_join.
+
+    Every event joins its type's global stats — a 5-value join key, the
+    hot-key shape that pins reducers at scale. The salted join spreads
+    each type over 16 buckets (big side salted on event_id, dimension
+    replicated 16×); the oracle is the PLAIN join, so the hash proves
+    salting is semantically invisible. Under this test corpus Catalyst
+    broadcasts the tiny replicated side (also correct); the
+    shuffle-spreading property itself is pinned with broadcast disabled
+    in tests/test_skew.py.
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    type_stats = events.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("type_total")
+    )
+    return (
+        salted_join(events, type_stats, on=["event_type"], salt_col="event_id")
+        .filter(F.col("event_id") % 97 == 0)
+        .select("event_id", "event_type", "value", "type_total")
+        .orderBy("event_id")
+    )
+
+
+SQL_SALTED_ENRICH = """
+WITH ts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_total
+  FROM events GROUP BY event_type
+)
+SELECT event_id, event_type, value, type_total
+FROM events JOIN ts USING (event_type)
+WHERE event_id % 97 = 0
+ORDER BY event_id
+"""
+
+
 def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1-T5 end to end: run the real streaming pipeline, return the table.
 
@@ -872,6 +915,9 @@ QUERIES = [
               "pivot: daily totals per event type", tags=("pivot", "agg")),
     QuerySpec("long_term_users", q_long_term_users, SQL_LONG_TERM_USERS,
               "whitelist + per-key time order (A3/P4/O2)", tags=("filter", "sort")),
+    QuerySpec("salted_enrich", q_salted_enrich, SQL_SALTED_ENRICH,
+              "skew-resistant dimension join (big side salted, small side "
+              "replicated), oracle = the plain join"),
     QuerySpec("salted_rollup", q_salted_rollup, SQL_SALTED_ROLLUP,
               "skew-resistant two-stage salted aggregation", tags=("agg", "skew")),
     QuerySpec("streaming_ingest", q_streaming_ingest, SQL_STREAMING_INGEST,

@@ -115,8 +115,11 @@ WINDOW_HEAD: tuple[str, ...] = (
     "doc_group_sample",
     "emb_cluster_profile",
     "streaming_chunks",
-    # machinery-heavy keepers
-    "streaming_ingest",
+    # r6 debut (late): salted skew join — took the streaming_ingest
+    # keeper slot (r5-green unchanged; the streaming machinery gets two
+    # fresh rows this round via streaming_chunks + streaming_exact_dedup)
+    "salted_enrich",
+    # machinery-heavy keeper
     "doc_minhash_neardup",
 )
 
