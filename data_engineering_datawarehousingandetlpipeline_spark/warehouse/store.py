@@ -14,6 +14,11 @@ changes):
   anti-join (partition pruning), so cost scales with the batch's time
   window, not table history — at 100 TB a batch touching one day reads one
   day.
+- ``merge_replace`` — MERGE with update-on-match (latest-wins upsert for
+  correction/late-revision feeds): touched-partition anti-join + dynamic
+  partition overwrite, so cost scales with the batch's time window.
+- ``expire_partitions`` — partition-granular retention (drop whole days
+  beyond the window, no row rewrites).
 - ``max_ts_per_key`` — A4: the watermark-state query, derived from the
   table itself instead of a side JSON file (no crash window between data
   write and state write — the reference's T4 bug, kafka_stream.py:326-330,
@@ -114,6 +119,88 @@ class WarehouseTable:
         # table mid-append (read-modify-write hazard on the same files)
         fresh = fresh.localCheckpoint(eager=True)
         return self.append(fresh, verify=False)
+
+    def merge_replace(self, df: DataFrame) -> int:
+        """MERGE with update-on-match: incoming rows REPLACE same-key rows.
+
+        The plain-parquet emulation of ``MERGE WHEN MATCHED THEN UPDATE
+        WHEN NOT MATCHED THEN INSERT`` (latest-wins upsert — what a
+        correction/late-revision feed needs, where ``merge_upsert``'s
+        insert-if-absent would silently keep the stale row): survivors =
+        existing rows of the TOUCHED date partitions anti-joined against
+        the incoming keys, unioned with the batch, written back via
+        dynamic partition overwrite of only those partitions. Cost scales
+        with the batch's time window, not table history, and re-running
+        the same batch is a no-op (idempotent like ``merge_upsert``).
+
+        Correct because the key determines the partition here (the event
+        timestamp is part of the row identity, so an update lands in the
+        same ``dt`` as the row it replaces); a key set that did NOT pin
+        the partition would need a full-table anti-join instead — that is
+        the query a real table format's MERGE runs too.
+
+        Within one batch, duplicate keys collapse arbitrarily (same
+        contract as ``merge_upsert``) — feed pre-deduplicated batches
+        (``prepare_hourly`` keep-last) when the winner matters.
+        """
+        incoming = df.dropDuplicates(self.keys)
+        if not self.exists():
+            return self.append(incoming, verify=False)
+        existing = self._partition_slice(incoming)
+        survivors = existing.join(
+            incoming.select(*self.keys), self.keys, "left_anti"
+        )
+        # materialize before the overwrite: survivors reads the very
+        # files the write replaces (read-modify-write hazard)
+        merged = survivors.unionByName(incoming).localCheckpoint(eager=True)
+        n = incoming.count()
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        previous = self.spark.conf.get(mode_key, "static")
+        self.spark.conf.set(mode_key, "dynamic")
+        try:
+            (
+                self._with_dt(merged)
+                .write.mode("overwrite")
+                .partitionBy("dt")
+                .parquet(self.root)
+            )
+        finally:
+            self.spark.conf.set(mode_key, previous)
+        # the overwrite deleted files the session's shared file-status
+        # cache may still list (metadataCacheTTLSeconds is ∞ by default);
+        # stale listings would make the next read fail on missing files
+        self.spark.catalog.refreshByPath(self.root)
+        return n
+
+    def expire_partitions(self, keep_days: int, anchor) -> int:
+        """Retention: drop whole date partitions older than the window.
+
+        ``anchor`` is the (UTC date) reference day — passed explicitly,
+        never ``current_date()``, so retention runs are replayable. File
+        deletion is partition-granular (no row rewrites — the cheap
+        retention a date-partitioned layout exists to make possible).
+        Returns the number of partitions dropped.
+        """
+        import datetime
+        import shutil
+
+        if not self.exists():
+            return 0
+        cutoff = anchor - datetime.timedelta(days=keep_days)
+        dropped = 0
+        for name in sorted(os.listdir(self.root)):
+            if not name.startswith("dt="):
+                continue
+            try:
+                day = datetime.date.fromisoformat(name[3:])
+            except ValueError:
+                continue
+            if day < cutoff:
+                shutil.rmtree(os.path.join(self.root, name))
+                dropped += 1
+        if dropped:
+            self.spark.catalog.refreshByPath(self.root)
+        return dropped
 
     def compact(self) -> int:
         """Rewrite every date partition into one file (small-files repair).

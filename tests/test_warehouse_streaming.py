@@ -314,3 +314,58 @@ def test_windowed_dedup_drops_within_delay_and_expires_state(spark, tmp_path):
     got = drain()
     assert got.count() == 4
     assert got.filter("n_chars = 5").count() == 3  # alpha twice + gamma
+
+
+def test_merge_replace_updates_matched_and_inserts_new(spark, warehouse):
+    """MERGE with update-on-match: a correction batch replaces same-key
+    rows in place, inserts new keys, preserves everything else (other
+    rows in the touched partition AND untouched partitions), and re-runs
+    idempotently."""
+    base = clean_batch(read_observations_json(spark, FIXTURE))
+    warehouse.append(base)
+    n0 = warehouse.count()
+    keys = [tuple(r) for r in warehouse.read().select("station_id", "timestamp").collect()]
+
+    # correction: revise ONE existing row's temperature, add one new station
+    victim = warehouse.read().orderBy("station_id", "timestamp").first()
+    # materialized: a real correction batch arrives from OUTSIDE the
+    # table — a lazy plan over the very files the merge overwrites would
+    # re-read deleted files on the idempotence replay below
+    corrections = warehouse.read().filter(
+        (F.col("station_id") == victim.station_id)
+        & (F.col("timestamp") == victim.timestamp)
+    ).withColumn("temperature", F.lit(99.5)).unionByName(
+        warehouse.read().limit(1).withColumn("station_id", F.lit("999999"))
+    ).localCheckpoint(eager=True)
+    n = warehouse.merge_replace(corrections)
+    assert n == 2
+    assert warehouse.count() == n0 + 1  # one update in place, one insert
+    got = warehouse.read().filter(
+        (F.col("station_id") == victim.station_id)
+        & (F.col("timestamp") == victim.timestamp)
+    ).collect()
+    assert len(got) == 1 and got[0].temperature == 99.5  # replaced, not duplicated
+    # every pre-existing key is still present exactly once
+    after = [tuple(r) for r in warehouse.read().select("station_id", "timestamp").collect()]
+    assert sorted(after) == sorted(keys + [("999999", victim.timestamp)])
+
+    # idempotence: replaying the correction batch changes nothing
+    warehouse.merge_replace(corrections)
+    assert warehouse.count() == n0 + 1
+
+
+def test_expire_partitions_drops_only_old_days(spark, warehouse):
+    import datetime
+
+    base = clean_batch(read_observations_json(spark, FIXTURE))
+    warehouse.append(base)
+    days = sorted(
+        r[0] for r in warehouse.read().select(F.to_date("timestamp")).distinct().collect()
+    )
+    anchor = days[-1]
+    dropped = warehouse.expire_partitions(keep_days=0, anchor=anchor)
+    assert dropped == len(days) - 1  # every day strictly before the anchor
+    left = [r[0] for r in warehouse.read().select(F.to_date("timestamp")).distinct().collect()]
+    assert left == [anchor]
+    # replayable: same anchor again is a no-op
+    assert warehouse.expire_partitions(keep_days=0, anchor=anchor) == 0
