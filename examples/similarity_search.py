@@ -52,6 +52,15 @@ def main() -> None:
         "ivf": lambda: sim.cosine_top_k_ivf(
             corpus, queries, k=5, train_fraction=0.5, n_probe=8
         ),
+        # compressed serving indexes: int8 codes under the IVF probe set
+        # (4x smaller), and true PQ (64x smaller; worst-case corpus — a
+        # deeper re-rank buys recall back, see plans/extensions.PQ_RERANK)
+        "ivfpq": lambda: sim.cosine_top_k_ivfpq(
+            corpus, queries, k=5, train_fraction=0.5, n_probe=8
+        ),
+        "pq": lambda: sim.cosine_top_k_pq(
+            corpus, queries, dim=64, k=5, rerank=75
+        ),
     }
     results = {}
     for name, build in strategies.items():
@@ -61,7 +70,7 @@ def main() -> None:
 
     exact = results["exact"]
     total = sum(len(v) for v in exact.values())
-    for name in ("lsh", "ivf"):
+    for name in ("lsh", "ivf", "ivfpq", "pq"):
         hits = sum(len(exact[q] & results[name].get(q, set())) for q in exact)
         print(f"recall@5 {name}: {hits}/{total} = {hits / total:.2f}")
     print("OK")
