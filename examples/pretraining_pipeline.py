@@ -17,6 +17,9 @@ other's work:
                         cluster-bounded cosine, keep lowest id)
 7. decontamination     (drop docs sharing an 8-gram with the eval set)
 8. deterministic sample(md5 Bernoulli — replayable, no RNG)
+   + mixture rebalance (DoReMi-style per-source weights over the
+                        surviving corpus, applied as the deterministic
+                        hash-Bernoulli copy manifest)
 9. chunking            (overlapping fixed-token context windows)
    + sequence packing  (shard-local cumulative token bins)
 
@@ -156,6 +159,38 @@ def build_pipeline(
         < F.lit(int(SAMPLE_RATE * (1 << 32)))
     )
 
+    # 8b: mixture rebalance — DoReMi-style per-source weights over the
+    # SURVIVING corpus (weights computed after filtering, since filters
+    # change the mixture), applied as the deterministic hash-Bernoulli
+    # copy manifest. The manifest is the loader's sampling plan; chunking
+    # below still runs per distinct doc (a loader replays a doc's chunks
+    # n_copies times).
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.hashing import (
+        u32_hash as _u32,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.extensions import (
+        _mixture_weights,
+    )
+
+    with_source = sampled.join(docs.select("doc_id", "source"), "doc_id")
+    weights = _mixture_weights(with_source).select("source", "resample_weight")
+    w = F.col("resample_weight")
+    mix_h = _u32(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    rebalanced = (
+        with_source.join(F.broadcast(weights), "source")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.floor(w).cast("bigint")
+                + F.when(
+                    mix_h < (w - F.floor(w)) * F.lit(4294967296.0), 1
+                ).otherwise(0)
+            ).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 0)
+    )
+
     # 9a: chunk surviving docs into overlapping context windows
     chunked = tx.chunk_documents(
         sampled, chunk_size=CHUNK_SIZE, stride=CHUNK_STRIDE
@@ -177,6 +212,7 @@ def build_pipeline(
         "semantic": semantic,
         "decontaminated": decontaminated,
         "sampled": sampled,
+        "rebalanced": rebalanced,
         "chunked": chunked,
         "packed": packed,
     }
@@ -201,6 +237,13 @@ def main() -> None:
         m = stages[name].count()
         print(f"{name:<19}: {m}  (-{n - m})")
         n = m
+    reb = stages["rebalanced"].agg(
+        F.count("*"), F.sum("n_copies"), F.countDistinct("source")
+    ).collect()[0]
+    print(
+        f"rebalanced         : {reb[0]} docs -> {reb[1]} copies "
+        f"across {reb[2]} sources (mixture flattened)"
+    )
     chunked = stages["chunked"]
     nc, ct = chunked.agg(
         F.count("*"), F.sum("n_chunk_tokens")
