@@ -36,15 +36,16 @@ def main() -> None:
     for name in sorted(specs):
         specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    # INTERLEAVED best-of-3: three full passes over the query set, taking
+    # INTERLEAVED best-of-4: four full passes over the query set, taking
     # each query's minimum across passes. The host shows multi-MINUTE
     # contention bursts (observed: identical queries varying 3 s → 90 s
     # back-to-back); consecutive per-query repetitions all fall inside one
     # burst, while interleaving puts a whole set-pass (~30 s) between a
     # query's repetitions, so a burst must span the entire run to poison
-    # any single query's best.
+    # any single query's best. (3 → 4 passes in r6: the longest query kept
+    # catching the tail of a burst in 2 of 3 passes.)
     timings: dict[str, float] = {n: float("inf") for n in specs}
-    for _ in range(3):
+    for _ in range(4):
         for name in sorted(specs):
             # drain garbage so one query's heap pressure cannot bill
             # multi-second GC pauses to the next query's timing
