@@ -32,9 +32,16 @@ def main() -> None:
     spark = get_spark(app_name="dwh-spark-bench")
     specs = {n: s for n, s in all_queries().items() if s.bench}
 
-    # Warm-up pass: JIT + IO caches, once per query.
-    for name in sorted(specs):
-        specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # Warm-up: TWO passes per query. Measured on the heavy-codegen
+    # queries (doc_minhash_neardup's 128-perm fold): execution 1 → 2 → 3
+    # runs 23 s → 11 s → 4.7 s before settling at ~3.6 s — whole-stage
+    # codegen compilation + JIT tiering need the first two executions,
+    # and a single warm-up leaves the timed passes paying compile cost.
+    # Steady-state IS the number that matters: at 100 TB a plan compiles
+    # once and runs for hours, so compile time is noise, not signal.
+    for _ in range(2):
+        for name in sorted(specs):
+            specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     # INTERLEAVED best-of-4: four full passes over the query set, taking
     # each query's minimum across passes. The host shows multi-MINUTE
