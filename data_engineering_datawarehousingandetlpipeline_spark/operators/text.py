@@ -305,6 +305,114 @@ def chunk_documents(
     return out.orderBy(id_col, "chunk_id") if sort_output else out
 
 
+#: Gopher rule thresholds (Rae et al. 2021, Table A1) — the canonical
+#: pretraining quality-filter battery. Kept verbatim even where the
+#: synthetic corpus makes a rule strict (e.g. the 50-word floor): the
+#: operator's contract is the PAPER's filter, and each rule surfaces as
+#: its own boolean so a deployment re-weights by flipping thresholds,
+#: not rewriting expressions.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRACTION = 0.9
+GOPHER_MAX_ELLIPSIS_FRACTION = 0.3
+GOPHER_MIN_ALPHA_FRACTION = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher rule battery: one boolean per rule + ``keep``.
+
+    All seven rules evaluate in ONE codegen'd scan as pure column
+    expressions (token folds, line splits, portable regex counts — no
+    UDF, no shuffle before the output sort). A NULL text yields NULL
+    rules and a NULL keep on both engines — unscoreable, not silently
+    kept or dropped. Complements :func:`quality_score` (a continuous
+    heuristic) with the paper's named go/no-go filter.
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    n = F.size(toks).cast("double")
+    mean_len = F.round(
+        F.try_divide(
+            F.aggregate(
+                F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+            ).cast("double"),
+            n,
+        ),
+        6,
+    )
+    symbol_ratio = F.round(
+        F.try_divide(
+            (
+                F.regexp_count(text, F.lit("#"))
+                + F.regexp_count(text, F.lit(r"\.\.\."))
+            ).cast("double"),
+            n,
+        ),
+        6,
+    )
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = F.round(
+        F.try_divide(
+            F.size(
+                F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
+            ).cast("double"),
+            n_lines,
+        ),
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.try_divide(
+            F.size(
+                F.filter(
+                    lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")
+                )
+            ).cast("double"),
+            n_lines,
+        ),
+        6,
+    )
+    alpha_frac = F.round(
+        F.try_divide(
+            F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double"),
+            n,
+        ),
+        6,
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    )
+    rules = {
+        "rule_word_count": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "rule_mean_len": (mean_len >= GOPHER_MIN_MEAN_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_LEN),
+        "rule_symbol_ratio": symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        "rule_bullets": bullet_frac <= GOPHER_MAX_BULLET_FRACTION,
+        "rule_ellipsis": ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRACTION,
+        "rule_alpha": alpha_frac >= GOPHER_MIN_ALPHA_FRACTION,
+        "rule_stopwords": n_stop >= GOPHER_MIN_STOPWORDS,
+    }
+    keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("keep"),
+    )
+
+
 #: PII detection patterns, in REDACTION PRIORITY order (email before bare
 #: digit-runs, so an address is replaced whole rather than having its
 #: digits punched out first). Engine-portable regex subset only: character

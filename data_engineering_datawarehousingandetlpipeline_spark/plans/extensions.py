@@ -1864,6 +1864,73 @@ ORDER BY loc.doc_id
 SQL_DOC_SPAN_DEDUP = _sql_doc_span_dedup()
 
 
+def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery — operators/text.gopher_quality_flags.
+
+    One boolean per Table-A1 rule plus the conjunction ``keep``, computed
+    in one codegen'd scan. Thresholds are the paper's verbatim (see
+    text.py GOPHER_* constants); NULL text yields NULL rules — the
+    unscoreable-is-not-kept contract.
+    """
+    return tx.gopher_quality_flags(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _sql_doc_gopher_rules() -> str:
+    stop = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
+    rules = {
+        "rule_word_count": (
+            f"(n >= {tx.GOPHER_MIN_WORDS} AND n <= {tx.GOPHER_MAX_WORDS})"
+        ),
+        "rule_mean_len": (
+            f"(mean_token_len >= {tx.GOPHER_MIN_MEAN_LEN} AND "
+            f"mean_token_len <= {tx.GOPHER_MAX_MEAN_LEN})"
+        ),
+        "rule_symbol_ratio": f"(symbol_ratio <= {tx.GOPHER_MAX_SYMBOL_RATIO})",
+        "rule_bullets": f"(bullet_frac <= {tx.GOPHER_MAX_BULLET_FRACTION})",
+        "rule_ellipsis": (
+            f"(ellipsis_frac <= {tx.GOPHER_MAX_ELLIPSIS_FRACTION})"
+        ),
+        "rule_alpha": f"(alpha_frac >= {tx.GOPHER_MIN_ALPHA_FRACTION})",
+        "rule_stopwords": f"(n_stop >= {tx.GOPHER_MIN_STOPWORDS})",
+    }
+    rule_cols = ",\n       ".join(f"{e} AS {k}" for k, e in rules.items())
+    keep = " AND ".join(rules.values())
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {SQL_TOKS} AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n,
+         round(CAST(list_sum(list_transform(toks, t -> length(t)))
+                    AS DOUBLE) / len(toks), 6) AS mean_token_len,
+         round(CAST(len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\\.\\.\\.'))
+                    AS DOUBLE) / len(toks), 6) AS symbol_ratio,
+         round(CAST(len(list_filter(lines,
+                    l -> regexp_matches(ltrim(l), '^[-*•]')))
+                    AS DOUBLE) / len(lines), 6) AS bullet_frac,
+         round(CAST(len(list_filter(lines,
+                    l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+                    AS DOUBLE) / len(lines), 6) AS ellipsis_frac,
+         round(CAST(len(list_filter(toks,
+                    t -> regexp_matches(t, '[A-Za-z]')))
+                    AS DOUBLE) / len(toks), 6) AS alpha_frac,
+         len(list_intersect(list_distinct(toks), [{stop}])) AS n_stop
+  FROM t
+)
+SELECT doc_id, CAST(n AS INTEGER) AS n_tokens, mean_token_len,
+       {rule_cols},
+       ({keep}) AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+SQL_DOC_GOPHER_RULES = _sql_doc_gopher_rules()
+
+
 # ----------------------------------------------------------- PII scrubbing
 
 def q_doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2239,6 +2306,9 @@ QUERIES = [
     QuerySpec("doc_span_dedup", q_doc_span_dedup, SQL_DOC_SPAN_DEDUP,
               "per-doc duplicated k-gram span fraction (suffix-array-style "
               "dedup signal)", tags=("dedup", "text")),
+    QuerySpec("doc_gopher_rules", q_doc_gopher_rules, SQL_DOC_GOPHER_RULES,
+              "Gopher Table-A1 quality-rule battery: one boolean per rule "
+              "+ keep, single codegen'd scan", tags=("text", "quality")),
     QuerySpec("doc_pii_scan", q_doc_pii_scan, SQL_DOC_PII_SCAN,
               "per-source PII hit counts + redaction delta audit",
               tags=("text", "pii")),

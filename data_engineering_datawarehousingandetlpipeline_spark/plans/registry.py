@@ -115,12 +115,13 @@ WINDOW_HEAD: tuple[str, ...] = (
     "doc_group_sample",
     "emb_cluster_profile",
     "streaming_chunks",
-    # r6 debut (late): salted skew join — took the streaming_ingest
-    # keeper slot (r5-green unchanged; the streaming machinery gets two
-    # fresh rows this round via streaming_chunks + streaming_exact_dedup)
+    # r6 debuts (late): salted skew join and the Gopher rule battery —
+    # these took the streaming_ingest and doc_minhash_neardup keeper
+    # slots (both r5-green and unchanged; streaming gets two fresh rows
+    # this round via streaming_chunks + streaming_exact_dedup, and the
+    # minhash path keeps its CI plan gates + sf0.001 parity coverage)
     "salted_enrich",
-    # machinery-heavy keeper
-    "doc_minhash_neardup",
+    "doc_gopher_rules",
 )
 
 

@@ -239,7 +239,7 @@ def test_driver_correctness_window_contains_unverified_queries():
     in_window_required = [
         # r6 debuts — never driver-verified
         "streaming_exact_dedup", "emb_ivfpq_topk", "emb_pq_topk",
-        "doc_mixture_sample", "salted_enrich",
+        "doc_mixture_sample", "salted_enrich", "doc_gopher_rules",
         # changed this round: aliased jaccard self-join / sequential PII
         # counts + tightened ipv4 / funnel try_divide / weights refactor
         "doc_ngram_jaccard", "doc_dedup_clusters", "doc_pii_scan",

@@ -85,3 +85,37 @@ def test_compressed_index_output_contract(spark, name):
         key = [(-r.cos_sim, r.neighbor_id) for r in nbrs]
         assert key == sorted(key), qid
         assert all(r.cos_q is not None for r in nbrs)
+
+
+def test_gopher_rules_fire_on_crafted_texts(spark):
+    """Each rule must trip on a text built to violate exactly it, and a
+    NULL text must yield NULL keep (unscoreable, not silently decided)."""
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    good = "the quick brown fox jumps over a lazy dog and runs to town " * 5
+    rows = [
+        (0, good),                                        # passes every rule
+        (1, "too short"),                                 # word count floor
+        (2, ("a " * 60).strip()),                         # mean len < 3
+        (3, ("the of " + "#tag " * 20) * 3),              # symbol ratio
+        (4, "\n".join("- item the of and" for _ in range(20))),   # bullets
+        (5, "\n".join("the of and more..." for _ in range(20))),  # ellipsis
+        (6, ("123 456 789 " * 20) + "the of"),            # alpha fraction
+        (7, ("zork blee crumb " * 30).strip()),           # no stopwords
+        (8, None),                                        # unscoreable
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert got[0].keep is True
+    assert got[1].rule_word_count is False
+    assert got[2].rule_mean_len is False
+    assert got[3].rule_symbol_ratio is False
+    assert got[4].rule_bullets is False
+    assert got[5].rule_ellipsis is False
+    assert got[6].rule_alpha is False
+    assert got[7].rule_stopwords is False
+    for d in range(1, 8):
+        assert got[d].keep is not True, d
+    assert got[8].keep is None
