@@ -346,3 +346,16 @@ def test_pq_training_stays_keyed_and_broadcast(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
         assert frag.startswith(" BuildRight, Cross"), frag[:60]
+
+
+def test_window_head_is_exactly_fifty():
+    """The driver records the FIRST 50 registry entries; WINDOW_HEAD must
+    be exactly that size — one entry over and the 50th silently falls out
+    of the verified window, one under and a stale tail query drifts in
+    unreviewed."""
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import (
+        WINDOW_HEAD,
+    )
+
+    assert len(WINDOW_HEAD) == 50
+    assert len(set(WINDOW_HEAD)) == 50  # no duplicates hiding a shortfall
