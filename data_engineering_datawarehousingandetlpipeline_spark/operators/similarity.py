@@ -503,6 +503,73 @@ def cosine_top_k_ivfpq(
     )
 
 
+def hard_negative_mine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-pair mining: best positive + hardest negative per query.
+
+    The training-data prep step for embedding/retrieval models: for each
+    query vector, the highest-cosine SAME-label neighbor is the positive
+    and the highest-cosine DIFFERENT-label neighbor is the hard negative
+    (the near-miss that actually shapes the decision boundary — random
+    negatives are trivially separable and teach nothing).
+
+    Plan shape: one corpus scan against the broadcast query set (the
+    exact brute-force contract of :func:`cosine_top_k`), then BOTH
+    argmaxes ride a single partial-agg ``groupBy`` as conditional
+    ``min(when(...))`` structs — one shuffled row per query, never two
+    passes. Cosines are NULL-anchored to −2 (zero-norm convention of
+    :func:`_centroid_cosine`) so NULL can't win an argmax; a query with
+    no same-label (or no different-label) neighbor reports NULLs rather
+    than vanishing. At warehouse scale, swap the scored base for the IVF
+    probe set (:func:`cosine_top_k_ivf`'s assignment machinery) — the
+    argmax stage is unchanged.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.coalesce(
+                cosine(F.col("query_vec"), F.col("vec")), F.lit(-2.0)
+            ).alias("cos"),
+        )
+    )
+    same = F.col("neighbor_label") == F.col("query_label")
+    best = F.struct(
+        (-F.col("cos")).alias("n"), F.col("neighbor_id").alias("i")
+    )
+    agg = scored.groupBy("query_id", "query_label").agg(
+        F.min(F.when(same, best)).alias("p"),
+        F.min(F.when(~same, best)).alias("g"),
+    )
+    return agg.select(
+        "query_id",
+        "query_label",
+        F.col("p.i").alias("pos_id"),
+        (-F.col("p.n")).alias("pos_cos"),
+        F.col("g.i").alias("neg_id"),
+        (-F.col("g.n")).alias("neg_cos"),
+    ).orderBy("query_id")
+
+
 def pq_codebooks(
     corpus: DataFrame,
     dim: int,

@@ -1439,6 +1439,51 @@ ORDER BY query_id, rank
 """
 
 
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining — similarity.hard_negative_mine.
+
+    Per query vector: the best same-label neighbor (positive) and the
+    hardest different-label neighbor (the near-miss negative), both by
+    exact rounded cosine with id tie-breaks. One corpus scan, broadcast
+    query side, one conditional-argmax shuffle row per query.
+    """
+    embs = _embs(spark, sf_dir)
+    return sim.hard_negative_mine(
+        embs, embs.filter(F.col("vec_id") < TOPK_QUERY_IDS)
+    )
+
+
+SQL_EMB_HARD_NEGATIVES = f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label AS query_label, vv AS qv
+  FROM v WHERE vec_id < {TOPK_QUERY_IDS}
+), scored AS (
+  SELECT q.query_id, q.query_label, c.vec_id AS neighbor_id,
+         c.label AS neighbor_label,
+         COALESCE({_SQL_COS.format(a='q.qv', b='c.vv')}, -2.0) AS cos
+  FROM v c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+), pos AS (
+  SELECT query_id, neighbor_id AS pos_id, cos AS pos_cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id ASC) AS rn
+    FROM scored WHERE neighbor_label = query_label) t
+  WHERE rn = 1
+), neg AS (
+  SELECT query_id, neighbor_id AS neg_id, cos AS neg_cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id ASC) AS rn
+    FROM scored WHERE neighbor_label <> query_label) t
+  WHERE rn = 1
+)
+SELECT q.query_id, q.query_label, pos_id, pos_cos, neg_id, neg_cos
+FROM q LEFT JOIN pos USING (query_id) LEFT JOIN neg USING (query_id)
+ORDER BY query_id
+"""
+
+
 PQ_M = 8           # subspaces: 64-dim vectors → eight 8-dim subvectors
 PQ_CODEWORDS = 16  # 16 codewords/subspace → 4-bit codes, 64× compression
 PQ_ITERATIONS = 2
@@ -2290,6 +2335,11 @@ QUERIES = [
               "brute-force cosine top-k neighbors", bench=True, tags=("similarity",)),
     QuerySpec("emb_ann_topk", q_emb_ann_topk, SQL_EMB_ANN_TOPK,
               "LSH-bucketed approximate top-k", tags=("similarity",)),
+    QuerySpec("emb_hard_negatives", q_emb_hard_negatives,
+              SQL_EMB_HARD_NEGATIVES,
+              "contrastive-pair mining: best positive + hardest negative "
+              "per query (conditional-argmax single scan)",
+              tags=("embeddings", "ann")),
     QuerySpec("emb_pq_topk", q_emb_pq_topk, SQL_EMB_PQ_TOPK,
               "true product quantization: per-subspace codebooks, ADC "
               "scoring, exact re-rank (64x compression)",

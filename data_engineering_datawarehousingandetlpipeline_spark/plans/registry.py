@@ -107,11 +107,15 @@ WINDOW_HEAD: tuple[str, ...] = (
     "value_quantiles",
     "dup_audit_hourly",
     "dashboard_summary",
+    # r6 debut (late): contrastive-pair mining — took doc_ngram_topk's
+    # second-row slot (r5-green, unchanged, stays ≤ 2 rounds stale for
+    # its promised r7 re-verification; never-verified debuts outrank
+    # second rows)
+    "emb_hard_negatives",
     # r5 debuts — second driver row on unchanged code
     "doc_span_dedup",
     "emb_quantize_stats",
     "retention_cohorts",
-    "doc_ngram_topk",
     "doc_group_sample",
     "emb_cluster_profile",
     "streaming_chunks",

@@ -240,13 +240,14 @@ def test_driver_correctness_window_contains_unverified_queries():
         # r6 debuts — never driver-verified
         "streaming_exact_dedup", "emb_ivfpq_topk", "emb_pq_topk",
         "doc_mixture_sample", "salted_enrich", "doc_gopher_rules",
+        "emb_hard_negatives",
         # changed this round: aliased jaccard self-join / sequential PII
         # counts + tightened ipv4 / funnel try_divide / weights refactor
         "doc_ngram_jaccard", "doc_dedup_clusters", "doc_pii_scan",
         "event_funnel", "doc_mixture_weights",
         # r5 debuts with a single green row — second row due
         "doc_span_dedup", "emb_quantize_stats", "retention_cohorts",
-        "doc_ngram_topk", "doc_group_sample", "emb_cluster_profile",
+        "doc_group_sample", "emb_cluster_profile",
         "streaming_chunks",
         # r4-green queries at the 2-round staleness limit (rotation
         # policy: no registry query may go > 2 rounds without a row)
@@ -359,3 +360,15 @@ def test_window_head_is_exactly_fifty():
 
     assert len(WINDOW_HEAD) == 50
     assert len(set(WINDOW_HEAD)) == 50  # no duplicates hiding a shortfall
+
+
+def test_hard_negative_mining_is_single_scan_single_argmax_shuffle(spark):
+    """Both argmaxes (positive and hard negative) must ride ONE
+    partial-agg groupBy over one corpus × broadcast(queries) scan — a
+    two-pass formulation doubles the dominant cost for no reason."""
+    plan = _plan(spark, "emb_hard_negatives")
+    assert plan.count("FileScan parquet") == 2  # corpus + query side
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert frag.startswith(" BuildRight, Cross"), frag[:60]

