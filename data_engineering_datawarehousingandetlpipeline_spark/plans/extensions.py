@@ -361,8 +361,10 @@ _SQL_BANDS = " UNION ALL ".join(
     )
     for b in range(_BANDS)
 )
-SQL_DOC_MINHASH_NEARDUP = f"""
-WITH toks AS (
+#: the full MinHash+LSH pair pipeline as reusable CTE text — shared by
+#: the near-dup query and the split-leakage audit (same signatures, same
+#: banding, same candidate-only verification on both).
+_SQL_MINHASH_CTES = f"""toks AS (
   SELECT doc_id AS doc, list_distinct({SQL_TOKS}) AS t FROM documents
 ), hashed AS (
   SELECT doc, t, [{sql_u32_hash('x')} for x in t] AS hv
@@ -375,8 +377,8 @@ WITH toks AS (
   SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
   FROM bands x JOIN bands y
     ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc < y.doc
-)
-SELECT c.doc_a, c.doc_b,
+)"""
+_SQL_MINHASH_PAIRS = f"""SELECT c.doc_a, c.doc_b,
        CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
          / CAST(len(ha.hv) + len(hb.hv) - len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
          AS jaccard
@@ -385,7 +387,10 @@ JOIN hashed ha ON ha.doc = c.doc_a
 JOIN hashed hb ON hb.doc = c.doc_b
 WHERE CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
         / CAST(len(ha.hv) + len(hb.hv) - len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
-      >= {MINHASH_JACCARD_THRESHOLD}
+      >= {MINHASH_JACCARD_THRESHOLD}"""
+SQL_DOC_MINHASH_NEARDUP = f"""
+WITH {_SQL_MINHASH_CTES}
+{_SQL_MINHASH_PAIRS}
 ORDER BY c.doc_a, c.doc_b
 """
 
@@ -625,6 +630,69 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM documents
 ORDER BY doc_id
+"""
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit: near-dup pairs crossing the split line.
+
+    The check every benchmark-honest pipeline runs after splitting: a
+    val/test document with a ≥ 0.9-Jaccard near-duplicate in train leaks
+    the answer into the weights, and exact-hash decontamination misses it
+    (near-dups are not byte-equal). Composes the two verified pieces —
+    MinHash+LSH pair detection and the hash-range split — and keeps only
+    pairs whose sides land in DIFFERENT splits. The split assignment is a
+    two-column projection joined onto the (LSH-bounded) pair set, so the
+    audit costs the near-dup pass plus two id-keyed joins — nothing new
+    scans the corpus.
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.hashing import (
+        u32_hash,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_near_dup_pairs(
+        docs, threshold=MINHASH_JACCARD_THRESHOLD
+    )
+    h = u32_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    split = (
+        F.when(h < _SPLIT_T_TRAIN, "train")
+        .when(h < _SPLIT_T_VAL, "val")
+        .otherwise("test")
+    )
+    assign = docs.select("doc_id", split.alias("split"))
+    a = assign.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = assign.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SQL_SPLIT_CASE = f"""CASE WHEN {sql_u32_hash("'split:' || CAST(doc_id AS VARCHAR)")} < {_SPLIT_T_TRAIN}
+              THEN 'train'
+            WHEN {sql_u32_hash("'split:' || CAST(doc_id AS VARCHAR)")} < {_SPLIT_T_VAL}
+              THEN 'val'
+            ELSE 'test' END"""
+SQL_SPLIT_LEAKAGE_AUDIT = f"""
+WITH {_SQL_MINHASH_CTES}, pairs AS (
+{_SQL_MINHASH_PAIRS}
+), assign AS (
+  SELECT doc_id, {_SQL_SPLIT_CASE} AS split FROM documents
+)
+SELECT p.doc_a, a.split AS split_a, p.doc_b, b.split AS split_b, p.jaccard
+FROM pairs p
+JOIN assign a ON a.doc_id = p.doc_a
+JOIN assign b ON b.doc_id = p.doc_b
+WHERE a.split <> b.split
+ORDER BY p.doc_a, p.doc_b
 """
 
 
@@ -2285,6 +2353,10 @@ QUERIES = [
     QuerySpec("doc_source_stats", q_doc_source_stats, SQL_DOC_SOURCE_STATS,
               "per-source quality rollup + drop-domain flag (C4-style)",
               tags=("text", "quality")),
+    QuerySpec("split_leakage_audit", q_split_leakage_audit,
+              SQL_SPLIT_LEAKAGE_AUDIT,
+              "train/eval leakage audit: MinHash near-dup pairs crossing "
+              "the hash-split boundary", tags=("text", "dedup", "sample")),
     QuerySpec("doc_split_assign", q_doc_split_assign, SQL_DOC_SPLIT_ASSIGN,
               "deterministic hash-range train/val/test split",
               tags=("text", "sample")),

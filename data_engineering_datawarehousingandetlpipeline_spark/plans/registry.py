@@ -112,10 +112,12 @@ WINDOW_HEAD: tuple[str, ...] = (
     # its promised r7 re-verification; never-verified debuts outrank
     # second rows)
     "emb_hard_negatives",
+    # r6 debut (late): split-leakage audit — took retention_cohorts'
+    # second-row slot (same ≤-2-rounds-stale reasoning as above)
+    "split_leakage_audit",
     # r5 debuts — second driver row on unchanged code
     "doc_span_dedup",
     "emb_quantize_stats",
-    "retention_cohorts",
     "doc_group_sample",
     "emb_cluster_profile",
     "streaming_chunks",

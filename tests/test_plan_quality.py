@@ -59,7 +59,8 @@ def test_top_k_uses_window_group_limit(spark):
 @pytest.mark.parametrize(
     "name",
     ["doc_ngram_jaccard", "doc_minhash_neardup", "doc_simhash_pairs",
-     "emb_near_dup", "nearby_clicks", "asof_last_error"],
+     "emb_near_dup", "nearby_clicks", "asof_last_error",
+     "split_leakage_audit"],
 )
 def test_pair_operators_never_go_quadratic(spark, name):
     """Near-dup / ANN / range-join plans must stay equi-join shaped."""
@@ -240,13 +241,13 @@ def test_driver_correctness_window_contains_unverified_queries():
         # r6 debuts — never driver-verified
         "streaming_exact_dedup", "emb_ivfpq_topk", "emb_pq_topk",
         "doc_mixture_sample", "salted_enrich", "doc_gopher_rules",
-        "emb_hard_negatives",
+        "emb_hard_negatives", "split_leakage_audit",
         # changed this round: aliased jaccard self-join / sequential PII
         # counts + tightened ipv4 / funnel try_divide / weights refactor
         "doc_ngram_jaccard", "doc_dedup_clusters", "doc_pii_scan",
         "event_funnel", "doc_mixture_weights",
         # r5 debuts with a single green row — second row due
-        "doc_span_dedup", "emb_quantize_stats", "retention_cohorts",
+        "doc_span_dedup", "emb_quantize_stats",
         "doc_group_sample", "emb_cluster_profile",
         "streaming_chunks",
         # r4-green queries at the 2-round staleness limit (rotation

@@ -140,3 +140,29 @@ def test_hard_negatives_semantic_contract(spark):
         assert labels[r.pos_id] == r.query_label, r
         assert labels[r.neg_id] != r.query_label, r
         assert r.pos_cos >= -1.0 and r.neg_cos >= -1.0
+
+
+def test_leakage_audit_is_cross_split_subset_of_near_dups(spark):
+    """Every audited pair must (a) cross the split boundary and (b) be a
+    pair the near-dup detector reports, with the identical jaccard —
+    composition must not invent or rescore pairs."""
+    qs = all_queries()
+    dups = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in qs["doc_minhash_neardup"].fn(spark, SF_DIR).collect()
+    }
+    splits = {
+        r.doc_id: r.split
+        for r in qs["doc_split_assign"].fn(spark, SF_DIR).collect()
+    }
+    rows = qs["split_leakage_audit"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.split_a != r.split_b, r
+        assert splits[r.doc_a] == r.split_a and splits[r.doc_b] == r.split_b
+        assert dups[(r.doc_a, r.doc_b)] == r.jaccard, r
+    # completeness: every cross-split near-dup pair is reported
+    expected = sum(
+        1 for (a, b) in dups if splits[a] != splits[b]
+    )
+    assert len(rows) == expected
