@@ -1,0 +1,497 @@
+"""Corpus-curation queries: the selection/audit layer of a pretraining
+pipeline.
+
+Round-6 additions on top of the dedup/similarity/text families in
+plans/extensions.py — the decisions a data team makes AFTER detection has
+run: which near-dup survives (quality-aware canonical selection), how
+duplicated the corpus is (cluster-size histogram), which documents look
+like the target domain (DSIR importance weights), which terms drift
+between subcorpora (log-odds vocabulary drift), and how much sources
+overlap each other (pairwise n-gram containment).
+
+Every query follows the house contract: Spark plan + DuckDB oracle twin
+computing the identical deterministic expression (shared md5/u32 hash
+contract, ln + round at fixed scale, decimal-anchored float sums), every
+computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_datawarehousingandetlpipeline_spark.functions.hashing import (
+    sql_u32_hash,
+    u32_hash,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
+    dsum,
+    sql_dsum,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+    dedup as dd,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+    text as tx,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.plans.extensions import (
+    _SQL_QUALITY_EXPR,
+    MINHASH_JACCARD_THRESHOLD,
+    SQL_CLUSTER_CTES,
+    SQL_TOKS,
+    _docs,
+)
+from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import QuerySpec
+
+#: DSIR hashed-feature space: small enough that the fitted model (one row
+#: per bucket) always broadcasts, large enough that collisions stay rare
+#: for realistic vocabularies. The classic paper uses 10^4 buckets for
+#: hashed bigrams; the knob scales freely — model size is O(buckets),
+#: never O(corpus).
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+#: log-ratio per bucket is rounded before the per-doc sum so both engines
+#: aggregate identical decimals (ln differs only in the last ulp across
+#: libms; 7 fractional digits is far above that noise floor).
+DSIR_LR_SCALE = 7
+
+#: Monroe et al. "Fightin' Words" informative-Dirichlet log-odds: total
+#: pseudo-count mass spread over terms proportional to corpus frequency.
+DRIFT_PRIOR_MASS = 200.0
+DRIFT_TOP_TERMS = 25
+DRIFT_TARGET_LANG = "en"
+
+#: Cross-source overlap runs on an n-gram *sketch*: keep the grams whose
+#: salted hash ≡ 0 (mod SRC_OVERLAP_MOD) — a deterministic 1/MOD uniform
+#: sample of gram space, identical on every engine. Jaccard/containment of
+#: the sampled sets are unbiased estimates of the full-set values, and the
+#: sketch bounds the join input at any corpus size (the same lever MinHash
+#: uses, without the signature machinery).
+SRC_OVERLAP_WIDTH = 8
+SRC_OVERLAP_MOD = 4
+
+
+# ------------------------------------------------------ DSIR importance
+
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: hashed-unigram log-likelihood ratios.
+
+    Data Selection via Importance Resampling (Xie et al., 2023): score
+    every document by how much more likely its bag of hashed token
+    features is under the *target* distribution (here: the corpus's
+    ``lang = 'en'`` slice, standing in for a high-quality domain corpus)
+    than under the raw corpus distribution. Downstream selection keeps the
+    top-weight documents (or samples proportionally), which provably
+    shifts the selected corpus toward the target domain.
+
+    Shape: one postings explode → per-(doc, bucket) counts (the only
+    corpus-sized shuffle, keyed on doc_id × 256 buckets); the fitted model
+    is a 256-row aggregate of those counts (+ a 1-row total) that
+    BROADCASTS back — so scoring is a map-side join, and at 100 TB the
+    model fit is the standard two-pass estimate-then-score layout with
+    nothing driver-side. Laplace +1 smoothing keeps every bucket's
+    probability finite; per-bucket log-ratios are rounded at
+    ``DSIR_LR_SCALE`` then decimal-anchored into the per-doc sum, so the
+    result is bit-identical in any execution order and engine.
+    """
+    docs = _docs(spark, sf_dir)
+    postings = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tx.tokens(F.col("text"))).alias("token"),
+    )
+    doc_bucket = postings.groupBy(
+        "doc_id",
+        "lang",
+        (u32_hash(F.concat(F.lit("dsir:"), F.col("token"))) % DSIR_BUCKETS).alias(
+            "bucket"
+        ),
+    ).agg(F.count("*").alias("c"))
+
+    bucket_stats = doc_bucket.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(0)).alias(
+            "n_tgt"
+        ),
+        F.sum("c").alias("n_raw"),
+    )
+    totals = bucket_stats.agg(
+        F.sum("n_tgt").alias("t_tot"), F.sum("n_raw").alias("r_tot")
+    )
+    model = bucket_stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                (F.col("n_tgt") + F.lit(1)).cast("double")
+                / (F.col("t_tot") + F.lit(DSIR_BUCKETS)).cast("double")
+            )
+            - F.log(
+                (F.col("n_raw") + F.lit(1)).cast("double")
+                / (F.col("r_tot") + F.lit(DSIR_BUCKETS)).cast("double")
+            ),
+            DSIR_LR_SCALE,
+        ).alias("lr"),
+    )
+    return (
+        doc_bucket.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            # No further rounding: c·lr has exactly DSIR_LR_SCALE fractional
+            # digits (c is integral), the wide decimal anchor holds 8, so
+            # the sum is already exact and engine-identical. A final
+            # round-to-6 would CREATE half-tie boundaries (…x5 decimals)
+            # where the engines' double-rounding conventions differ.
+            dsum(F.col("c") * F.col("lr"), wide=True).alias("dsir_logratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_DSIR_WEIGHTS = f"""
+WITH postings AS (
+  SELECT doc_id, lang, unnest({SQL_TOKS}) AS token FROM documents
+), doc_bucket AS (
+  SELECT doc_id, lang,
+         {sql_u32_hash("'dsir:' || token")} % {DSIR_BUCKETS} AS bucket,
+         COUNT(*) AS c
+  FROM postings GROUP BY doc_id, lang, bucket
+), bucket_stats AS (
+  SELECT bucket,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c ELSE 0 END) AS n_tgt,
+         SUM(c) AS n_raw
+  FROM doc_bucket GROUP BY bucket
+), totals AS (
+  SELECT SUM(n_tgt) AS t_tot, SUM(n_raw) AS r_tot FROM bucket_stats
+), model AS (
+  SELECT bucket,
+         round(ln(CAST(n_tgt + 1 AS DOUBLE) / CAST(t_tot + {DSIR_BUCKETS} AS DOUBLE))
+             - ln(CAST(n_raw + 1 AS DOUBLE) / CAST(r_tot + {DSIR_BUCKETS} AS DOUBLE)),
+               {DSIR_LR_SCALE}) AS lr
+  FROM bucket_stats CROSS JOIN totals
+)
+SELECT d.doc_id, d.lang, SUM(d.c) AS n_tokens,
+       {sql_dsum("d.c * m.lr", wide=True)} AS dsir_logratio
+FROM doc_bucket d JOIN model m USING (bucket)
+GROUP BY d.doc_id, d.lang
+ORDER BY d.doc_id
+"""
+
+
+# ------------------------------------------- quality-aware canonical keep
+
+def q_doc_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster.
+
+    The dedup endgame done right: instead of keeping the lowest-id member
+    of each connected component (``doc_dedup_clusters``'s convention),
+    keep the HIGHEST-QUALITY member — the policy real pipelines use so
+    dedup never discards the clean copy in favor of a boilerplate-ridden
+    twin. Same pair graph and components as `doc_dedup_clusters` (one
+    definition, shared oracle CTE), composed with the `doc_quality` score;
+    the winner is a per-cluster ``row_number`` over (quality desc, doc_id
+    asc) — deterministic, and executed as a WindowGroupLimit-style
+    per-group rank over cluster-partitioned data, never a global sort.
+    """
+    docs = _docs(spark, sf_dir)
+    pairs = dd.jaccard_pairs(
+        docs, threshold=MINHASH_JACCARD_THRESHOLD, shingle_width=1
+    )
+    labels = dd.near_dup_clusters(docs, pairs)
+    scored = docs.select(
+        "doc_id", F.round(tx.quality_score(F.col("text")), 6).alias("quality")
+    ).join(labels, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            (F.col("rn") == 1).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_CLUSTER_KEEP = f"""
+{SQL_CLUSTER_CTES},
+scored AS (
+  SELECT d.doc_id, c.cluster_id, {_SQL_QUALITY_EXPR} AS quality
+  FROM documents d JOIN clusters c USING (doc_id)
+)
+SELECT doc_id, cluster_id, quality,
+       (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                           ORDER BY quality DESC, doc_id ASC) = 1) AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------- cluster-size histogram
+
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-mass audit: histogram of near-dup cluster sizes.
+
+    The one-screen answer to "how duplicated is this corpus?": for each
+    component size, how many clusters exist, how many documents they hold,
+    and how many of those are excess copies (size − 1 per cluster — what
+    dedup would remove). Composes the same shared cluster graph; the
+    histogram itself is two tiny aggregations past the component labels
+    (cluster sizes: one shuffle keyed on cluster_id; histogram: one on
+    size), so the audit adds nothing corpus-sized to the dedup pipeline it
+    monitors.
+    """
+    docs = _docs(spark, sf_dir)
+    pairs = dd.jaccard_pairs(
+        docs, threshold=MINHASH_JACCARD_THRESHOLD, shingle_width=1
+    )
+    labels = dd.near_dup_clusters(docs, pairs)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "n_excess_copies"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+SQL_DEDUP_CLUSTER_STATS = f"""
+{SQL_CLUSTER_CTES},
+csizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id
+)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       cluster_size * COUNT(*) AS n_docs,
+       (cluster_size - 1) * COUNT(*) AS n_excess_copies
+FROM csizes
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+# ------------------------------------------------- vocabulary drift
+
+def q_doc_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-odds vocabulary drift between two subcorpora (Monroe et al.).
+
+    "Fightin' Words" informative-Dirichlet log-odds: which terms are
+    statistically over-represented in the target slice (``lang = 'en'``)
+    vs the rest — the drift monitor a corpus team runs between crawl
+    snapshots or between a new source and the existing mix. The prior is
+    proportional to overall corpus frequency with ``DRIFT_PRIOR_MASS``
+    total pseudo-counts, so rare terms don't dominate on noise; the
+    z-score divides the log-odds delta by its estimated standard error.
+
+    Shape: one postings explode → one conditional aggregation per term
+    (the only corpus-sized shuffle); subcorpus totals are a broadcast
+    1-row aggregate of the term table (never a second corpus scan); the
+    top-k by |z| is an orderBy + limit, which Spark executes as
+    TakeOrderedAndProject — no full vocabulary sort materializes.
+    """
+    docs = _docs(spark, sf_dir)
+    postings = docs.select(
+        "lang", F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    counts = postings.groupBy("term").agg(
+        F.sum(F.when(F.col("lang") == DRIFT_TARGET_LANG, 1).otherwise(0)).alias(
+            "y_tgt"
+        ),
+        F.sum(F.when(F.col("lang") != DRIFT_TARGET_LANG, 1).otherwise(0)).alias(
+            "y_rest"
+        ),
+    )
+    totals = counts.agg(
+        F.sum("y_tgt").alias("n_tgt"), F.sum("y_rest").alias("n_rest")
+    )
+    a = (
+        (F.col("y_tgt") + F.col("y_rest")).cast("double")
+        / (F.col("n_tgt") + F.col("n_rest")).cast("double")
+        * F.lit(DRIFT_PRIOR_MASS)
+    )
+    d_tgt = F.log(
+        (F.col("y_tgt") + a)
+        / (F.col("n_tgt") + F.lit(DRIFT_PRIOR_MASS) - F.col("y_tgt") - a)
+    )
+    d_rest = F.log(
+        (F.col("y_rest") + a)
+        / (F.col("n_rest") + F.lit(DRIFT_PRIOR_MASS) - F.col("y_rest") - a)
+    )
+    var = F.lit(1.0) / (F.col("y_tgt") + a) + F.lit(1.0) / (F.col("y_rest") + a)
+    z = F.round((d_tgt - d_rest) / F.sqrt(var), 6)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select("term", "y_tgt", "y_rest", z.alias("z_score"))
+        .orderBy(F.abs(F.col("z_score")).desc(), F.col("term").asc())
+        .limit(DRIFT_TOP_TERMS)
+    )
+
+
+SQL_DOC_VOCAB_DRIFT = f"""
+WITH postings AS (
+  SELECT lang, unnest({SQL_TOKS}) AS term FROM documents
+), counts AS (
+  SELECT term,
+         SUM(CASE WHEN lang = '{DRIFT_TARGET_LANG}' THEN 1 ELSE 0 END) AS y_tgt,
+         SUM(CASE WHEN lang <> '{DRIFT_TARGET_LANG}' THEN 1 ELSE 0 END) AS y_rest
+  FROM postings GROUP BY term
+), totals AS (
+  SELECT SUM(y_tgt) AS n_tgt, SUM(y_rest) AS n_rest FROM counts
+), scored AS (
+  SELECT term, y_tgt, y_rest,
+         round(
+           (ln((y_tgt + a) / (n_tgt + {DRIFT_PRIOR_MASS} - y_tgt - a))
+          - ln((y_rest + a) / (n_rest + {DRIFT_PRIOR_MASS} - y_rest - a)))
+           / sqrt(1.0 / (y_tgt + a) + 1.0 / (y_rest + a)), 6) AS z_score
+  FROM (
+    SELECT term, y_tgt, y_rest, n_tgt, n_rest,
+           CAST(y_tgt + y_rest AS DOUBLE) / CAST(n_tgt + n_rest AS DOUBLE)
+             * {DRIFT_PRIOR_MASS} AS a
+    FROM counts CROSS JOIN totals
+  )
+)
+SELECT term, y_tgt, y_rest, z_score
+FROM scored
+ORDER BY abs(z_score) DESC, term ASC
+LIMIT {DRIFT_TOP_TERMS}
+"""
+
+
+# --------------------------------------------- cross-source overlap
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source overlap: sampled 8-gram Jaccard + containment.
+
+    The corpus-composition audit (CommonCrawl-vs-C4-style): for every pair
+    of sources, how much long-n-gram content they share — Jaccard for
+    symmetric overlap, containment (common / smaller set) for "is one
+    source a subset of another". Runs on a deterministic 1/{{MOD}} hash
+    sketch of gram space (salted u32 ≡ 0), so the postings join is bounded
+    by the sketch at any corpus size while the estimates stay unbiased;
+    the verify-side math is exact over the sketch, so the oracle matches
+    bit-for-bit. Per-source set sizes are a 20-row aggregate that
+    broadcasts into the pair join; output is one row per overlapping
+    source pair.
+    """
+    docs = _docs(spark, sf_dir)
+    grams = (
+        docs.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    tx.word_shingles(F.col("text"), SRC_OVERLAP_WIDTH)
+                )
+            ).alias("gram"),
+        )
+        .select("source", F.md5(F.col("gram")).alias("g"))
+        .filter(
+            u32_hash(F.concat(F.lit("sov:"), F.col("g"))) % SRC_OVERLAP_MOD == 0
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
+    common = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("n_grams").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("n_grams").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH t AS (
+  SELECT source, {SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT source,
+         CASE WHEN len(toks) >= {SRC_OVERLAP_WIDTH}
+              THEN [array_to_string(toks[i:i+{SRC_OVERLAP_WIDTH - 1}], ' ')
+                    for i in range(1, len(toks) - {SRC_OVERLAP_WIDTH - 2})]
+              ELSE [array_to_string(toks, ' ')] END AS grams
+  FROM t
+), g AS (
+  SELECT DISTINCT source, md5(gram) AS g
+  FROM (SELECT source, unnest(grams) AS gram FROM sh)
+  WHERE {sql_u32_hash("'sov:' || md5(gram)")} % {SRC_OVERLAP_MOD} = 0
+), sizes AS (
+  SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source
+), common AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, sa.n_grams AS n_a, sb.n_grams AS n_b, n_common,
+       round(CAST(n_common AS DOUBLE)
+             / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE), 6) AS jaccard,
+       round(CAST(n_common AS DOUBLE)
+             / CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE), 6) AS containment
+FROM common
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
+QUERIES = [
+    QuerySpec("doc_dsir_weights", q_doc_dsir_weights, SQL_DOC_DSIR_WEIGHTS,
+              "DSIR importance weights: hashed-unigram target-vs-raw "
+              "log-likelihood ratios per document",
+              tags=("text", "sample", "quality")),
+    QuerySpec("doc_cluster_keep", q_doc_cluster_keep, SQL_DOC_CLUSTER_KEEP,
+              "quality-aware canonical selection per near-dup cluster",
+              tags=("dedup", "quality")),
+    QuerySpec("dedup_cluster_stats", q_dedup_cluster_stats,
+              SQL_DEDUP_CLUSTER_STATS,
+              "duplication-mass audit: near-dup cluster-size histogram",
+              tags=("dedup",)),
+    QuerySpec("doc_vocab_drift", q_doc_vocab_drift, SQL_DOC_VOCAB_DRIFT,
+              "informative-Dirichlet log-odds vocabulary drift, top-k "
+              "terms by |z|", tags=("text",)),
+    QuerySpec("source_overlap", q_source_overlap, SQL_SOURCE_OVERLAP,
+              "pairwise source overlap: sampled 8-gram Jaccard + "
+              "containment", tags=("text", "dedup")),
+]

@@ -458,8 +458,13 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DOC_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE toks AS (
+#: Shared recursive-CTE chain producing `clusters(doc_id, cluster_id)` from
+#: exact unigram-Jaccard pairs — the oracle twin of
+#: `jaccard_pairs(width=1) → near_dup_clusters`. Reused by every query that
+#: composes on the dedup-cluster graph (`doc_dedup_clusters` here;
+#: cluster-keep / cluster-stats in plans/curation.py), so the graph they
+#: verify against is one definition, not drifting copies.
+SQL_CLUSTER_CTES = f"""WITH RECURSIVE toks AS (
   SELECT doc_id AS doc, list_distinct({SQL_TOKS}) AS t FROM documents
 ), sizes AS (
   SELECT doc, len(t) AS n FROM toks
@@ -486,7 +491,10 @@ WITH RECURSIVE toks AS (
   SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.doc
 ), clusters AS (
   SELECT doc AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc
-)
+)"""
+
+SQL_DOC_DEDUP_CLUSTERS = f"""
+{SQL_CLUSTER_CTES}
 SELECT doc_id, cluster_id,
        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM clusters

@@ -115,12 +115,16 @@ WINDOW_HEAD: tuple[str, ...] = (
     # r6 debut (late): split-leakage audit — took retention_cohorts'
     # second-row slot (same ≤-2-rounds-stale reasoning as above)
     "split_leakage_audit",
-    # r5 debuts — second driver row on unchanged code
-    "doc_span_dedup",
-    "emb_quantize_stats",
-    "doc_group_sample",
-    "emb_cluster_profile",
-    "streaming_chunks",
+    # r6 debuts (curation family, plans/curation.py) — never driver-verified,
+    # so they outrank second rows: these five took the slots of the r5
+    # debuts' second rows (doc_span_dedup, emb_quantize_stats,
+    # doc_group_sample, emb_cluster_profile, streaming_chunks — all
+    # r5-green, unchanged, due back ≤ r7 under the 2-round-stale policy)
+    "doc_dsir_weights",
+    "doc_cluster_keep",
+    "dedup_cluster_stats",
+    "doc_vocab_drift",
+    "source_overlap",
     # r6 debuts (late): salted skew join and the Gopher rule battery —
     # these took the streaming_ingest and doc_minhash_neardup keeper
     # slots (both r5-green and unchanged; streaming gets two fresh rows
@@ -141,13 +145,14 @@ def all_queries() -> dict[str, QuerySpec]:
     """
     from data_engineering_datawarehousingandetlpipeline_spark.plans import (
         analytics,
+        curation,
         extensions,
         pipeline_queries,
         reference_queries,
     )
 
     specs: dict[str, QuerySpec] = {}
-    for module in (pipeline_queries, reference_queries, analytics, extensions):
+    for module in (pipeline_queries, reference_queries, analytics, extensions, curation):
         for spec in module.QUERIES:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name: {spec.name}")

@@ -246,10 +246,11 @@ def test_driver_correctness_window_contains_unverified_queries():
         # counts + tightened ipv4 / funnel try_divide / weights refactor
         "doc_ngram_jaccard", "doc_dedup_clusters", "doc_pii_scan",
         "event_funnel", "doc_mixture_weights",
-        # r5 debuts with a single green row — second row due
-        "doc_span_dedup", "emb_quantize_stats",
-        "doc_group_sample", "emb_cluster_profile",
-        "streaming_chunks",
+        # r6 curation-family debuts — never driver-verified, took the r5
+        # debuts' second-row slots (those are r5-green unchanged, due back
+        # ≤ r7 under the 2-round-stale policy)
+        "doc_dsir_weights", "doc_cluster_keep", "dedup_cluster_stats",
+        "doc_vocab_drift", "source_overlap",
         # r4-green queries at the 2-round staleness limit (rotation
         # policy: no registry query may go > 2 rounds without a row)
         "long_term_users", "dup_audit", "missingness", "hourly_rollup",
@@ -373,3 +374,51 @@ def test_hard_negative_mining_is_single_scan_single_argmax_shuffle(spark):
     assert "CartesianProduct" not in plan
     for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
         assert frag.startswith(" BuildRight, Cross"), frag[:60]
+
+
+def test_dsir_model_broadcasts_onto_doc_counts(spark):
+    """DSIR scoring must be doc-bucket counts ⋈ broadcast(256-row model)
+    — the fitted model never shuffles the corpus side, and the totals ride
+    in as a broadcast 1-row aggregate (the tfidf/mixture contract). No
+    Python anywhere: hashing, smoothing, and the log-ratio are column
+    expressions."""
+    plan = _plan(spark, "doc_dsir_weights")
+    assert "BroadcastHashJoin" in plan  # model join
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert frag.startswith(" BuildRight, Cross"), frag[:60]
+
+
+def test_vocab_drift_topk_never_sorts_vocabulary(spark):
+    """The top-k by |z| must push into TakeOrderedAndProject — a full Sort
+    of the term table is the scale bug this gate exists to catch."""
+    plan = _plan(spark, "doc_vocab_drift")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_source_overlap_is_sketch_bounded_equi_join(spark):
+    """The pair stage must be an equi-join on the gram hash (sketch-
+    filtered postings), with the 20-row size table broadcast back — never
+    a cartesian over sources, never an unsampled gram explosion without
+    the mod filter reaching the same scan."""
+    plan = _plan(spark, "source_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # size tables
+    # the 1/MOD sketch predicate must filter both join inputs
+    assert plan.count("% 4) = 0") >= 2 or plan.count("% 4) = 0)") >= 2
+
+
+def test_cluster_composition_queries_stay_edge_bounded(spark):
+    """Cluster keep-best / stats compose the label-propagation output; the
+    quality join and histogram must stay equi-join + partial-agg shaped
+    (no cartesian, no Python), like the cluster query they extend."""
+    for name in ("doc_cluster_keep", "dedup_cluster_stats"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
