@@ -100,19 +100,37 @@ def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(tx.tokens(F.col("text"))).alias("token"),
     )
-    doc_bucket = postings.groupBy(
-        "doc_id",
-        "lang",
-        (u32_hash(F.concat(F.lit("dsir:"), F.col("token"))) % DSIR_BUCKETS).alias(
-            "bucket"
-        ),
-    ).agg(F.count("*").alias("c"))
+    # Pin the per-(doc, bucket) counts: they feed the model fit AND the
+    # scoring join, which Spark plans as separate subtrees — unpinned, the
+    # corpus would be tokenized once per use (three times with the totals
+    # branch). Materializing doc_bucket IS the two-pass DSIR layout:
+    # featurize once, fit on the features, score the same features. The
+    # checkpoint holds ≤ DSIR_BUCKETS rows per doc — far smaller than the
+    # text it summarizes. eager=False keeps construction lazy
+    # (kmeans_centroids convention).
+    doc_bucket = (
+        postings.groupBy(
+            "doc_id",
+            "lang",
+            (u32_hash(F.concat(F.lit("dsir:"), F.col("token"))) % DSIR_BUCKETS).alias(
+                "bucket"
+            ),
+        )
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
 
-    bucket_stats = doc_bucket.groupBy("bucket").agg(
-        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(0)).alias(
-            "n_tgt"
-        ),
-        F.sum("c").alias("n_raw"),
+    # Pin the 256-row fitted model inputs too, so the totals aggregate
+    # reads 256 rows instead of re-reducing the pinned doc-bucket table.
+    bucket_stats = (
+        doc_bucket.groupBy("bucket")
+        .agg(
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(0)
+            ).alias("n_tgt"),
+            F.sum("c").alias("n_raw"),
+        )
+        .localCheckpoint(eager=False)
     )
     totals = bucket_stats.agg(
         F.sum("n_tgt").alias("t_tot"), F.sum("n_raw").alias("r_tot")
@@ -301,13 +319,21 @@ def q_doc_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = docs.select(
         "lang", F.explode(tx.tokens(F.col("text"))).alias("term")
     )
-    counts = postings.groupBy("term").agg(
-        F.sum(F.when(F.col("lang") == DRIFT_TARGET_LANG, 1).otherwise(0)).alias(
-            "y_tgt"
-        ),
-        F.sum(F.when(F.col("lang") != DRIFT_TARGET_LANG, 1).otherwise(0)).alias(
-            "y_rest"
-        ),
+    # Pin the term table: it feeds both the z-score projection and the
+    # subcorpus-totals aggregate; unpinned, Spark tokenizes the corpus once
+    # per subtree. The checkpoint is vocabulary-sized — the standard
+    # term-statistics layout, never corpus-sized.
+    counts = (
+        postings.groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("lang") == DRIFT_TARGET_LANG, 1).otherwise(0)).alias(
+                "y_tgt"
+            ),
+            F.sum(F.when(F.col("lang") != DRIFT_TARGET_LANG, 1).otherwise(0)).alias(
+                "y_rest"
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
     totals = counts.agg(
         F.sum("y_tgt").alias("n_tgt"), F.sum("y_rest").alias("n_rest")
@@ -367,6 +393,31 @@ LIMIT {DRIFT_TOP_TERMS}
 
 # --------------------------------------------- cross-source overlap
 
+def source_gram_sketch(docs: DataFrame) -> DataFrame:
+    """Deterministic 1/MOD sample of each source's distinct 8-gram hashes.
+
+    The mod filter sits directly on the hashed gram, so it applies before
+    the distinct and before anything joins — the plan gate explains THIS
+    builder (the query pins its output, which hides the subtree behind a
+    checkpoint scan in the final plan).
+    """
+    return (
+        docs.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    tx.word_shingles(F.col("text"), SRC_OVERLAP_WIDTH)
+                )
+            ).alias("gram"),
+        )
+        .select("source", F.md5(F.col("gram")).alias("g"))
+        .filter(
+            u32_hash(F.concat(F.lit("sov:"), F.col("g"))) % SRC_OVERLAP_MOD == 0
+        )
+        .distinct()
+    )
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source overlap: sampled 8-gram Jaccard + containment.
 
@@ -382,22 +433,17 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     source pair.
     """
     docs = _docs(spark, sf_dir)
-    grams = (
-        docs.select(
-            "source",
-            F.explode(
-                F.array_distinct(
-                    tx.word_shingles(F.col("text"), SRC_OVERLAP_WIDTH)
-                )
-            ).alias("gram"),
-        )
-        .select("source", F.md5(F.col("gram")).alias("g"))
-        .filter(
-            u32_hash(F.concat(F.lit("sov:"), F.col("g"))) % SRC_OVERLAP_MOD == 0
-        )
-        .distinct()
+    # Pin the sketched postings: they feed both sides of the pair join AND
+    # the per-source size aggregate — unpinned, Spark rebuilds the 8-gram
+    # shingle cascade once per subtree (four corpus scans). The checkpoint
+    # holds the 1/MOD sketch (distinct grams only), which is exactly the
+    # bounded structure the sketch exists to provide.
+    grams = source_gram_sketch(docs).localCheckpoint(eager=False)
+    sizes = (
+        grams.groupBy("source")
+        .agg(F.count("*").alias("n_grams"))
+        .localCheckpoint(eager=False)
     )
-    sizes = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
     common = (
         grams.alias("a")
         .join(

@@ -403,14 +403,29 @@ def test_source_overlap_is_sketch_bounded_equi_join(spark):
     """The pair stage must be an equi-join on the gram hash (sketch-
     filtered postings), with the 20-row size table broadcast back — never
     a cartesian over sources, never an unsampled gram explosion without
-    the mod filter reaching the same scan."""
+    the mod filter. The postings are pinned (one shingle pass feeds the
+    join's two sides and the size table), so the final plan is gated for
+    join shape and the sketch builder is explained separately for the
+    mod predicate."""
     plan = _plan(spark, "source_overlap")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # size tables
-    # the 1/MOD sketch predicate must filter both join inputs
-    assert plan.count("% 4) = 0") >= 2 or plan.count("% 4) = 0)") >= 2
+
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.curation import (
+        source_gram_sketch,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    grams = source_gram_sketch(load_table(spark, SF_DIR, "documents"))
+    gram_plan = grams._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "% 4) = 0" in gram_plan  # the 1/MOD sketch predicate
+    assert gram_plan.count("FileScan") == 1  # one corpus pass builds it
 
 
 def test_cluster_composition_queries_stay_edge_bounded(spark):
