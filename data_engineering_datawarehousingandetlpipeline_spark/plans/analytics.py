@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
+    ANCHOR_TYPE,
     davg,
     dsum,
     sql_davg,
@@ -546,6 +547,200 @@ ORDER BY stage_idx
 """
 
 
+# ------------------------------------------------- warehouse maintenance
+
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: versioned per-user state history.
+
+    The slowly-changing-dimension workhorse (Kimball type 2): collapse
+    each user's event stream into versioned state rows — one row per run
+    of consecutive identical ``event_type`` observations, carrying
+    ``valid_from`` / ``valid_to`` (half-open, NULL-open for the current
+    version) and ``is_current``. This is the history table a warehouse
+    keeps so facts can join the dimension AS OF their own timestamp
+    (the reference's BigQuery layer has no versioning at all — every
+    load overwrites; SURVEY.md §3.3).
+
+    Shape: ONE hash exchange on user_id serves both window passes (the
+    change-flag lag and the running-sum version share a single window
+    spec, so Catalyst plans one Exchange + one Sort + one Window); the
+    run aggregation shuffles one row per event with map-side combine,
+    and the valid_to lead re-shuffles only run rows (≤ one per state
+    change — dimension-sized). Per-user state is bounded by the user's
+    run count; a power-law user concentrates one window partition, the
+    same bounded-straggler compromise sessionization documents.
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    runs = events.withColumn(
+        "__chg",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+    ).withColumn("version", F.sum("__chg").over(w))
+    versions = runs.groupBy("user_id", "version").agg(
+        # event_type is constant within a run; MIN is its deterministic face
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from").over(w2)
+    return (
+        versions.select(
+            "user_id",
+            F.col("version").cast("int").alias("version"),
+            "state",
+            "valid_from",
+            valid_to.alias("valid_to"),
+            "n_events",
+            valid_to.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+SQL_SCD2_USER_STATE = """
+WITH obs AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT user_id, ts, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+  FROM obs
+), versions AS (
+  SELECT user_id, version, MIN(event_type) AS state,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM runs GROUP BY user_id, version
+)
+SELECT user_id, CAST(version AS INT) AS version, state, valid_from,
+       LEAD(valid_from) OVER w2 AS valid_to, n_events,
+       (LEAD(valid_from) OVER w2 IS NULL) AS is_current
+FROM versions
+WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+ORDER BY user_id, version
+"""
+
+
+#: Midnight boundary separating "closed" day partitions from the live
+#: delta — aligned with the day grain so `day < cutoff ⟺ ts < cutoff`.
+INCR_CUTOFF = "2024-01-25 00:00:00"
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: merged partial states == full
+    recompute, proven in-plan.
+
+    The pattern that makes daily rollups affordable at 100 TB: closed day
+    partitions keep materialized per-(event_type, day) aggregate STATES
+    (count / decimal sum / min / max — all mergeable), and each new day
+    contributes only its delta; the report is a re-aggregation of states,
+    never a rescan of history. The query executes exactly that merge —
+    states split at ``INCR_CUTOFF`` into the "stored" and "delta"
+    branches, re-aggregated to per-type totals — and joins a from-scratch
+    recompute to emit ``merge_consistent``, the per-row proof that the
+    merge algebra lost nothing (the oracle's twin computes TRUE the same
+    way, so the driver hash verifies it cross-engine). Decimal anchors
+    make the two-level sum exact in any merge order — the property that
+    lets the state tree deepen (hour → day → month) without drift.
+
+    Shape: the state table is pinned (one events scan builds it; the two
+    branch filters read the checkpoint), its re-aggregation shuffles
+    states not rows, and the verification join is two ~5-row aggregates
+    (broadcast). Production runs only the delta branch + merge;
+    the full-recompute branch exists to be the in-plan oracle.
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    )
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+    anchored = F.col("value").cast(ANCHOR_TYPE)
+    states = (
+        events.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day_ts")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(anchored).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    closed = states.filter(F.col("day_ts") < cutoff)
+    delta = states.filter(F.col("day_ts") >= cutoff)
+    merged = (
+        closed.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").alias("__s"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
+    full = events.groupBy("event_type").agg(
+        F.count("*").alias("__n_full"),
+        F.sum(anchored).alias("__s_full"),
+        F.min("value").alias("__mn_full"),
+        F.max("value").alias("__mx_full"),
+    )
+    return (
+        merged.join(F.broadcast(full), "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.col("__s").cast("double").alias("total_value"),
+            "min_value",
+            "max_value",
+            (
+                (F.col("n_events") == F.col("__n_full"))
+                & (F.col("__s") == F.col("__s_full"))
+                & (F.col("min_value") == F.col("__mn_full"))
+                & (F.col("max_value") == F.col("__mx_full"))
+            ).alias("merge_consistent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_INCREMENTAL_ROLLUP = f"""
+WITH states AS (
+  SELECT event_type, date_trunc('day', ts) AS day_ts, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,4))) AS s,
+         MIN(value) AS mn, MAX(value) AS mx
+  FROM events GROUP BY event_type, day_ts
+), merged AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events, SUM(s) AS s2,
+         MIN(mn) AS min_value, MAX(mx) AS max_value
+  FROM (
+    SELECT * FROM states WHERE day_ts < TIMESTAMP '{INCR_CUTOFF}'
+    UNION ALL
+    SELECT * FROM states WHERE day_ts >= TIMESTAMP '{INCR_CUTOFF}'
+  )
+  GROUP BY event_type
+), full_agg AS (
+  SELECT event_type, COUNT(*) AS n_full,
+         SUM(CAST(value AS DECIMAL(18,4))) AS s_full,
+         MIN(value) AS mn_full, MAX(value) AS mx_full
+  FROM events GROUP BY event_type
+)
+SELECT m.event_type, m.n_events, CAST(m.s2 AS DOUBLE) AS total_value,
+       m.min_value, m.max_value,
+       (m.n_events = f.n_full AND m.s2 = f.s_full
+        AND m.min_value = f.mn_full AND m.max_value = f.mx_full)
+         AS merge_consistent
+FROM merged m JOIN full_agg f USING (event_type)
+ORDER BY m.event_type
+"""
+
 
 QUERIES = [
     QuerySpec(
@@ -629,5 +824,20 @@ QUERIES = [
         SQL_EVENT_FUNNEL,
         "strictly-ordered 4-stage conversion funnel with stage rates",
         tags=("agg", "behavioral"),
+    ),
+    QuerySpec(
+        "scd2_user_state",
+        q_scd2_user_state,
+        SQL_SCD2_USER_STATE,
+        "SCD Type-2 versioned user-state history with valid_from/valid_to",
+        tags=("window", "warehouse"),
+    ),
+    QuerySpec(
+        "incremental_rollup",
+        q_incremental_rollup,
+        SQL_INCREMENTAL_ROLLUP,
+        "incremental aggregate maintenance: merged day states == full "
+        "recompute, proven in-plan",
+        tags=("agg", "warehouse"),
     ),
 ]

@@ -437,3 +437,28 @@ def test_cluster_composition_queries_stay_edge_bounded(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_scd2_rides_one_user_exchange(spark):
+    """The change-flag lag, the running-sum version, the run aggregation,
+    and the valid_to lead must ALL reuse a single hashpartitioning(user_id)
+    exchange — a second corpus-sized shuffle is the scale bug. (The only
+    other exchange is the output sort's rangepartitioning.)"""
+    plan = _plan(spark, "scd2_user_state")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_rollup_merges_states_not_rows(spark):
+    """The day-state table is pinned (one events scan builds it; both the
+    closed and delta branches read the checkpoint), the merge shuffles
+    state rows only, and the full-recompute verification joins as a
+    broadcast of a ~5-row aggregate — never a sort-merge."""
+    plan = _plan(spark, "incremental_rollup")
+    assert plan.count("Scan ExistingRDD") == 2  # pinned states, two branches
+    assert plan.count("FileScan") == 1  # the full-recompute branch only
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -166,3 +166,42 @@ def test_leakage_audit_is_cross_split_subset_of_near_dups(spark):
         1 for (a, b) in dups if splits[a] != splits[b]
     )
     assert len(rows) == expected
+
+
+def test_scd2_history_is_a_valid_type2_dimension(spark):
+    """The Kimball contracts: versions dense from 1, half-open intervals
+    chain exactly (valid_to == next valid_from), exactly one open current
+    row per user, adjacent versions change state, and the history
+    conserves the user's event count."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    per_user_events = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    rows = all_queries()["scd2_user_state"].fn(spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(per_user_events)
+    for uid, hist in by_user.items():
+        hist.sort(key=lambda r: r.version)
+        assert [h.version for h in hist] == list(range(1, len(hist) + 1))
+        assert sum(h.n_events for h in hist) == per_user_events[uid]
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to == b.valid_from  # intervals chain, half-open
+            assert a.valid_from < b.valid_from
+            assert a.state != b.state  # a run ended because state changed
+            assert not a.is_current
+        assert hist[-1].is_current and hist[-1].valid_to is None
+
+
+def test_incremental_rollup_merge_algebra_holds(spark):
+    """Every per-type row must prove merged-states == full-recompute, and
+    the merged counts must conserve the events table."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rows = all_queries()["incremental_rollup"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.merge_consistent for r in rows)
+    assert sum(r.n_events for r in rows) == ev.count()
+    for r in rows:
+        assert r.min_value <= r.max_value
