@@ -549,6 +549,38 @@ ORDER BY stage_idx
 
 # ------------------------------------------------- warehouse maintenance
 
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned history table (unordered) — shared by the SCD2 build
+    query and the point-in-time snapshot query, so both read ONE
+    definition of the dimension."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    runs = events.withColumn(
+        "__chg",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+    ).withColumn("version", F.sum("__chg").over(w))
+    versions = runs.groupBy("user_id", "version").agg(
+        # event_type is constant within a run; MIN is its deterministic face
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from").over(w2)
+    return versions.select(
+        "user_id",
+        F.col("version").cast("int").alias("version"),
+        "state",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        valid_to.isNull().alias("is_current"),
+    )
+
+
 def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build: versioned per-user state history.
 
@@ -571,39 +603,15 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bounded-straggler compromise sessionization documents.
     """
     ensure_runtime_confs(spark)
-    events = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("event_type").over(w)
-    runs = events.withColumn(
-        "__chg",
-        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
-    ).withColumn("version", F.sum("__chg").over(w))
-    versions = runs.groupBy("user_id", "version").agg(
-        # event_type is constant within a run; MIN is its deterministic face
-        F.min("event_type").alias("state"),
-        F.min("ts").alias("valid_from"),
-        F.count("*").alias("n_events"),
-    )
-    w2 = Window.partitionBy("user_id").orderBy("version")
-    valid_to = F.lead("valid_from").over(w2)
-    return (
-        versions.select(
-            "user_id",
-            F.col("version").cast("int").alias("version"),
-            "state",
-            "valid_from",
-            valid_to.alias("valid_to"),
-            "n_events",
-            valid_to.isNull().alias("is_current"),
-        )
-        .orderBy("user_id", "version")
-    )
+    return _scd2_history(spark, sf_dir).orderBy("user_id", "version")
 
 
-SQL_SCD2_USER_STATE = """
-WITH obs AS (
+#: Shared CTE chain producing `history(user_id, version, state, valid_from,
+#: valid_to, n_events, is_current)` — the oracle twin of `_scd2_history`,
+#: reused by every query that reads the Type-2 dimension (the build query
+#: here; point-in-time snapshots below), so both engines verify against
+#: one definition.
+SQL_SCD2_CTES = """WITH obs AS (
   SELECT user_id, ts, event_id, event_type,
          CASE WHEN LAG(event_type) OVER w IS NULL
                 OR LAG(event_type) OVER w <> event_type
@@ -618,13 +626,114 @@ WITH obs AS (
   SELECT user_id, version, MIN(event_type) AS state,
          MIN(ts) AS valid_from, COUNT(*) AS n_events
   FROM runs GROUP BY user_id, version
-)
-SELECT user_id, CAST(version AS INT) AS version, state, valid_from,
-       LEAD(valid_from) OVER w2 AS valid_to, n_events,
-       (LEAD(valid_from) OVER w2 IS NULL) AS is_current
-FROM versions
-WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+), history AS (
+  SELECT user_id, CAST(version AS INT) AS version, state, valid_from,
+         LEAD(valid_from) OVER w2 AS valid_to, n_events,
+         (LEAD(valid_from) OVER w2 IS NULL) AS is_current
+  FROM versions
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+)"""
+
+SQL_SCD2_USER_STATE = f"""
+{SQL_SCD2_CTES}
+SELECT user_id, version, state, valid_from, valid_to, n_events, is_current
+FROM history
 ORDER BY user_id, version
+"""
+
+
+#: Snapshot grid: midnights T0 + d days, d = 1..SNAP_DAYS — spanning the
+#: corpus's January window on every SF.
+SNAP_T0 = "2024-01-01 00:00:00"
+SNAP_DAYS = 30
+_DAY_US = 86_400_000_000
+
+
+def q_scd2_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension reconstruction: state census at each
+    midnight.
+
+    The read pattern a Type-2 dimension exists for — "what did the world
+    look like AS OF T?" — executed for a whole grid of Ts at once: for
+    every midnight in the corpus window, how many users were in each
+    state. Rather than an inequality join (history × snapshots with
+    ``valid_from <= T < valid_to`` — a nested loop that AQE can't
+    skew-split), each history interval COMPUTES the contiguous range of
+    snapshot indices it covers (integral ceil-div on epoch microseconds —
+    never double division, which loses low bits past 2^53) and explodes
+    exactly that range: an equi-shaped Generate bounded by the grid
+    size, the same banding trick as ``nearby_clicks``. One count shuffle
+    keyed on (snapshot, state) finishes it; at 100 TB the fan-out is
+    ≤ SNAP_DAYS rows per state change, linear in the dimension.
+    """
+    ensure_runtime_confs(spark)
+    hist = _scd2_history(spark, sf_dir)
+    u0 = F.unix_micros(F.lit(SNAP_T0).cast("timestamp"))
+    spans = (
+        hist.select(
+            "state",
+            (F.unix_micros(F.col("valid_from")) - u0).alias("__from_us"),
+            (F.unix_micros(F.col("valid_to")) - u0).alias("__to_us"),
+        )
+        .select(
+            "state",
+            # first midnight ≥ valid_from (intervals are half-open, so a
+            # version starting exactly at midnight is visible there)
+            F.greatest(
+                F.expr(f"(__from_us + {_DAY_US - 1}) div {_DAY_US}"),
+                F.lit(1).cast("bigint"),
+            ).alias("__lo"),
+            # last midnight < valid_to; an open interval covers the grid tail
+            F.least(
+                F.when(F.col("__to_us").isNull(), F.lit(SNAP_DAYS).cast("bigint"))
+                .otherwise(
+                    F.expr(f"(__to_us + {_DAY_US - 1}) div {_DAY_US}") - 1
+                ),
+                F.lit(SNAP_DAYS).cast("bigint"),
+            ).alias("__hi"),
+        )
+        # Spark's sequence() flips to step -1 when lo > hi — filter the
+        # empty intervals out instead of generating garbage
+        .filter(F.col("__lo") <= F.col("__hi"))
+    )
+    return (
+        spans.select(
+            "state", F.explode(F.sequence("__lo", "__hi")).alias("__d")
+        )
+        .groupBy("__d", "state")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.timestamp_micros(u0 + F.col("__d") * F.lit(_DAY_US)).alias(
+                "snapshot_ts"
+            ),
+            "state",
+            "n_users",
+        )
+        .orderBy("snapshot_ts", "state")
+    )
+
+
+SQL_SCD2_SNAPSHOTS = f"""
+{SQL_SCD2_CTES},
+spans AS (
+  SELECT state,
+         GREATEST((epoch_us(valid_from) - epoch_us(TIMESTAMP '{SNAP_T0}')
+                   + {_DAY_US - 1}) // {_DAY_US}, 1) AS lo,
+         LEAST(CASE WHEN valid_to IS NULL THEN {SNAP_DAYS}
+                    ELSE (epoch_us(valid_to) - epoch_us(TIMESTAMP '{SNAP_T0}')
+                          + {_DAY_US - 1}) // {_DAY_US} - 1 END,
+               {SNAP_DAYS}) AS hi
+  FROM history
+), covered AS (
+  SELECT state, unnest(generate_series(lo, hi)) AS d
+  FROM spans WHERE lo <= hi
+)
+SELECT make_timestamp(epoch_us(TIMESTAMP '{SNAP_T0}') + d * {_DAY_US})
+         AS snapshot_ts,
+       state, COUNT(*) AS n_users
+FROM covered
+GROUP BY d, state
+ORDER BY snapshot_ts, state
 """
 
 
@@ -839,5 +948,13 @@ QUERIES = [
         "incremental aggregate maintenance: merged day states == full "
         "recompute, proven in-plan",
         tags=("agg", "warehouse"),
+    ),
+    QuerySpec(
+        "scd2_snapshots",
+        q_scd2_snapshots,
+        SQL_SCD2_SNAPSHOTS,
+        "point-in-time state census at every midnight, via bounded "
+        "interval-explode over the Type-2 history",
+        tags=("window", "warehouse"),
     ),
 ]

@@ -136,9 +136,9 @@ WINDOW_HEAD: tuple[str, ...] = (
 #: r7 DEBUT QUEUE — queries implemented late in r6, after all 50 window
 #: slots were already owed (debuts + changed code + the 32 queries at the
 #: 2-round staleness limit left nothing rotatable): scd2_user_state,
-#: incremental_rollup. Both are local-oracle-verified (sf0.001 pytest
-#: parity + sf0.01 sweep) and MUST take window slots in r7, alongside the
-#: r5 debuts' deferred second rows.
+#: incremental_rollup, scd2_snapshots. All are local-oracle-verified
+#: (sf0.001 pytest parity + sf0.01 sweep) and MUST take window slots in
+#: r7, alongside the r5 debuts' deferred second rows.
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -462,3 +462,14 @@ def test_incremental_rollup_merges_states_not_rows(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scd2_snapshots_use_bounded_explode_not_inequality_join(spark):
+    """The as-of grid read must be an interval-explode (Generate bounded
+    by the snapshot grid) + one count shuffle — never a history ×
+    snapshots nested-loop inequality join."""
+    plan = _plan(spark, "scd2_snapshots")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate explode") == 1  # the covered-range sequence
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

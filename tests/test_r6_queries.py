@@ -205,3 +205,33 @@ def test_incremental_rollup_merge_algebra_holds(spark):
     assert sum(r.n_events for r in rows) == ev.count()
     for r in rows:
         assert r.min_value <= r.max_value
+
+
+def test_scd2_snapshots_match_brute_force_reconstruction(spark):
+    """Every (snapshot, state) census must equal a brute-force as-of scan
+    of the history table, and each snapshot's total must equal the users
+    already present by then (once seen, a user is always in some state)."""
+    from collections import Counter
+
+    qs = all_queries()
+    hist = qs["scd2_user_state"].fn(spark, SF_DIR).collect()
+    rows = qs["scd2_snapshots"].fn(spark, SF_DIR).collect()
+    by_snap: dict = {}
+    for r in rows:
+        by_snap.setdefault(r.snapshot_ts, Counter())[r.state] = r.n_users
+    assert by_snap, "snapshot grid must intersect the corpus window"
+    first_seen = {}
+    for h in hist:
+        if h.version == 1:
+            first_seen[h.user_id] = h.valid_from
+    for snap_ts, census in by_snap.items():
+        expected = Counter(
+            h.state
+            for h in hist
+            if h.valid_from <= snap_ts
+            and (h.valid_to is None or h.valid_to > snap_ts)
+        )
+        assert census == expected, snap_ts
+        assert sum(census.values()) == sum(
+            1 for t in first_seen.values() if t <= snap_ts
+        )
