@@ -606,17 +606,20 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scd2_history(spark, sf_dir).orderBy("user_id", "version")
 
 
-#: Shared CTE chain producing `history(user_id, version, state, valid_from,
-#: valid_to, n_events, is_current)` — the oracle twin of `_scd2_history`,
-#: reused by every query that reads the Type-2 dimension (the build query
-#: here; point-in-time snapshots below), so both engines verify against
-#: one definition.
-SQL_SCD2_CTES = """WITH obs AS (
+def sql_scd2_ctes(pred: str = "TRUE") -> str:
+    """Shared CTE chain producing `history(user_id, version, state,
+    valid_from, valid_to, n_events, is_current)` — the oracle twin of
+    `_scd2_history`, reused by every query that reads the Type-2 dimension
+    (the build query here; point-in-time snapshots and the streaming
+    build's closed-version subset below), so every engine pair verifies
+    against one definition. ``pred`` filters the source events."""
+    return f"""WITH obs AS (
   SELECT user_id, ts, event_id, event_type,
          CASE WHEN LAG(event_type) OVER w IS NULL
                 OR LAG(event_type) OVER w <> event_type
               THEN 1 ELSE 0 END AS chg
   FROM events
+  WHERE {pred}
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), runs AS (
   SELECT user_id, ts, event_type,
@@ -633,6 +636,9 @@ SQL_SCD2_CTES = """WITH obs AS (
   FROM versions
   WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
 )"""
+
+
+SQL_SCD2_CTES = sql_scd2_ctes()
 
 SQL_SCD2_USER_STATE = f"""
 {SQL_SCD2_CTES}
@@ -711,6 +717,87 @@ def q_scd2_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("snapshot_ts", "state")
     )
+
+
+#: Streaming SCD2 runs the user_id < 5 subset (the sessions convention —
+#: a driver-verifiable e2e drain, not a corpus-scale bench).
+STREAM_SCD2_PRED = "user_id < 5"
+
+
+def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD Type-2 build run INCREMENTALLY over the event stream.
+
+    Events for ``user_id < 5`` are staged as three day-ranged shards (the
+    Kafka stand-in) with strictly increasing file mtimes, streamed ONE
+    FILE PER MICRO-BATCH through ``streaming/stateful.stateful_scd2`` —
+    so versions open in one micro-batch and close in a later one — and
+    written through the exactly-once parquet sink. Append mode emits only
+    CLOSED versions (each user's open current version lives in the state
+    store), so the oracle is the batch Type-2 history MINUS the current
+    rows: the comparison proves the cross-batch operator emits exactly
+    the closed history the batch ``lead()`` build produces. Restart
+    recovery (state survives a stop/start mid-stream) is pytest-covered
+    in tests/test_warehouse_streaming.py.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_scd2,
+    )
+
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").filter(F.expr(STREAM_SCD2_PRED))
+    staged = events.select(
+        "user_id",
+        "event_id",
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("ts"),
+        "event_type",
+    )
+    # TEST-SCALE ONLY staging (the q_streaming_chunks convention): three
+    # day-ranged shards written as separate single files with increasing
+    # mtimes, so the file source's (mtime, path) ordering delivers them in
+    # event-time order — standing in for a user-keyed Kafka topic, whose
+    # per-key order guarantee the operator's contract documents.
+    workdir = tempfile.mkdtemp(prefix="streaming_scd2_q_")
+    indir = os.path.join(workdir, "incoming")
+    os.makedirs(indir)
+    bounds = [("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"),
+              ("2024-01-21", "2024-02-01")]
+    for i, (lo, hi) in enumerate(bounds):
+        shard_dir = os.path.join(workdir, f"shard{i}")
+        staged.filter(
+            (F.col("ts") >= lo) & (F.col("ts") < hi)
+        ).coalesce(1).write.mode("overwrite").json(shard_dir)
+        (part,) = glob.glob(os.path.join(shard_dir, "part-*.json"))
+        dest = os.path.join(indir, f"shard{i}.json")
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(indir)
+    )
+    out_dir = os.path.join(workdir, "history")
+    query = start_scd2(
+        stream, out_dir, os.path.join(workdir, "ckpt"), available_now=True
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("user_id", "version")
+
+
+SQL_STREAMING_SCD2 = f"""
+{sql_scd2_ctes(STREAM_SCD2_PRED)}
+SELECT user_id, version, state, valid_from, valid_to,
+       CAST(n_events AS INT) AS n_events
+FROM history
+WHERE NOT is_current
+ORDER BY user_id, version
+"""
 
 
 SQL_SCD2_SNAPSHOTS = f"""
@@ -956,5 +1043,13 @@ QUERIES = [
         "point-in-time state census at every midnight, via bounded "
         "interval-explode over the Type-2 history",
         tags=("window", "warehouse"),
+    ),
+    QuerySpec(
+        "streaming_scd2",
+        q_streaming_scd2,
+        SQL_STREAMING_SCD2,
+        "cross-batch SCD Type-2 build through the exactly-once sink, "
+        "verified against the batch history's closed versions",
+        tags=("streaming", "warehouse"),
     ),
 ]

@@ -242,3 +242,36 @@ def start_windowed_exact_dedup(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def start_scd2(
+    source: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Streaming SCD Type-2 build through the exactly-once parquet sink.
+
+    Closed dimension versions land incrementally as the event stream
+    drains (streaming/stateful.stateful_scd2); the open version per key
+    stays in the checkpointed state store, so a restart resumes versioning
+    mid-run without re-emitting closed history — the incremental form of
+    the batch ``scd2_user_state`` build.
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.stateful import (
+        stateful_scd2,
+    )
+
+    writer = (
+        stateful_scd2(source)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -164,3 +164,112 @@ def stateful_sessions(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+SCD2_OUTPUT_SCHEMA = (
+    "user_id bigint, version int, state string, valid_from timestamp, "
+    "valid_to timestamp, n_events int"
+)
+#: state: the one OPEN version per key (constant size) as epoch-µs bounds.
+SCD2_STATE_SCHEMA = (
+    "version int, state string, valid_from long, last_ts long, n_events int"
+)
+
+
+def stateful_scd2(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    order_col: str | None = "event_id",
+) -> DataFrame:
+    """Cross-batch SCD Type-2 run-length versioning (custom operator).
+
+    The streaming form of the batch ``scd2_user_state`` build
+    (plans/analytics.py): each key's state store holds exactly ONE open
+    version (attribute value, version number, interval bounds, event
+    count); an observation with a different attribute CLOSES the open
+    version — emitted with ``valid_to`` = the new observation's timestamp,
+    the same half-open chaining the batch ``lead()`` produces — and opens
+    the next. Versions therefore close correctly even when a run spans
+    many micro-batches, and state is O(keys), never O(history).
+
+    Ordering contract: events are sorted by ``(ts, order_col)`` WITHIN
+    each batch — the same tiebreak the batch build uses, so same-instant
+    observations version identically on both paths;
+    ACROSS batches the operator relies on per-key arrival order, which is
+    the transport's guarantee (a user-keyed Kafka topic preserves per-key
+    order; the reference's consumer relies on the same property). A
+    same-attribute straggler is absorbed into the open version with its
+    bounds extended backward; a differing-attribute event always closes
+    the open version at ``max(ts, open valid_from)`` so emitted intervals
+    never invert even under a violated contract.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        obs: list[tuple[int, int, str]] = []
+        for pdf in pdfs:
+            ts_us = (
+                pd.to_datetime(pdf[ts_col]).astype("datetime64[ns]").astype("int64")
+                // 1_000
+            )
+            order = (
+                pdf[order_col]
+                if order_col is not None and order_col in pdf.columns
+                else [0] * len(pdf)
+            )
+            obs.extend(
+                (int(t), int(o), s)
+                for t, o, s in zip(ts_us, order, pdf[attr_col])
+            )
+        obs.sort()
+        if state.exists:
+            ver, cur, vf, last, n = state.get
+        else:
+            ver, cur, vf, last, n = 0, None, None, None, 0
+        closed: list[tuple[int, str, int, int, int]] = []
+        for t, _o, s in obs:
+            if cur is None:
+                ver, cur, vf, last, n = 1, s, t, t, 1
+            elif s == cur:
+                vf = min(vf, t)
+                last = max(last, t)
+                n += 1
+            else:
+                closed.append((ver, cur, vf, max(t, vf), n))
+                ver, cur, vf, last, n = ver + 1, s, t, t, 1
+        state.update((ver, cur, vf, last, n))
+        if closed:
+            yield pd.DataFrame(
+                [
+                    (
+                        key[0],
+                        v,
+                        s,
+                        pd.Timestamp(a, unit="us"),
+                        pd.Timestamp(b, unit="us"),
+                        c,
+                    )
+                    for v, s, a, b, c in closed
+                ],
+                columns=[
+                    "user_id",
+                    "version",
+                    "state",
+                    "valid_from",
+                    "valid_to",
+                    "n_events",
+                ],
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        SCD2_OUTPUT_SCHEMA,
+        SCD2_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

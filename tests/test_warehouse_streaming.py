@@ -369,3 +369,69 @@ def test_expire_partitions_drops_only_old_days(spark, warehouse):
     assert left == [anchor]
     # replayable: same anchor again is a no-op
     assert warehouse.expire_partitions(keep_days=0, anchor=anchor) == 0
+
+
+def test_streaming_scd2_versions_continue_across_restart(spark, tmp_path):
+    """The open version must survive a stop/start in the checkpointed
+    state: events landing after the restart extend it (not reopen at
+    version 1), and the version that then closes carries the pre-restart
+    valid_from and the combined event count."""
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_scd2,
+    )
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+
+    def land(rows, name):
+        with open(indir / name, "w") as fh:
+            for i, (ts, et) in enumerate(rows):
+                fh.write(
+                    json.dumps(
+                        {"user_id": 1, "event_id": i, "ts": ts, "event_type": et}
+                    )
+                    + "\n"
+                )
+
+    def drain():
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, event_type string"
+        ).json(str(indir))
+        query = start_scd2(
+            stream,
+            str(tmp_path / "history"),
+            str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        query.awaitTermination()
+        return spark.read.parquet(str(tmp_path / "history"))
+
+    land(
+        [
+            ("2024-01-01T00:00:00.000000Z", "a"),
+            ("2024-01-01T01:00:00.000000Z", "a"),
+            ("2024-01-01T02:00:00.000000Z", "b"),
+        ],
+        "shard1.json",
+    )
+    rows = drain().collect()
+    assert len(rows) == 1  # v1 closed; v2 ('b') still open in state
+    (v1,) = rows
+    assert (v1.version, v1.state, v1.n_events) == (1, "a", 2)
+    assert v1.valid_to.isoformat() == "2024-01-01T02:00:00"
+
+    # post-restart: one more 'b' (absorbed into the recovered open v2),
+    # then an 'a' that closes it
+    land(
+        [
+            ("2024-01-01T03:00:00.000000Z", "b"),
+            ("2024-01-01T04:00:00.000000Z", "a"),
+        ],
+        "shard2.json",
+    )
+    rows = {r.version: r for r in drain().collect()}
+    assert set(rows) == {1, 2}  # v1 NOT re-emitted; v2 closed exactly once
+    v2 = rows[2]
+    assert (v2.state, v2.n_events) == ("b", 2)  # pre+post-restart events
+    assert v2.valid_from.isoformat() == "2024-01-01T02:00:00"
+    assert v2.valid_to.isoformat() == "2024-01-01T04:00:00"
