@@ -719,6 +719,80 @@ def q_scd2_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: HLL relative-error bound for the incremental-distinct contract: the
+#: default lgConfigK=12 Datasketches HLL carries ~1.6% standard error;
+#: 5% is > 3σ, so the boolean is stable while still meaningful.
+HLL_REL_TOLERANCE = 0.05
+
+
+def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DISTINCT maintenance: per-day HLL sketch states merged
+    across days — the sketch analogue of ``incremental_rollup``.
+
+    COUNT(DISTINCT) is the aggregate that BREAKS naive incremental
+    maintenance (distinct counts don't add), and mergeable sketches are
+    the standard fix: closed day partitions keep an HLL sketch state per
+    group, new days contribute their own, and the report unions states.
+    The query executes that layout (per-(type, day) ``hll_sketch_agg`` →
+    ``hll_union_agg``) and emits two cross-engine-verifiable booleans:
+    ``sketch_merge_exact`` — the merged estimate equals a single-pass
+    sketch over the raw stream (Datasketches HLL union is exactly
+    associative, so incremental maintenance loses NOTHING vs rebuild) —
+    and ``sketch_within_tolerance`` against the exact distinct count.
+    The oracle emits the exact counts + TRUE, so the driver hash proves
+    both properties (the ``approx_sketches`` contract).
+
+    Shape: one scan builds the day states (shuffle carries sketch bytes,
+    ~1 KB per (type, day)), the union re-aggregates states; the
+    verification branch (direct sketch + exact distinct, one more scan)
+    exists to be the in-plan oracle — production maintains the state
+    table and runs only the delta day + union.
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("__day"), "user_id"
+    )
+    day_states = events.groupBy("event_type", "__day").agg(
+        F.hll_sketch_agg("user_id").alias("__sk")
+    )
+    merged = day_states.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__merged_est")
+    )
+    direct = events.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("__direct_est"),
+        F.countDistinct("user_id").alias("n_exact_users"),
+    )
+    return (
+        merged.join(F.broadcast(direct), "event_type")
+        .select(
+            "event_type",
+            "n_exact_users",
+            (F.col("__merged_est") == F.col("__direct_est")).alias(
+                "sketch_merge_exact"
+            ),
+            (
+                F.abs(
+                    F.col("__merged_est").cast("double")
+                    - F.col("n_exact_users").cast("double")
+                )
+                <= F.col("n_exact_users").cast("double") * HLL_REL_TOLERANCE
+            ).alias("sketch_within_tolerance"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_INCREMENTAL_DISTINCT = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_exact_users,
+       TRUE AS sketch_merge_exact,
+       TRUE AS sketch_within_tolerance
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 #: Streaming SCD2 runs the user_id < 5 subset (the sessions convention —
 #: a driver-verifiable e2e drain, not a corpus-scale bench).
 STREAM_SCD2_PRED = "user_id < 5"
@@ -1051,5 +1125,13 @@ QUERIES = [
         "cross-batch SCD Type-2 build through the exactly-once sink, "
         "verified against the batch history's closed versions",
         tags=("streaming", "warehouse"),
+    ),
+    QuerySpec(
+        "incremental_distinct",
+        q_incremental_distinct,
+        SQL_INCREMENTAL_DISTINCT,
+        "incremental COUNT(DISTINCT) via merged per-day HLL sketch "
+        "states, with in-plan merge-exactness + tolerance proof",
+        tags=("agg", "warehouse", "sketch"),
     ),
 ]

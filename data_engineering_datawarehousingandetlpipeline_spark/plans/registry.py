@@ -136,8 +136,8 @@ WINDOW_HEAD: tuple[str, ...] = (
 #: r7 DEBUT QUEUE — queries implemented late in r6, after all 50 window
 #: slots were already owed (debuts + changed code + the 32 queries at the
 #: 2-round staleness limit left nothing rotatable): scd2_user_state,
-#: incremental_rollup, scd2_snapshots, streaming_scd2. All are
-#: local-oracle-verified
+#: incremental_rollup, scd2_snapshots, streaming_scd2,
+#: incremental_distinct. All are local-oracle-verified
 #: (sf0.001 pytest parity + sf0.01 sweep) and MUST take window slots in
 #: r7, alongside the r5 debuts' deferred second rows.
 

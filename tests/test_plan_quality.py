@@ -473,3 +473,16 @@ def test_scd2_snapshots_use_bounded_explode_not_inequality_join(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("Generate explode") == 1  # the covered-range sequence
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_distinct_union_carries_sketch_states(spark):
+    """The merge path must re-aggregate hll_union over day sketch states
+    (partial-aggregatable both levels), and the verification join must
+    broadcast — never sort-merge — the ~5-row direct aggregate."""
+    plan = _plan(spark, "incremental_distinct")
+    assert "hll_union" in plan
+    assert "hll_sketch_agg" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

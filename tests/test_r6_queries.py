@@ -235,3 +235,16 @@ def test_scd2_snapshots_match_brute_force_reconstruction(spark):
         assert sum(census.values()) == sum(
             1 for t in first_seen.values() if t <= snap_ts
         )
+
+
+def test_incremental_distinct_booleans_hold_at_higher_cardinality(spark):
+    """Both in-plan proofs must hold where the sketch actually estimates:
+    run the same merge-vs-direct-vs-exact comparison over the larger
+    sf0.01 user population, not just the fixture corpus."""
+    rows = all_queries()["incremental_distinct"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.sketch_merge_exact, r
+        assert r.sketch_within_tolerance, r
