@@ -435,3 +435,18 @@ def test_streaming_scd2_versions_continue_across_restart(spark, tmp_path):
     assert (v2.state, v2.n_events) == ("b", 2)  # pre+post-restart events
     assert v2.valid_from.isoformat() == "2024-01-01T02:00:00"
     assert v2.valid_to.isoformat() == "2024-01-01T04:00:00"
+
+
+def test_warehouse_history_example_composes(spark):
+    """examples/warehouse_history.py is the warehouse-family composition
+    check: streaming SCD2 == batch closed history, snapshot census over
+    the full grid, and both incremental reports merge-consistent."""
+    import sys as _sys
+
+    _sys.path.insert(0, "examples")
+    from warehouse_history import run_checks
+
+    got = run_checks(spark)
+    assert got["closed_versions"] > 0
+    assert got["snapshot_cells"] > 0
+    assert got["event_types"] == 5
