@@ -620,22 +620,34 @@ def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", _split_expr().alias("split")).orderBy("doc_id")
+
+
+def _split_expr():
+    """The ONE split-assignment expression (salted u32 range decision) —
+    shared by the assignment query and the leakage audit so the audit can
+    never drift onto a split nobody uses. ``_SQL_SPLIT_CASE`` is its SQL
+    twin. Built lazily: Column construction needs a live SparkContext."""
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.hashing import (
+        u32_hash,
+    )
+
     h = u32_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
-    split = (
+    return (
         F.when(h < _SPLIT_T_TRAIN, "train")
         .when(h < _SPLIT_T_VAL, "val")
         .otherwise("test")
     )
-    return docs.select("doc_id", split.alias("split")).orderBy("doc_id")
 
 
-SQL_DOC_SPLIT_ASSIGN = f"""
-SELECT doc_id,
-       CASE WHEN {sql_u32_hash("'split:' || CAST(doc_id AS VARCHAR)")} < {_SPLIT_T_TRAIN}
+_SQL_SPLIT_CASE = f"""CASE WHEN {sql_u32_hash("'split:' || CAST(doc_id AS VARCHAR)")} < {_SPLIT_T_TRAIN}
               THEN 'train'
             WHEN {sql_u32_hash("'split:' || CAST(doc_id AS VARCHAR)")} < {_SPLIT_T_VAL}
               THEN 'val'
-            ELSE 'test' END AS split
+            ELSE 'test' END"""
+
+SQL_DOC_SPLIT_ASSIGN = f"""
+SELECT doc_id, {_SQL_SPLIT_CASE} AS split
 FROM documents
 ORDER BY doc_id
 """
@@ -654,21 +666,11 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit costs the near-dup pass plus two id-keyed joins — nothing new
     scans the corpus.
     """
-    from data_engineering_datawarehousingandetlpipeline_spark.functions.hashing import (
-        u32_hash,
-    )
-
     docs = _docs(spark, sf_dir)
     pairs = dd.minhash_near_dup_pairs(
         docs, threshold=MINHASH_JACCARD_THRESHOLD
     )
-    h = u32_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
-    split = (
-        F.when(h < _SPLIT_T_TRAIN, "train")
-        .when(h < _SPLIT_T_VAL, "val")
-        .otherwise("test")
-    )
-    assign = docs.select("doc_id", split.alias("split"))
+    assign = docs.select("doc_id", _split_expr().alias("split"))
     a = assign.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
     )
@@ -684,11 +686,6 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SPLIT_CASE = f"""CASE WHEN {sql_u32_hash("'split:' || CAST(doc_id AS VARCHAR)")} < {_SPLIT_T_TRAIN}
-              THEN 'train'
-            WHEN {sql_u32_hash("'split:' || CAST(doc_id AS VARCHAR)")} < {_SPLIT_T_VAL}
-              THEN 'val'
-            ELSE 'test' END"""
 SQL_SPLIT_LEAKAGE_AUDIT = f"""
 WITH {_SQL_MINHASH_CTES}, pairs AS (
 {_SQL_MINHASH_PAIRS}

@@ -37,18 +37,21 @@ class QuerySpec:
 #: been driver-verified, MUST be in this list; multiply-green unchanged
 #: queries rotate out to make room and rotate back in later rounds.
 #:
-#: Round-6 window: the 3 r6 debuts (streaming_exact_dedup, emb_ivfpq_topk,
-#: doc_mixture_sample); the 5 queries whose implementation changed this
+#: Round-6 window, 50 = 13 debuts + 5 changed + 32 staleness-limit:
+#: the 13 never-driver-verified r6 debuts (streaming_exact_dedup,
+#: emb_ivfpq_topk, emb_pq_topk, doc_mixture_sample, emb_hard_negatives,
+#: split_leakage_audit, the 5-query curation family, salted_enrich,
+#: doc_gopher_rules); the 5 queries whose implementation changed this
 #: round (doc_ngram_jaccard + doc_dedup_clusters ride the aliased
 #: jaccard_pairs self-join, doc_pii_scan counts sequentially on the
 #: progressively-redacted text + tightened ipv4 octets, event_funnel's
 #: try_divide/NULLIF convergence, doc_mixture_weights' shared-helper
 #: refactor); the 32 r4-green queries rotated out in r5, back for their
 #: promised re-verification (COVERAGE.md rotation policy — keeps every
-#: registry query ≤ 2 rounds stale); the 7 remaining r5 debuts for a
-#: second driver row on unchanged code; 3 machinery-heavy keepers
-#: (streaming ingest checkpoint path; minhash + IVF, whose shared k-means
-#: machinery the new ivfpq query also exercises).
+#: registry query ≤ 2 rounds stale). Those three groups fill all 50
+#: slots, so the r5 debuts' second rows and the machinery keepers
+#: (streaming_ingest, doc_minhash_neardup, emb_ivf_topk) were displaced —
+#: the per-entry comments below record each displacement.
 #: Rotated out this round (all r5-green, unchanged): emb_near_dup,
 #: doc_chunks, doc_exact_dedup, doc_token_stats, doc_lang_profile,
 #: doc_quality, doc_fingerprints, doc_simhash, doc_simhash_pairs,

@@ -170,10 +170,11 @@ SCD2_OUTPUT_SCHEMA = (
     "user_id bigint, version int, state string, valid_from timestamp, "
     "valid_to timestamp, n_events int"
 )
-#: state: the one OPEN version per key (constant size) as epoch-µs bounds.
-SCD2_STATE_SCHEMA = (
-    "version int, state string, valid_from long, last_ts long, n_events int"
-)
+#: state: the one OPEN version per key (constant size); valid_from in
+#: epoch µs. The open version's end is always the CLOSING observation's
+#: timestamp (the batch ``lead()`` semantics), so no last-seen field
+#: needs persisting.
+SCD2_STATE_SCHEMA = "version int, state string, valid_from long, n_events int"
 
 
 def stateful_scd2(
@@ -203,7 +204,11 @@ def stateful_scd2(
     same-attribute straggler is absorbed into the open version with its
     bounds extended backward; a differing-attribute event always closes
     the open version at ``max(ts, open valid_from)`` so emitted intervals
-    never invert even under a violated contract.
+    never invert even under a violated contract. Malformed records (NULL
+    timestamp or NULL attribute) are SKIPPED — NaT microseconds would
+    silently drag ``valid_from`` to the int64 epoch floor, and the
+    required-field filter (P3) is the upstream contract that removes
+    them; a NULL order value sorts as 0.
     """
 
     def update(
@@ -213,12 +218,12 @@ def stateful_scd2(
     ) -> Iterator[pd.DataFrame]:
         obs: list[tuple[int, int, str]] = []
         for pdf in pdfs:
-            ts_us = (
-                pd.to_datetime(pdf[ts_col]).astype("datetime64[ns]").astype("int64")
-                // 1_000
-            )
+            ts = pd.to_datetime(pdf[ts_col]).astype("datetime64[ns]")
+            keep = ts.notna() & pdf[attr_col].notna()
+            pdf = pdf[keep]
+            ts_us = ts[keep].astype("int64") // 1_000
             order = (
-                pdf[order_col]
+                pdf[order_col].fillna(0)
                 if order_col is not None and order_col in pdf.columns
                 else [0] * len(pdf)
             )
@@ -228,21 +233,20 @@ def stateful_scd2(
             )
         obs.sort()
         if state.exists:
-            ver, cur, vf, last, n = state.get
+            ver, cur, vf, n = state.get
         else:
-            ver, cur, vf, last, n = 0, None, None, None, 0
+            ver, cur, vf, n = 0, None, None, 0
         closed: list[tuple[int, str, int, int, int]] = []
         for t, _o, s in obs:
             if cur is None:
-                ver, cur, vf, last, n = 1, s, t, t, 1
+                ver, cur, vf, n = 1, s, t, 1
             elif s == cur:
                 vf = min(vf, t)
-                last = max(last, t)
                 n += 1
             else:
                 closed.append((ver, cur, vf, max(t, vf), n))
-                ver, cur, vf, last, n = ver + 1, s, t, t, 1
-        state.update((ver, cur, vf, last, n))
+                ver, cur, vf, n = ver + 1, s, t, 1
+        state.update((ver, cur, vf, n))
         if closed:
             yield pd.DataFrame(
                 [

@@ -124,22 +124,45 @@ def test_gopher_rules_fire_on_crafted_texts(spark):
 def test_hard_negatives_semantic_contract(spark):
     """The positive must share the query's label, the negative must not,
     and each must be the COSINE ARGMAX within its label class — verified
-    against the exact brute-force top-k ordering."""
-    qs = all_queries()
-    labels = {
-        r.vec_id: r.label
-        for r in qs["emb_quantize_stats"]
-        .fn(spark, SF_DIR)  # any query touching embeddings would do;
-        .sparkSession.read.parquet(f"{SF_DIR}/embeddings.parquet")
-        .select("vec_id", "label")
+    against a NumPy brute-force recomputation with the same 6-decimal
+    rounding and (cos desc, id asc) tie-break."""
+    import numpy as np
+
+    vecs, labels = {}, {}
+    for row in (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "label", "embedding")
         .collect()
-    }
-    rows = qs["emb_hard_negatives"].fn(spark, SF_DIR).collect()
+    ):
+        vecs[row.vec_id] = np.asarray(row.embedding, dtype=np.float64)
+        labels[row.vec_id] = row.label
+
+    def brute_best(query_id, want_same_label):
+        qv = vecs[query_id]
+        best = None
+        for nid, nv in vecs.items():
+            if nid == query_id:
+                continue
+            if (labels[nid] == labels[query_id]) != want_same_label:
+                continue
+            cos = round(
+                float(qv @ nv)
+                / (float(np.linalg.norm(qv)) * float(np.linalg.norm(nv))),
+                6,
+            )
+            if best is None or (-cos, nid) < best:
+                best = (-cos, nid)
+        return -best[0], best[1]
+
+    rows = all_queries()["emb_hard_negatives"].fn(spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert labels[r.pos_id] == r.query_label, r
         assert labels[r.neg_id] != r.query_label, r
-        assert r.pos_cos >= -1.0 and r.neg_cos >= -1.0
+        pos_cos, pos_id = brute_best(r.query_id, want_same_label=True)
+        neg_cos, neg_id = brute_best(r.query_id, want_same_label=False)
+        assert (r.pos_id, r.pos_cos) == (pos_id, pos_cos), r
+        assert (r.neg_id, r.neg_cos) == (neg_id, neg_cos), r
 
 
 def test_leakage_audit_is_cross_split_subset_of_near_dups(spark):

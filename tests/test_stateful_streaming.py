@@ -241,3 +241,38 @@ def test_stateful_sessions_out_of_order_never_shrinks(spark, tmp_path):
     assert r["session_start"].isoformat() == "2024-03-01T10:05:00"
     assert r["session_end"].isoformat() == "2024-03-01T10:45:00"
     assert r["n_events"] == 3
+
+
+def test_stateful_scd2_skips_malformed_records(spark, tmp_path):
+    """NULL timestamps / attributes must be SKIPPED, not crash the query
+    or drag valid_from to the int64 epoch floor (NaT microseconds); a
+    NULL order value sorts as 0 instead of raising on int(NaN)."""
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.stateful import (
+        stateful_scd2,
+    )
+
+    indir = tmp_path / "scd2null"
+    indir.mkdir()
+    _write(indir / "b1.json", [
+        {"user_id": 1, "event_id": 1, "ts": "2024-03-01T10:00:00Z",
+         "event_type": "a"},
+        {"user_id": 1, "event_id": None, "ts": "2024-03-01T11:00:00Z",
+         "event_type": "a"},
+        {"user_id": 1, "event_id": 3, "ts": None, "event_type": "b"},
+        {"user_id": 1, "event_id": 4, "ts": "2024-03-01T12:00:00Z",
+         "event_type": None},
+        {"user_id": 1, "event_id": 5, "ts": "2024-03-01T13:00:00Z",
+         "event_type": "b"},
+    ])
+    source = spark.readStream.schema(
+        "user_id long, event_id long, ts timestamp, event_type string"
+    ).json(str(indir))
+    _drain_append(stateful_scd2(source), "scd2null")
+    rows = spark.sql("SELECT * FROM scd2null").collect()
+    # only the NULL-free 'a' run closed (by the valid event_id=5 'b');
+    # its bounds come from the two good 'a' rows, not the NaT row
+    assert len(rows) == 1
+    (v1,) = rows
+    assert (v1.version, v1.state, v1.n_events) == (1, "a", 2)
+    assert v1.valid_from.isoformat() == "2024-03-01T10:00:00"
+    assert v1.valid_to.isoformat() == "2024-03-01T13:00:00"
