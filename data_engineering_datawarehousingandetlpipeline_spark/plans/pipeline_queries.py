@@ -67,6 +67,42 @@ SQL_PIVOT_DAILY = (
 )
 
 
+def q_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide daily matrix back to long form — and the
+    round-trip proof that pivot/unpivot are exact inverses.
+
+    Runs the SAME wide aggregation as ``pivot_daily`` and melts it with
+    ``DataFrame.unpivot`` (one Expand over the ~30-row wide table — no
+    extra shuffle); the oracle computes the long form DIRECTLY from
+    events, so the driver hash proves unpivot(pivot(x)) == x modulo the
+    (day, type) combinations that never occurred (dropped with the
+    NULL filter, exactly the rows a direct aggregation never had).
+    The metric-name column is the pivot column's values, so both
+    directions share one vocabulary.
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    wide = (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day_ts"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(dsum("value"))
+    )
+    return (
+        wide.unpivot(["day_ts"], list(EVENT_TYPES), "event_type", "sum_value")
+        .filter(F.col("sum_value").isNotNull())
+        .orderBy("day_ts", "event_type")
+    )
+
+
+SQL_EVENT_UNPIVOT = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts, event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY day_ts, event_type
+ORDER BY day_ts, event_type
+"""
+
+
 def q_long_term_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/P4/O2: whitelist filter + per-key time ordering (one DataFrame).
 
@@ -913,6 +949,10 @@ ORDER BY event_type
 QUERIES = [
     QuerySpec("pivot_daily", q_pivot_daily, SQL_PIVOT_DAILY,
               "pivot: daily totals per event type", tags=("pivot", "agg")),
+    QuerySpec("event_unpivot", q_event_unpivot, SQL_EVENT_UNPIVOT,
+              "unpivot/melt: wide daily matrix back to long form, "
+              "round-trip-proven against the direct aggregation",
+              tags=("pivot", "agg")),
     QuerySpec("long_term_users", q_long_term_users, SQL_LONG_TERM_USERS,
               "whitelist + per-key time order (A3/P4/O2)", tags=("filter", "sort")),
     QuerySpec("salted_enrich", q_salted_enrich, SQL_SALTED_ENRICH,

@@ -140,7 +140,7 @@ WINDOW_HEAD: tuple[str, ...] = (
 #: slots were already owed (debuts + changed code + the 32 queries at the
 #: 2-round staleness limit left nothing rotatable): scd2_user_state,
 #: incremental_rollup, scd2_snapshots, streaming_scd2,
-#: incremental_distinct. All are local-oracle-verified
+#: incremental_distinct, event_unpivot. All are local-oracle-verified
 #: (sf0.001 pytest parity + sf0.01 sweep) and MUST take window slots in
 #: r7, alongside the r5 debuts' deferred second rows.
 

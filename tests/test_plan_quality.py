@@ -486,3 +486,16 @@ def test_incremental_distinct_union_carries_sketch_states(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unpivot_is_expand_over_wide_aggregate(spark):
+    """The melt must be one Expand over the ~30-row wide table — never a
+    per-metric re-scan union or a second shuffle beyond the day agg."""
+    plan = _plan(spark, "event_unpivot")
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1
+    # Spark compiles pivot as a two-phase aggregate: (day, type) partials
+    # then the day-keyed pivot agg — two keyed exchanges, both carrying
+    # aggregate states. The melt itself must add NO third shuffle.
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BatchEvalPython" not in plan
