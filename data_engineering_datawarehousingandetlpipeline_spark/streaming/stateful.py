@@ -177,6 +177,38 @@ SCD2_OUTPUT_SCHEMA = (
 SCD2_STATE_SCHEMA = "version int, state string, valid_from long, n_events int"
 
 
+def fold_scd2_observations(
+    obs: list[tuple[int, int, str]],
+    state: tuple[int, str | None, int | None, int] | None,
+) -> tuple[list[tuple[int, str, int, int, int]], tuple]:
+    """Pure run-length version fold — the whole SCD2 state machine.
+
+    ``obs``: SORTED (ts_µs, order, attr) observations for one key;
+    ``state``: the open version ``(version, attr, valid_from_µs,
+    n_events)`` or None. Returns (closed versions as (version, attr,
+    valid_from, valid_to, n_events), new open state). Extracted from the
+    streaming closure so the batch-split-invariance property — any
+    in-order micro-batch partitioning emits identical history — is
+    testable without a streaming harness (hypothesis test in
+    tests/test_stateful_streaming.py).
+    """
+    if state is not None:
+        ver, cur, vf, n = state
+    else:
+        ver, cur, vf, n = 0, None, None, 0
+    closed: list[tuple[int, str, int, int, int]] = []
+    for t, _o, s in obs:
+        if cur is None:
+            ver, cur, vf, n = 1, s, t, 1
+        elif s == cur:
+            vf = min(vf, t)
+            n += 1
+        else:
+            closed.append((ver, cur, vf, max(t, vf), n))
+            ver, cur, vf, n = ver + 1, s, t, 1
+    return closed, (ver, cur, vf, n)
+
+
 def stateful_scd2(
     events: DataFrame,
     user_col: str = "user_id",
@@ -232,21 +264,10 @@ def stateful_scd2(
                 for t, o, s in zip(ts_us, order, pdf[attr_col])
             )
         obs.sort()
-        if state.exists:
-            ver, cur, vf, n = state.get
-        else:
-            ver, cur, vf, n = 0, None, None, 0
-        closed: list[tuple[int, str, int, int, int]] = []
-        for t, _o, s in obs:
-            if cur is None:
-                ver, cur, vf, n = 1, s, t, 1
-            elif s == cur:
-                vf = min(vf, t)
-                n += 1
-            else:
-                closed.append((ver, cur, vf, max(t, vf), n))
-                ver, cur, vf, n = ver + 1, s, t, 1
-        state.update((ver, cur, vf, n))
+        closed, new_state = fold_scd2_observations(
+            obs, state.get if state.exists else None
+        )
+        state.update(new_state)
         if closed:
             yield pd.DataFrame(
                 [

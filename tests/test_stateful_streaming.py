@@ -276,3 +276,62 @@ def test_stateful_scd2_skips_malformed_records(spark, tmp_path):
     assert (v1.version, v1.state, v1.n_events) == (1, "a", 2)
     assert v1.valid_from.isoformat() == "2024-03-01T10:00:00"
     assert v1.valid_to.isoformat() == "2024-03-01T13:00:00"
+
+
+# ---------------- property: micro-batch partitioning invariance ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _obs_and_splits(draw):
+    n = draw(st.integers(min_value=0, max_value=40))
+    obs = sorted(
+        (
+            draw(st.integers(min_value=0, max_value=10**7)),
+            i,
+            draw(st.sampled_from(["a", "b", "c"])),
+        )
+        for i in range(n)
+    )
+    cuts = draw(
+        st.lists(st.integers(min_value=0, max_value=n), max_size=6).map(sorted)
+    )
+    return obs, cuts
+
+
+@settings(max_examples=200, deadline=None)
+@given(_obs_and_splits())
+def test_scd2_fold_is_batch_split_invariant(case):
+    """ANY in-order micro-batch partitioning of a key's stream must emit
+    exactly the single-batch history and land in the same open state —
+    the property that makes the streaming build equal the batch build no
+    matter how shards chop the stream. Also: versions dense from 1,
+    intervals chain half-open, event counts conserve."""
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.stateful import (
+        fold_scd2_observations,
+    )
+
+    obs, cuts = case
+    one_closed, one_state = fold_scd2_observations(obs, None)
+
+    state = None
+    split_closed = []
+    for lo, hi in zip([0, *cuts], [*cuts, len(obs)]):
+        closed, state = fold_scd2_observations(obs[lo:hi], state)
+        split_closed.extend(closed)
+    assert split_closed == one_closed
+    assert state == one_state
+
+    versions = [c[0] for c in one_closed]
+    assert versions == list(range(1, len(one_closed) + 1))
+    for (v1, s1, a1, b1, n1), (_v2, s2, a2, _b2, _n2) in zip(
+        one_closed, one_closed[1:]
+    ):
+        assert b1 == a2  # valid_to chains to the successor's valid_from
+        assert s1 != s2
+        assert a1 <= b1
+    if obs:
+        open_n = one_state[3]
+        assert sum(c[4] for c in one_closed) + open_n == len(obs)
