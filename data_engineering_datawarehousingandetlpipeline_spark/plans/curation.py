@@ -522,6 +522,108 @@ ORDER BY source_a, source_b
 """
 
 
+# ------------------------------------------------ unigram LM perplexity
+
+#: per-token log-probability rounding — same scale (and reasoning) as
+#: DSIR_LR_SCALE: ln agrees across libms far above 7 fractional digits.
+PPL_LP_SCALE = 7
+
+
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity scoring: per-doc average unigram surprisal.
+
+    The quality filter CCNet/CCMatrix popularized: score every document
+    by its (negated) average log-probability under a language model and
+    drop the high-perplexity tail. The model here is the corpus's own
+    Laplace-smoothed unigram distribution — the self-contained stand-in
+    for CCNet's KenLM 5-gram (same plan shape: a broadcast-or-joined
+    probability table scored against token counts; swapping in an
+    externally-trained table changes nothing structural). ``avg_logprob``
+    is a monotone proxy for perplexity (ppl = e^-avg), emitted instead of
+    the exponentials so cross-engine hashes can't drift in exp()'s last
+    ulp.
+
+    Shape: the DSIR two-pass layout — per-(doc, token) counts are pinned
+    (the only corpus-sized shuffle), the model is an aggregate of those
+    counts (token-keyed, vocabulary-sized) with the totals riding as a
+    broadcast 1-row aggregate, and scoring joins the pinned counts back
+    to the model on the token key (an equi-join that stays a hash join at
+    any scale; Spark may broadcast the model when the vocabulary is
+    small, but nothing forces it). Per-token log-probs are rounded at
+    ``PPL_LP_SCALE`` then decimal-anchored, so the per-doc sum is exact
+    in any order; the final average divides two exact quantities and
+    rounds once.
+    """
+    docs = _docs(spark, sf_dir)
+    postings = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("token")
+    )
+    dtf = (
+        postings.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tf = (
+        dtf.groupBy("token")
+        .agg(F.sum("c").alias("ctf"))
+        .localCheckpoint(eager=False)
+    )
+    totals = tf.agg(
+        F.sum("ctf").alias("n_corpus"), F.count("*").alias("v_size")
+    )
+    model = tf.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.round(
+            F.log(
+                (F.col("ctf") + F.lit(1)).cast("double")
+                / (F.col("n_corpus") + F.col("v_size")).cast("double")
+            ),
+            PPL_LP_SCALE,
+        ).alias("lp"),
+    )
+    return (
+        dtf.join(model, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            # c·lp carries exactly PPL_LP_SCALE fractional digits; the
+            # wide anchor holds 8, so the sum is exact (DSIR convention).
+            dsum(F.col("c") * F.col("lp"), wide=True).alias("__sum_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.try_divide(F.col("__sum_lp"), F.col("n_tokens")), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_PERPLEXITY = f"""
+WITH postings AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+), dtf AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM postings GROUP BY doc_id, token
+), tf AS (
+  SELECT token, SUM(c) AS ctf FROM dtf GROUP BY token
+), totals AS (
+  SELECT SUM(ctf) AS n_corpus, COUNT(*) AS v_size FROM tf
+), model AS (
+  SELECT token,
+         round(ln(CAST(ctf + 1 AS DOUBLE)
+                  / CAST(n_corpus + v_size AS DOUBLE)), {PPL_LP_SCALE}) AS lp
+  FROM tf CROSS JOIN totals
+)
+SELECT d.doc_id, SUM(d.c) AS n_tokens,
+       round({sql_dsum("d.c * m.lp", wide=True)} / SUM(d.c), 6) AS avg_logprob
+FROM dtf d JOIN model m USING (token)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("doc_dsir_weights", q_doc_dsir_weights, SQL_DOC_DSIR_WEIGHTS,
               "DSIR importance weights: hashed-unigram target-vs-raw "
@@ -540,4 +642,8 @@ QUERIES = [
     QuerySpec("source_overlap", q_source_overlap, SQL_SOURCE_OVERLAP,
               "pairwise source overlap: sampled 8-gram Jaccard + "
               "containment", tags=("text", "dedup")),
+    QuerySpec("doc_perplexity", q_doc_perplexity, SQL_DOC_PERPLEXITY,
+              "CCNet-style quality scoring: per-doc average unigram "
+              "surprisal under the smoothed corpus LM",
+              tags=("text", "quality")),
 ]

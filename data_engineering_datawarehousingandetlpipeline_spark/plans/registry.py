@@ -140,24 +140,23 @@ WINDOW_HEAD: tuple[str, ...] = (
 #: slots were already owed (debuts + changed code + the 32 queries at the
 #: 2-round staleness limit left nothing rotatable): scd2_user_state,
 #: incremental_rollup, scd2_snapshots, streaming_scd2,
-#: incremental_distinct, event_unpivot. All are local-oracle-verified
-#: (sf0.001 pytest parity + sf0.01 sweep) and MUST take window slots in
-#: r7.
+#: incremental_distinct, event_unpivot, doc_perplexity. All are
+#: local-oracle-verified (sf0.001 pytest parity + sf0.01 sweep) and MUST
+#: take window slots in r7.
 #:
 #: r7 WINDOW MATH (decide deliberately, not by slip): owed at r7 =
 #: 45 r5-green queries rotated out this round (the 35 listed above plus
 #: the 10 displaced second-rows/keepers — all hit the 2-round staleness
-#: limit at r7) + the 6 debuts above. doc_split_assign is among the 45
+#: limit at r7) + the 7 debuts above. doc_split_assign is among the 45
 #: AND changed this round (shared-_split_expr refactor; its in-window
 #: twin split_leakage_audit gets its r6 row on the refactored code, so
-#: only the out-of-window side needs the changed-code slot). Total = 51
+#: only the out-of-window side needs the changed-code slot). Total = 52
 #: candidates for 50 slots.
 #: Resolution: the staleness policy bends (one round, to ≤ 3) for the
-#: query with the strongest non-driver evidence and multiply-green
-#: history — recommend deferring ONE of dedup_keep_first /
-#: dedup_hourly_last (green r2/r3/r5, unchanged, exercised end-to-end by
-#: the cleaning pytest suite) to r8. Never defer a debut or a changed
-#: query.
+#: queries with the strongest non-driver evidence and multiply-green
+#: history — recommend deferring dedup_keep_first and dedup_hourly_last
+#: (green r2/r3/r5, unchanged, exercised end-to-end by the cleaning
+#: pytest suite) to r8. Never defer a debut or a changed query.
 
 
 def all_queries() -> dict[str, QuerySpec]:

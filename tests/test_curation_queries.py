@@ -131,3 +131,41 @@ def test_source_overlap_sketch_is_a_true_subsample(spark):
     for r in _rows(spark, "source_overlap"):
         assert r.n_a <= full_sizes[r.source_a]
         assert r.n_b <= full_sizes[r.source_b]
+
+
+def test_perplexity_scores_finite_and_rank_repetitive_text_likely(spark):
+    """Every document must score with finite avg_logprob < 0 and its full
+    token count; replay-stable (zero RNG); and the model must behave like
+    a unigram LM: a doc made only of the corpus's most frequent tokens
+    scores a higher (less negative) average than one of rare tokens —
+    checked via the relative ranking of the per-doc scores against a
+    Python recomputation on a small sample."""
+    import math
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    rows = _rows(spark, "doc_perplexity")
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert r.avg_logprob is not None and math.isfinite(r.avg_logprob)
+        assert r.avg_logprob < 0
+        assert r.n_tokens >= 1
+    assert rows == _rows(spark, "doc_perplexity")  # replay-stable
+
+    # Python recomputation on the first 20 docs: same model, same smoothing
+    def toks(t):
+        return (t or "").strip().lower().split()
+
+    ctf = Counter()
+    for d in docs:
+        ctf.update(set())  # keep Counter import honest under empty corpus
+        ctf.update(toks(d.text))
+    n_corpus, v = sum(ctf.values()), len(ctf)
+    by_id = {r.doc_id: r for r in rows}
+    for d in docs[:20]:
+        tks = toks(d.text)
+        expect = sum(
+            round(math.log((ctf[t] + 1) / (n_corpus + v)), 7) for t in tks
+        ) / len(tks)
+        got = by_id[d.doc_id].avg_logprob
+        assert abs(got - expect) < 1e-5, (d.doc_id, got, expect)

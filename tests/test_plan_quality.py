@@ -499,3 +499,16 @@ def test_unpivot_is_expand_over_wide_aggregate(spark):
     # aggregate states. The melt itself must add NO third shuffle.
     assert plan.count("Exchange hashpartitioning") == 2
     assert "BatchEvalPython" not in plan
+
+
+def test_perplexity_scoring_is_token_keyed_hash_join_over_pinned_counts(spark):
+    """The DSIR two-pass layout: pinned per-(doc, token) counts feed both
+    the model fit and the scoring join; the totals ride as a broadcast
+    1-row aggregate; no cartesian beyond vocab × broadcast(totals), no
+    Python anywhere."""
+    plan = _plan(spark, "doc_perplexity")
+    assert "Scan ExistingRDD" in plan  # pinned counts
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert frag.startswith(" BuildRight, Cross"), frag[:60]
