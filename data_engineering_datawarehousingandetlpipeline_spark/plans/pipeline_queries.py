@@ -47,12 +47,18 @@ def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's CASE-based twin.
     """
     ensure_runtime_confs(spark)
+    return _wide_daily(spark, sf_dir).orderBy("day_ts")
+
+
+def _wide_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day × event-type value matrix (unordered) — ONE definition
+    shared by the pivot query and its unpivot inverse, so the round-trip
+    claim can never drift onto two different aggregations."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.date_trunc("day", F.col("ts")).alias("day_ts"))
         .pivot("event_type", list(EVENT_TYPES))
         .agg(dsum("value"))
-        .orderBy("day_ts")
     )
 
 
@@ -71,22 +77,19 @@ def q_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): the wide daily matrix back to long form — and the
     round-trip proof that pivot/unpivot are exact inverses.
 
-    Runs the SAME wide aggregation as ``pivot_daily`` and melts it with
-    ``DataFrame.unpivot`` (one Expand over the ~30-row wide table — no
-    extra shuffle); the oracle computes the long form DIRECTLY from
-    events, so the driver hash proves unpivot(pivot(x)) == x modulo the
-    (day, type) combinations that never occurred (dropped with the
-    NULL filter, exactly the rows a direct aggregation never had).
-    The metric-name column is the pivot column's values, so both
-    directions share one vocabulary.
+    Runs the SAME wide aggregation as ``pivot_daily`` (shared
+    ``_wide_daily`` helper — one definition, not a copy) and melts it
+    with ``DataFrame.unpivot`` (one Expand over the ~30-row wide table —
+    no extra shuffle); the oracle computes the long form DIRECTLY from
+    events, so the driver hash proves unpivot(pivot(x)) == x. Symmetry
+    is mirrored on both sides: the oracle filters to the same
+    EVENT_TYPES whitelist the pivot enumerates, and both sides drop
+    NULL-sum cells — the pivot's padding for combinations with no (or
+    all-NULL) values, which a direct aggregation either never had or
+    reports as NULL.
     """
     ensure_runtime_confs(spark)
-    events = load_table(spark, sf_dir, "events")
-    wide = (
-        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day_ts"))
-        .pivot("event_type", list(EVENT_TYPES))
-        .agg(dsum("value"))
-    )
+    wide = _wide_daily(spark, sf_dir)
     return (
         wide.unpivot(["day_ts"], list(EVENT_TYPES), "event_type", "sum_value")
         .filter(F.col("sum_value").isNotNull())
@@ -94,11 +97,13 @@ def q_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EVENT_UNPIVOT = """
+SQL_EVENT_UNPIVOT = f"""
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts, event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events
+WHERE event_type IN ({", ".join(f"'{t}'" for t in EVENT_TYPES)})
 GROUP BY day_ts, event_type
+HAVING SUM(CAST(value AS DECIMAL(18,4))) IS NOT NULL
 ORDER BY day_ts, event_type
 """
 

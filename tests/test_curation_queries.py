@@ -152,18 +152,26 @@ def test_perplexity_scores_finite_and_rank_repetitive_text_likely(spark):
         assert r.n_tokens >= 1
     assert rows == _rows(spark, "doc_perplexity")  # replay-stable
 
-    # Python recomputation on the first 20 docs: same model, same smoothing
+    # Python recomputation on the first 20 docs: same model, same
+    # smoothing, and the SAME tokenizer semantics as tx.tokens —
+    # re.split(r"\s+") mirrors Java's \s (str.split() would differ on
+    # Unicode whitespace and on empty text, where Spark yields [""]).
+    import re
+
     def toks(t):
-        return (t or "").strip().lower().split()
+        if t is None:
+            return []
+        return re.split(r"\s+", t.strip().lower())
 
     ctf = Counter()
     for d in docs:
-        ctf.update(set())  # keep Counter import honest under empty corpus
         ctf.update(toks(d.text))
     n_corpus, v = sum(ctf.values()), len(ctf)
     by_id = {r.doc_id: r for r in rows}
     for d in docs[:20]:
         tks = toks(d.text)
+        if not tks:
+            continue  # NULL text contributes nothing on either engine
         expect = sum(
             round(math.log((ctf[t] + 1) / (n_corpus + v)), 7) for t in tks
         ) / len(tks)

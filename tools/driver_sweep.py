@@ -64,3 +64,4 @@ for name in qs:
         print(f"ERR {name}: {type(ex).__name__}: {str(ex)[:200]}")
 print("TOTAL", len(qs), "BAD", len(bad), bad)
 spark.stop()
+sys.exit(1 if bad else 0)
