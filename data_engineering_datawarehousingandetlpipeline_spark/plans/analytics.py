@@ -104,7 +104,11 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales with SF — no forced broadcast (the fixed-size
+        # nation/region dims keep the hint): Spark's size statistics
+        # broadcast it at test scale, and at warehouse scale AQE picks
+        # the shuffle join a billion-row side requires.
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
@@ -146,7 +150,9 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales with SF — statistics/AQE decide (see
+        # q_region_revenue); only the fixed-size nation stays hinted
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(_revenue(), wide=True).alias("revenue"))
@@ -217,7 +223,9 @@ def q_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier scales with SF — statistics/AQE decide (see
+        # q_region_revenue's customer note); nation is fixed-size
+        lineitem.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("supp_nation"))
         .agg(
@@ -292,9 +300,9 @@ SQL_TOP_ORDERS_PER_CUSTOMER = """
 SELECT o_custkey, o_orderkey, o_totalprice, rank_in_customer
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey ASC)
-           AS rank_in_customer
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+              AS INT) AS rank_in_customer
   FROM orders
 ) ranked
 WHERE rank_in_customer <= 3

@@ -187,7 +187,7 @@ WITH postings AS (
                {DSIR_LR_SCALE}) AS lr
   FROM bucket_stats CROSS JOIN totals
 )
-SELECT d.doc_id, d.lang, SUM(d.c) AS n_tokens,
+SELECT d.doc_id, d.lang, CAST(SUM(d.c) AS BIGINT) AS n_tokens,
        {sql_dsum("d.c * m.lr", wide=True)} AS dsir_logratio
 FROM doc_bucket d JOIN model m USING (bucket)
 GROUP BY d.doc_id, d.lang
@@ -384,7 +384,8 @@ WITH postings AS (
     FROM counts CROSS JOIN totals
   )
 )
-SELECT term, y_tgt, y_rest, z_score
+SELECT term, CAST(y_tgt AS BIGINT) AS y_tgt,
+       CAST(y_rest AS BIGINT) AS y_rest, z_score
 FROM scored
 ORDER BY abs(z_score) DESC, term ASC
 LIMIT {DRIFT_TOP_TERMS}
@@ -424,7 +425,8 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus-composition audit (CommonCrawl-vs-C4-style): for every pair
     of sources, how much long-n-gram content they share — Jaccard for
     symmetric overlap, containment (common / smaller set) for "is one
-    source a subset of another". Runs on a deterministic 1/{{MOD}} hash
+    source a subset of another". Runs on a deterministic
+    1/SRC_OVERLAP_MOD hash
     sketch of gram space (salted u32 ≡ 0), so the postings join is bounded
     by the sketch at any corpus size while the estimates stay unbiased;
     the verify-side math is exact over the sketch, so the oracle matches
@@ -616,7 +618,7 @@ WITH postings AS (
                   / CAST(n_corpus + v_size AS DOUBLE)), {PPL_LP_SCALE}) AS lp
   FROM tf CROSS JOIN totals
 )
-SELECT d.doc_id, SUM(d.c) AS n_tokens,
+SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_tokens,
        round({sql_dsum("d.c * m.lp", wide=True)} / SUM(d.c), 6) AS avg_logprob
 FROM dtf d JOIN model m USING (token)
 GROUP BY d.doc_id
