@@ -37,126 +37,121 @@ class QuerySpec:
 #: been driver-verified, MUST be in this list; multiply-green unchanged
 #: queries rotate out to make room and rotate back in later rounds.
 #:
-#: Round-6 window, 50 = 13 debuts + 5 changed + 32 staleness-limit:
-#: the 13 never-driver-verified r6 debuts (streaming_exact_dedup,
-#: emb_ivfpq_topk, emb_pq_topk, doc_mixture_sample, emb_hard_negatives,
-#: split_leakage_audit, the 5-query curation family, salted_enrich,
-#: doc_gopher_rules); the 5 queries whose implementation changed this
-#: round (doc_ngram_jaccard + doc_dedup_clusters ride the aliased
-#: jaccard_pairs self-join, doc_pii_scan counts sequentially on the
-#: progressively-redacted text + tightened ipv4 octets, event_funnel's
-#: try_divide/NULLIF convergence, doc_mixture_weights' shared-helper
-#: refactor); the 32 r4-green queries rotated out in r5, back for their
-#: promised re-verification (COVERAGE.md rotation policy — keeps every
-#: registry query ≤ 2 rounds stale). Those three groups fill all 50
-#: slots, so the r5 debuts' second rows and the machinery keepers
-#: (streaming_ingest, doc_minhash_neardup, emb_ivf_topk) were displaced —
-#: the per-entry comments below record each displacement.
-#: Rotated out this round (all r5-green, unchanged): emb_near_dup,
-#: doc_chunks, doc_exact_dedup, doc_token_stats, doc_lang_profile,
-#: doc_quality, doc_fingerprints, doc_simhash, doc_simhash_pairs,
-#: doc_tfidf_terms, doc_bpe_tokens, doc_hash_sample, doc_pack_bins,
-#: doc_norm_dedup, media_features, media_feature_vectors,
-#: media_frame_sample, emb_cosine_topk, emb_ann_topk, doc_repetition,
-#: doc_decontaminate, emb_semantic_dedup, doc_source_stats,
-#: doc_split_assign, streaming_window_stats, streaming_sessions,
-#: sessionization, session_stats, asof_last_error, nearby_clicks,
-#: day_window, dedup_keep_first, dedup_hourly_last, pricing_summary,
-#: approx_sketches.
+#: Round-7 window, 50 = 7 debuts + 43 staleness-limit rotations —
+#: executing the r6 window math exactly as pre-committed below the r6
+#: entry in git history: owed at r7 were the 45 r5-green queries rotated
+#: out in r6 (the 35-name r6 rotation list plus the 10 displaced
+#: second-rows/keepers) + the 7 r6-late debuts = 52 candidates for 50
+#: slots. Resolution (pre-decided in r6, confirmed by the r6 verdict):
+#: defer dedup_keep_first and dedup_hourly_last to r8 — green
+#: r1/r2/r3/r4/r5, implementation unchanged since r3, exercised
+#: end-to-end by tests/test_cleaning.py every pytest run — bending the
+#: staleness policy to ≤ 3 rounds for exactly these two. Never defer a
+#: debut or a changed query: doc_split_assign (changed in r6,
+#: shared-_split_expr refactor, no r6 row of its own) is inside.
+#: Rotated out this round (all green r6 rows, unchanged since):
+#: streaming_exact_dedup, emb_ivfpq_topk, emb_pq_topk,
+#: doc_mixture_sample, doc_ngram_jaccard, doc_dedup_clusters,
+#: doc_pii_scan, event_funnel, doc_mixture_weights, long_term_users,
+#: event_grouping_sets, click_days_no_purchase, user_day_overlap,
+#: user_rolling_stats, value_correlations, doc_edit_distance, dup_audit,
+#: missingness, outliers, filtered_count, max_ts_per_user,
+#: watermark_filter, schema_projection, validate_counts, hourly_rollup,
+#: json_props, composite_sort, region_revenue, top_customers,
+#: order_priority, supplier_volume, part_type_stats, revenue_rollup,
+#: event_cube, top_orders_per_customer, pivot_daily, salted_rollup,
+#: distinct_counts, value_quantiles, dup_audit_hourly, dashboard_summary,
+#: emb_hard_negatives, split_leakage_audit, doc_dsir_weights,
+#: doc_cluster_keep, dedup_cluster_stats, doc_vocab_drift,
+#: source_overlap, salted_enrich, doc_gopher_rules.
 WINDOW_HEAD: tuple[str, ...] = (
-    # r6 debuts (emb_pq_topk took the slot of the emb_ivf_topk keeper:
-    # r5-green unchanged, and the two debut quantization queries exercise
-    # the same k-means machinery plus the codebook generalization)
-    "streaming_exact_dedup",
-    "emb_ivfpq_topk",
-    "emb_pq_topk",
-    "doc_mixture_sample",
-    # changed this round
-    "doc_ngram_jaccard",
-    "doc_dedup_clusters",
-    "doc_pii_scan",
-    "event_funnel",
-    "doc_mixture_weights",
-    # the 32 r4-green queries rotated back in (last driver row r4)
-    "long_term_users",
-    "event_grouping_sets",
-    "click_days_no_purchase",
-    "user_day_overlap",
-    "user_rolling_stats",
-    "value_correlations",
-    "doc_edit_distance",
-    "dup_audit",
-    "missingness",
-    "outliers",
-    "filtered_count",
-    "max_ts_per_user",
-    "watermark_filter",
-    "schema_projection",
-    "validate_counts",
-    "hourly_rollup",
-    "json_props",
-    "composite_sort",
-    "region_revenue",
-    "top_customers",
-    "order_priority",
-    "supplier_volume",
-    "part_type_stats",
-    "revenue_rollup",
-    "event_cube",
-    "top_orders_per_customer",
-    "pivot_daily",
-    "salted_rollup",
-    "distinct_counts",
-    "value_quantiles",
-    "dup_audit_hourly",
-    "dashboard_summary",
-    # r6 debut (late): contrastive-pair mining — took doc_ngram_topk's
-    # second-row slot (r5-green, unchanged, stays ≤ 2 rounds stale for
-    # its promised r7 re-verification; never-verified debuts outrank
-    # second rows)
-    "emb_hard_negatives",
-    # r6 debut (late): split-leakage audit — took retention_cohorts'
-    # second-row slot (same ≤-2-rounds-stale reasoning as above)
-    "split_leakage_audit",
-    # r6 debuts (curation family, plans/curation.py) — never driver-verified,
-    # so they outrank second rows: these five took the slots of the r5
-    # debuts' second rows (doc_span_dedup, emb_quantize_stats,
-    # doc_group_sample, emb_cluster_profile, streaming_chunks — all
-    # r5-green, unchanged, due back ≤ r7 under the 2-round-stale policy)
-    "doc_dsir_weights",
-    "doc_cluster_keep",
-    "dedup_cluster_stats",
-    "doc_vocab_drift",
-    "source_overlap",
-    # r6 debuts (late): salted skew join and the Gopher rule battery —
-    # these took the streaming_ingest and doc_minhash_neardup keeper
-    # slots (both r5-green and unchanged; streaming gets two fresh rows
-    # this round via streaming_chunks + streaming_exact_dedup, and the
-    # minhash path keeps its CI plan gates + sf0.001 parity coverage)
-    "salted_enrich",
-    "doc_gopher_rules",
+    # the 7 r6-late debuts — the only registry queries that have never
+    # received a driver row; they take slots first, per policy
+    "scd2_user_state",
+    "scd2_snapshots",
+    "streaming_scd2",
+    "incremental_rollup",
+    "incremental_distinct",
+    "event_unpivot",
+    "doc_perplexity",
+    # changed in r6 without an r6 row of its own (split_leakage_audit
+    # carried the refactored _split_expr through r6; this is the
+    # out-of-window side)
+    "doc_split_assign",
+    # the 35-name r6 rotation list, minus the two pre-decided deferrals
+    # and doc_split_assign above (last driver row r5 for all)
+    "emb_near_dup",
+    "doc_chunks",
+    "doc_exact_dedup",
+    "doc_token_stats",
+    "doc_lang_profile",
+    "doc_quality",
+    "doc_fingerprints",
+    "doc_simhash",
+    "doc_simhash_pairs",
+    "doc_tfidf_terms",
+    "doc_bpe_tokens",
+    "doc_hash_sample",
+    "doc_pack_bins",
+    "doc_norm_dedup",
+    "media_features",
+    "media_feature_vectors",
+    "media_frame_sample",
+    "emb_cosine_topk",
+    "emb_ann_topk",
+    "doc_repetition",
+    "doc_decontaminate",
+    "emb_semantic_dedup",
+    "doc_source_stats",
+    "streaming_window_stats",
+    "streaming_sessions",
+    "sessionization",
+    "session_stats",
+    "asof_last_error",
+    "nearby_clicks",
+    "day_window",
+    "pricing_summary",
+    "approx_sketches",
+    # the 10 second-rows/keepers displaced by r6 debuts (last driver row
+    # r5 for all; due at the 2-round staleness limit now)
+    "doc_ngram_topk",
+    "retention_cohorts",
+    "doc_span_dedup",
+    "emb_quantize_stats",
+    "doc_group_sample",
+    "emb_cluster_profile",
+    "streaming_chunks",
+    "streaming_ingest",
+    "doc_minhash_neardup",
+    "emb_ivf_topk",
 )
-#: r7 DEBUT QUEUE — queries implemented late in r6, after all 50 window
-#: slots were already owed (debuts + changed code + the 32 queries at the
-#: 2-round staleness limit left nothing rotatable): scd2_user_state,
-#: incremental_rollup, scd2_snapshots, streaming_scd2,
-#: incremental_distinct, event_unpivot, doc_perplexity. All are
-#: local-oracle-verified (sf0.001 pytest parity + sf0.01 sweep) and MUST
-#: take window slots in r7.
-#:
-#: r7 WINDOW MATH (decide deliberately, not by slip): owed at r7 =
-#: 45 r5-green queries rotated out this round (the 35 listed above plus
-#: the 10 displaced second-rows/keepers — all hit the 2-round staleness
-#: limit at r7) + the 7 debuts above. doc_split_assign is among the 45
-#: AND changed this round (shared-_split_expr refactor; its in-window
-#: twin split_leakage_audit gets its r6 row on the refactored code, so
-#: only the out-of-window side needs the changed-code slot). Total = 52
-#: candidates for 50 slots.
-#: Resolution: the staleness policy bends (one round, to ≤ 3) for the
-#: queries with the strongest non-driver evidence and multiply-green
-#: history — recommend deferring dedup_keep_first and dedup_hourly_last
-#: (green r2/r3/r5, unchanged, exercised end-to-end by the cleaning
-#: pytest suite) to r8. Never defer a debut or a changed query.
+
+#: Names that MUST sit inside the driver's 50-entry window this round:
+#: every query that has never received a driver row plus every query
+#: whose implementation changed since its last green row. Maintained by
+#: hand each round alongside WINDOW_HEAD; enforced generically by
+#: tools/driver_sweep.py and tests/test_plan_quality.py so a rotation
+#: can never silently strand a debut (r6 verdict, marching order 5).
+MUST_VERIFY: tuple[str, ...] = (
+    "scd2_user_state",
+    "scd2_snapshots",
+    "streaming_scd2",
+    "incremental_rollup",
+    "incremental_distinct",
+    "event_unpivot",
+    "doc_perplexity",
+    "doc_split_assign",
+)
+
+#: r8 OWED SET (window math for next round, decided now, not by slip):
+#: owed at r8 = the 49 green-r6 queries rotated out above + the 2
+#: r7-deferred queries (dedup_keep_first, dedup_hourly_last — these are
+#: at the bent ≤-3-round limit and CANNOT defer again) + any r7 debuts
+#: landing after this window filled = 51+ candidates for 50 slots.
+#: Resolution: defer ONE multiply-green unchanged query from the 49
+#: (recommend dup_audit / dup_audit_hourly — green r1/r2/r3/r4/r6, the
+#: deepest histories in the registry after the two cleaning queries) per
+#: extra candidate. Never defer a debut or a changed query.
 
 
 def all_queries() -> dict[str, QuerySpec]:

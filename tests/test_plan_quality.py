@@ -231,37 +231,21 @@ def test_source_stats_is_single_scan_partial_agg(spark):
 
 def test_driver_correctness_window_contains_unverified_queries():
     """The round driver records correctness rows for only the FIRST 50
-    registry entries. Every query that has not yet accumulated multiple
-    driver-green rounds must sit inside that window; everything past
-    position 49 must be a multiply-verified extensions-tail query. A
-    failure here means someone registered a query into the silent zone —
-    rotate the tail before shipping."""
+    registry entries. Every query that has never received a driver row,
+    or whose implementation changed since its last green row, is listed
+    in the registry's MUST_VERIFY annotation and must sit inside that
+    window. A failure here means a rotation stranded a debut in the
+    silent zone — fix WINDOW_HEAD before shipping. (Generalized from the
+    per-round hardcoded list per the r6 verdict, marching order 5.)"""
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import (
+        MUST_VERIFY,
+    )
+
     names = list(all_queries())
-    in_window_required = [
-        # r6 debuts — never driver-verified
-        "streaming_exact_dedup", "emb_ivfpq_topk", "emb_pq_topk",
-        "doc_mixture_sample", "salted_enrich", "doc_gopher_rules",
-        "emb_hard_negatives", "split_leakage_audit",
-        # changed this round: aliased jaccard self-join / sequential PII
-        # counts + tightened ipv4 / funnel try_divide / weights refactor
-        "doc_ngram_jaccard", "doc_dedup_clusters", "doc_pii_scan",
-        "event_funnel", "doc_mixture_weights",
-        # r6 curation-family debuts — never driver-verified, took the r5
-        # debuts' second-row slots (those are r5-green unchanged, due back
-        # ≤ r7 under the 2-round-stale policy)
-        "doc_dsir_weights", "doc_cluster_keep", "dedup_cluster_stats",
-        "doc_vocab_drift", "source_overlap",
-        # r4-green queries at the 2-round staleness limit (rotation
-        # policy: no registry query may go > 2 rounds without a row)
-        "long_term_users", "dup_audit", "missingness", "hourly_rollup",
-        "region_revenue", "dashboard_summary", "pivot_daily",
-        "salted_rollup", "event_cube", "top_orders_per_customer",
-    ]
-    for name in in_window_required:
-        assert names.index(name) < 50, (
-            f"{name} at position {names.index(name)} — outside the driver's "
-            "50-entry correctness window"
-        )
+    stranded = [(n, names.index(n)) for n in MUST_VERIFY if names.index(n) >= 50]
+    assert not stranded, (
+        f"MUST_VERIFY queries outside the driver's 50-entry window: {stranded}"
+    )
 
 
 def test_span_dedup_is_postings_shaped(spark):
@@ -362,6 +346,31 @@ def test_window_head_is_exactly_fifty():
 
     assert len(WINDOW_HEAD) == 50
     assert len(set(WINDOW_HEAD)) == 50  # no duplicates hiding a shortfall
+
+
+def test_must_verify_queries_sit_inside_the_window():
+    """Every never-driver-verified or changed-this-round query (the
+    registry's MUST_VERIFY annotation) must occupy one of the first 50
+    registry slots — the only ones the driver snapshots — so a window
+    rotation can never silently strand a debut."""
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import (
+        MUST_VERIFY,
+        WINDOW_HEAD,
+    )
+
+    stranded = [n for n in MUST_VERIFY if n not in WINDOW_HEAD]
+    assert not stranded, f"MUST_VERIFY stranded outside WINDOW_HEAD: {stranded}"
+
+
+def test_window_guard_detects_a_stranded_debut():
+    """Negative case for the sweep/CI guard: if a must-verify name sat in
+    the registry tail, the position check must flag it — the guard can't
+    be a tautology that passes for any annotation."""
+    names = list(all_queries())
+    tail_query = names[60]  # any name past the 50-slot window
+    fake_must_verify = ("scd2_user_state", tail_query)
+    mis = [(n, names.index(n)) for n in fake_must_verify if names.index(n) >= 50]
+    assert mis == [(tail_query, 60)]
 
 
 def test_hard_negative_mining_is_single_scan_single_argmax_shuffle(spark):

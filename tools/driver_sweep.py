@@ -22,12 +22,14 @@ con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 qs, osql = E.queries(), E.oracle_sql()
-# window check
-from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import all_queries
+# window check: every never-driver-verified or changed-this-round query
+# (registry MUST_VERIFY annotation) must sit inside the driver's first-50
+# window, so a rotation can never silently strand a debut.
+from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import all_queries, MUST_VERIFY
 order = list(all_queries())
-for n in ("doc_dsir_weights","doc_cluster_keep","dedup_cluster_stats","doc_vocab_drift","source_overlap"):
-    assert order.index(n) < 50, (n, order.index(n))
-print("window positions OK; total queries:", len(order))
+mis = [(n, order.index(n)) for n in MUST_VERIFY if order.index(n) >= 50]
+assert not mis, f"MUST_VERIFY queries stranded outside the 50-slot window: {mis}"
+print(f"window positions OK ({len(MUST_VERIFY)} must-verify inside); total queries:", len(order))
 def norm(v):
     if isinstance(v, decimal.Decimal): v = float(v)
     if isinstance(v, float):
