@@ -31,6 +31,9 @@ from data_engineering_datawarehousingandetlpipeline_spark.operators import (
 from data_engineering_datawarehousingandetlpipeline_spark.functions.hashing import (
     sql_u32_hash,
 )
+from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
+    sql_dsum,
+)
 from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import QuerySpec
 from data_engineering_datawarehousingandetlpipeline_spark.session import (
     ensure_runtime_confs,
@@ -927,6 +930,85 @@ ORDER BY text_hash
 """
 
 
+STREAM_MINHASH_MOD = 3  # doc_id % 3 == 0 subset keeps the e2e drain small
+
+
+def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup dedup index built INCREMENTALLY as shards land.
+
+    The streaming rung above ``streaming_exact_dedup``: a document subset
+    is staged as three range-sharded JSON files (the Kafka stand-in),
+    drained one file per micro-batch through
+    ``streaming/pipeline.start_minhash_dedup`` — MinHash signatures folded
+    on the stream, LSH banding, cross-batch ``dropDuplicates`` state on
+    ``(band, band_hash)`` — and the exactly-once sink contents are
+    returned. The oracle states the BATCH banding semantics (the same
+    signature/band CTEs ``doc_minhash_neardup`` verifies against) over the
+    same subset, so the comparison proves the incremental index equals the
+    batch LSH index exactly — the contract that lets a pipeline keep its
+    near-dup candidate index warm as shards land instead of re-signing the
+    corpus.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_minhash_dedup,
+    )
+
+    docs = _docs(spark, sf_dir).filter(
+        (F.col("doc_id") % STREAM_MINHASH_MOD) == 0
+    )
+    # TEST-SCALE ONLY: eager range-sharded JSON staging inside query
+    # construction — a tempdir standing in for the Kafka topic / landing
+    # bucket this harness has no broker for (same adjudicated pattern as
+    # q_streaming_exact_dedup). The clean production entry point is
+    # streaming/pipeline.start_minhash_dedup.
+    workdir = tempfile.mkdtemp(prefix="streaming_minhash_q_")
+    indir = os.path.join(workdir, "incoming")
+    docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).repartitionByRange(3, "doc_id").write.mode("overwrite").json(indir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    out_dir = os.path.join(workdir, "index")
+    query = start_minhash_dedup(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(indir),
+        out_dir,
+        os.path.join(workdir, "ckpt"),
+        available_now=True,
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("band", "band_hash")
+
+
+def _sql_streaming_minhash_dedup() -> str:
+    # the batch banding CTEs (shared with doc_minhash_neardup's oracle),
+    # restricted to the streamed subset; the unused pair-candidate CTE is
+    # pruned by the optimizer.
+    ctes = _SQL_MINHASH_CTES.replace(
+        "FROM documents",
+        f"FROM documents WHERE doc_id % {STREAM_MINHASH_MOD} = 0",
+    )
+    return f"""
+WITH {ctes}
+SELECT DISTINCT CAST(band AS INT) AS band, band_hash
+FROM bands
+ORDER BY band, band_hash
+"""
+
+
+SQL_STREAMING_MINHASH_DEDUP = _sql_streaming_minhash_dedup()
+
+
 TFIDF_TOP_TERMS = 3
 
 
@@ -994,6 +1076,191 @@ FROM (
 ) ranked
 WHERE rank <= {TFIDF_TOP_TERMS}
 ORDER BY doc_id, rank
+"""
+
+
+#: BM25 (Robertson/Okapi) literals — the standard Lucene-default
+#: parameterization. Association-order-sensitive literals are spelled
+#: once here and formatted into BOTH engines' expressions so the IEEE
+#: evaluation order is identical.
+BM25_K1 = 1.2
+BM25_K1_PLUS_1 = 2.2
+BM25_B = 0.75
+BM25_ONE_MINUS_B = 0.25
+BM25_TOP_K = 5
+BM25_IDF_SCALE = 7
+BM25_SCALE = 6
+#: Deterministic retrieval workload: three multi-term queries over the
+#: corpus vocabulary. Real deployments broadcast whatever query batch the
+#: serving layer hands them; the plan shape is independent of the list.
+BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("hash", "join", "table")),
+    (1, ("window", "agg", "stream")),
+    (2, ("fast", "vector", "scan")),
+)
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-5 documents per query (k1=1.2, b=0.75).
+
+    The ranking function real retrieval stacks serve, composed from the
+    same postings machinery as ``doc_tfidf_terms``: score(q, d) =
+    Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with the
+    Lucene idf = ln((N−df+0.5)/(df+0.5) + 1).
+
+    DSIR-style pinned-postings shape: ONE tokenize/explode pass reduces to
+    per-(doc, term) counts, pinned — that table then feeds (a) document
+    lengths, (b) the query-term match — so the corpus text is scanned and
+    tokenized exactly once. Everything query-shaped broadcasts: the query
+    terms (map-side semi-join prunes the postings BEFORE any further
+    shuffle — only postings whose term appears in some query survive),
+    the per-term df/idf model (≤ |query terms| rows), and the 1-row
+    (N, avgdl) stats. The only corpus-keyed join left is matched-postings
+    ⋈ doc-lengths on doc_id — the standard postings-plus-norms layout, an
+    equi-join AQE plans fine at any corpus size. Ranking is a per-query
+    row_number over the matched candidate set, never a global sort.
+
+    Determinism: idf rounded at scale 7, each term contribution at scale
+    6, then decimal-anchored into the per-(query, doc) sum — exact in any
+    execution order; ties rank by doc_id asc.
+    """
+    from pyspark.sql import Window
+
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
+        dsum,
+    )
+
+    docs = _docs(spark, sf_dir)
+    qterms = F.broadcast(
+        spark.createDataFrame(
+            [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+            "query_id int, term string",
+        )
+    )
+    # Pin the per-(doc, term) counts: they feed doclen AND the match join
+    # (separate plan subtrees — unpinned, the corpus tokenizes twice).
+    doc_term = (
+        docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    # Pin doclen too: it feeds the 1-row stats aggregate AND the norms join.
+    doclen = (
+        doc_term.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    matched = doc_term.join(qterms, "term")
+    docfreq = matched.groupBy("query_id", "term").agg(
+        F.count("*").alias("df")  # (doc_id, term) is unique in doc_term
+    )
+    idf = docfreq.crossJoin(F.broadcast(stats)).select(
+        "query_id",
+        "term",
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            BM25_IDF_SCALE,
+        ).alias("idf"),
+    )
+    contrib = (
+        matched.join(F.broadcast(idf), ["query_id", "term"])
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                (F.col("idf") * (F.col("tf") * F.lit(BM25_K1_PLUS_1)))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(BM25_ONE_MINUS_B)
+                        + (F.lit(BM25_B) * F.col("dl")) / F.col("avgdl")
+                    )
+                ),
+                BM25_SCALE,
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        dsum("c", wide=True).alias("bm25")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "doc_id",
+            "bm25",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sql_bm25_values() -> str:
+    return ", ".join(
+        f"({qid}, '{t}')" for qid, terms in BM25_QUERIES for t in terms
+    )
+
+
+SQL_DOC_BM25_TOPK = f"""
+WITH qterms(query_id, term) AS (VALUES {_sql_bm25_values()}),
+postings AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+), doc_term AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM postings GROUP BY doc_id, term
+), doclen AS (
+  SELECT doc_id, SUM(tf) AS dl FROM doc_term GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM doclen
+), matched AS (
+  SELECT q.query_id, q.term, d.doc_id, d.tf
+  FROM doc_term d JOIN qterms q USING (term)
+), docfreq AS (
+  SELECT query_id, term, COUNT(*) AS df
+  FROM matched GROUP BY query_id, term
+), idf AS (
+  SELECT query_id, term,
+         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0),
+               {BM25_IDF_SCALE}) AS idf
+  FROM docfreq CROSS JOIN stats
+), contrib AS (
+  SELECT m.query_id, m.doc_id,
+         round((i.idf * (m.tf * {BM25_K1_PLUS_1}))
+               / (m.tf + {BM25_K1} * ({BM25_ONE_MINUS_B}
+                                      + ({BM25_B} * l.dl) / s.avgdl)),
+               {BM25_SCALE}) AS c
+  FROM matched m
+  JOIN idf i ON m.query_id = i.query_id AND m.term = i.term
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+), scored AS (
+  SELECT query_id, doc_id, {sql_dsum("c", wide=True)} AS bm25
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT CAST(query_id AS INT) AS query_id, doc_id, bm25, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM scored
+) ranked
+WHERE rank <= {BM25_TOP_K}
+ORDER BY query_id, rank
 """
 
 
@@ -2343,6 +2610,12 @@ QUERIES = [
               "the exactly-once parquet sink, verified against the batch "
               "DISTINCT oracle",
               tags=("streaming", "dedup")),
+    QuerySpec("streaming_minhash_dedup", q_streaming_minhash_dedup,
+              SQL_STREAMING_MINHASH_DEDUP,
+              "MinHash LSH near-dup index built incrementally with "
+              "cross-batch (band, band_hash) state, verified against the "
+              "batch banding oracle",
+              tags=("streaming", "dedup")),
     QuerySpec("doc_repetition", q_doc_repetition, SQL_DOC_REPETITION,
               "Gopher-style repetition signals: top/dup bigram fractions",
               tags=("text",)),
@@ -2388,6 +2661,9 @@ QUERIES = [
               bench=True, tags=("dedup",)),
     QuerySpec("doc_tfidf_terms", q_doc_tfidf_terms, SQL_DOC_TFIDF_TERMS,
               "top-3 TF-IDF terms per document", tags=("text",)),
+    QuerySpec("doc_bm25_topk", q_doc_bm25_topk, SQL_DOC_BM25_TOPK,
+              "BM25 retrieval top-5 per query (pinned postings, broadcast "
+              "query model)", tags=("text", "retrieval")),
     QuerySpec("doc_bpe_tokens", q_doc_bpe_tokens, SQL_DOC_BPE_TOKENS,
               "BPE-ish pre-tokenizer piece counts by class", tags=("text",)),
     QuerySpec("doc_hash_sample", q_doc_hash_sample, SQL_DOC_HASH_SAMPLE,

@@ -82,7 +82,11 @@ WINDOW_HEAD: tuple[str, ...] = (
     # and doc_split_assign above (last driver row r5 for all)
     "emb_near_dup",
     "doc_chunks",
-    "doc_exact_dedup",
+    # r7 debut: streaming MinHash near-dup index (r6 verdict, marching
+    # order 2) — took doc_exact_dedup's slot (green r1/r2/r3/r5; its
+    # sha-groupby machinery got a fresh r6 row via streaming_exact_dedup,
+    # and sf0.001 pytest parity runs every CI pass; joins the r8 owed set)
+    "streaming_minhash_dedup",
     "doc_token_stats",
     "doc_lang_profile",
     "doc_quality",
@@ -110,7 +114,10 @@ WINDOW_HEAD: tuple[str, ...] = (
     "asof_last_error",
     "nearby_clicks",
     "day_window",
-    "pricing_summary",
+    # r7 debut: BM25 retrieval top-k (r6 verdict, marching order 3) —
+    # took pricing_summary's slot (green r1–r5, benched every round with
+    # a stable gated plan, pytest parity every run; joins the r8 owed set)
+    "doc_bm25_topk",
     "approx_sketches",
     # the 10 second-rows/keepers displaced by r6 debuts (last driver row
     # r5 for all; due at the 2-round staleness limit now)
@@ -141,17 +148,21 @@ MUST_VERIFY: tuple[str, ...] = (
     "event_unpivot",
     "doc_perplexity",
     "doc_split_assign",
+    # r7 debuts (this round's new queries — never driver-verified)
+    "doc_bm25_topk",
+    "streaming_minhash_dedup",
 )
 
 #: r8 OWED SET (window math for next round, decided now, not by slip):
-#: owed at r8 = the 49 green-r6 queries rotated out above + the 2
-#: r7-deferred queries (dedup_keep_first, dedup_hourly_last — these are
-#: at the bent ≤-3-round limit and CANNOT defer again) + any r7 debuts
-#: landing after this window filled = 51+ candidates for 50 slots.
-#: Resolution: defer ONE multiply-green unchanged query from the 49
-#: (recommend dup_audit / dup_audit_hourly — green r1/r2/r3/r4/r6, the
-#: deepest histories in the registry after the two cleaning queries) per
-#: extra candidate. Never defer a debut or a changed query.
+#: owed at r8 = the 49 green-r6 queries rotated out above + the
+#: r7-displaced pricing_summary and doc_exact_dedup + the 2 r7-deferred queries
+#: (dedup_keep_first, dedup_hourly_last — at the bent ≤-3-round limit,
+#: CANNOT defer again) + any r7 debuts landing after this window filled
+#: = 53+ candidates for 50 slots. Resolution: defer multiply-green
+#: unchanged queries from the 49 (recommend dup_audit / dup_audit_hourly
+#: — green r1/r2/r3/r4/r6, the deepest histories in the registry after
+#: the two cleaning queries) one per extra candidate. Never defer a debut
+#: or a changed query.
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -197,6 +197,68 @@ def start_exact_dedup(
     return writer.start()
 
 
+def start_minhash_dedup(
+    source: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Streaming NEAR-dup dedup index: MinHash band signatures with
+    cross-batch state — the incremental rung above :func:`start_exact_dedup`.
+
+    As document shards land, each document's 128-perm MinHash signature is
+    folded JVM-side (operators/dedup.minhash_signatures — stateless, so it
+    runs directly ON the stream) and banded into 16 ``(band, band_hash)``
+    keys; ``dropDuplicates`` on that pair keeps the FIRST arrival of each
+    band bucket across micro-batches, state living in the checkpointed
+    state store. The exactly-once parquet sink therefore accumulates the
+    corpus's canonical LSH candidate index incrementally: an incoming
+    document NONE of whose bands are new is a guaranteed LSH candidate
+    duplicate of earlier content (downstream verify joins it against the
+    index owners), while each novel band extends the index.
+
+    Like the exact-dedup stream, the emitted schema is deliberately
+    survivor-agnostic — bucket keys only, no owner doc id — so the output
+    SET is identical for every shard arrival order and equals the batch
+    ``SELECT DISTINCT band, band_hash`` over the same documents bit for
+    bit (a stream cannot retract an earlier owner, so owner choice would
+    be order-dependent; canonical min-id ownership is the batch
+    operator's job).
+
+    State is one row per distinct band bucket — ≤ 16 × distinct contents,
+    the same O(distinct) floor as exact dedup, far below corpus size on
+    dup-heavy crawls. The signature fold is one codegen stage per batch;
+    nothing here shuffles except the dedup state exchange.
+    """
+    from pyspark.sql import functions as F
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.dedup import (
+        lsh_band_hashes,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(
+        source.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        id_col="doc_id",
+    )
+    index = (
+        lsh_band_hashes(sigs)
+        .select(F.col("band").cast("int").alias("band"), "band_hash")
+        .dropDuplicates(["band", "band_hash"])
+    )
+    writer = (
+        index.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def start_windowed_exact_dedup(
     source: DataFrame,
     out_dir: str,

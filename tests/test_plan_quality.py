@@ -335,6 +335,24 @@ def test_pq_training_stays_keyed_and_broadcast(spark):
         assert frag.startswith(" BuildRight, Cross"), frag[:60]
 
 
+def test_bm25_is_pinned_postings_with_broadcast_query_model(spark):
+    """BM25 must keep the DSIR-style pinned-postings shape: the corpus is
+    tokenized exactly once into the pinned doc-term table (the final plan
+    reads Scan ExistingRDD, zero parquet re-scans), everything query-shaped
+    (terms, idf model, 1-row stats) broadcasts, the only cross joins are
+    broadcast crosses of 1-row aggregates, and top-k per query runs as a
+    WindowGroupLimit — never a global sort of all scores. No Python
+    anywhere."""
+    plan = _plan(spark, "doc_bm25_topk")
+    assert "FileScan parquet" not in plan  # all subtrees ride the pinned postings
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert frag.startswith(" BuildRight, Cross"), frag[:60]
+
+
 def test_window_head_is_exactly_fifty():
     """The driver records the FIRST 50 registry entries; WINDOW_HEAD must
     be exactly that size — one entry over and the 50th silently falls out

@@ -255,6 +255,85 @@ def test_streaming_exact_dedup_state_survives_restart(spark, tmp_path):
     assert {r.text_hash for r in rows} == {sha("alpha"), sha("beta"), sha("gamma")}
 
 
+def test_streaming_minhash_index_survives_restart_and_matches_batch(spark, tmp_path):
+    """Cross-batch LSH-index state must persist in the checkpoint: a shard
+    landing AFTER a restart whose content was already signed before the
+    restart contributes NO new band buckets, while genuinely new content
+    extends the index — and the accumulated index equals the batch
+    banding over the same documents exactly."""
+    from pyspark.sql import types as T
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.dedup import (
+        lsh_band_hashes,
+        minhash_signatures,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_minhash_dedup,
+    )
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+
+    def land(rows, name):
+        with open(indir / name, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row) + "\n")
+
+    def drain():
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType(), True),
+                T.StructField("text", T.StringType(), True),
+            ]
+        )
+        query = start_minhash_dedup(
+            spark.readStream.schema(schema).json(str(indir)),
+            str(tmp_path / "index"),
+            str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        query.awaitTermination()
+        return spark.read.parquet(str(tmp_path / "index"))
+
+    # shard 1 carries an INTRA-shard exact twin (identical band keys)
+    land(
+        [
+            {"doc_id": "1", "text": "alpha beta gamma delta"},
+            {"doc_id": "2", "text": "epsilon zeta eta theta"},
+            {"doc_id": "3", "text": "alpha beta gamma delta"},
+        ],
+        "shard1.json",
+    )
+    first = drain().collect()
+    assert len(first) == 32  # 16 bands × 2 distinct contents; twin dropped
+
+    # shard 2 lands after the drain stopped: one CROSS-restart twin and
+    # one genuinely new content
+    land(
+        [
+            {"doc_id": "4", "text": "epsilon zeta eta theta"},
+            {"doc_id": "5", "text": "iota kappa lambda mu"},
+        ],
+        "shard2.json",
+    )
+    got = {(r.band, r.band_hash) for r in drain().collect()}
+    assert len(got) == 48  # twin's 16 buckets NOT re-emitted, 16 new ones
+
+    # survivor-agnostic contract: the incremental index IS the batch index
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta"),
+         (5, "iota kappa lambda mu")],
+        "doc_id long, text string",
+    )
+    expected = {
+        (r.band, r.band_hash)
+        for r in lsh_band_hashes(minhash_signatures(batch))
+        .select("band", "band_hash")
+        .collect()
+    }
+    assert got == expected
+
+
 def test_windowed_dedup_drops_within_delay_and_expires_state(spark, tmp_path):
     """dropDuplicatesWithinWatermark contract: a duplicate inside the
     lateness horizon is dropped (even across a restart); once the
