@@ -238,6 +238,81 @@ class WarehouseTable:
             self.spark.conf.set(mode_key, previous)
         return self.data_file_count()
 
+    def compact_partitions(
+        self,
+        target_file_rows: int,
+        before=None,
+    ) -> int:
+        """Partition-granular OPTIMIZE: bin-pack small files, day by day.
+
+        The warehouse-scale form of :meth:`compact` (which rewrites the
+        WHOLE table — fine for repair, wrong as routine maintenance on a
+        100 TB table): each date partition is considered independently and
+        rewritten only if it holds more files than its rows justify —
+        more than ``ceil(rows / target_file_rows)``, the bin-packed file
+        count. Cost therefore scales with the partitions that actually
+        need compaction (the recent ones streaming ingestion fragmented),
+        never with table history, and re-running is a no-op (each
+        rewritten partition lands exactly at its bin-packed file count).
+
+        ``before`` is the optional (UTC date) eligibility anchor — only
+        partitions strictly OLDER are touched, so hot partitions still
+        receiving micro-batch appends are left alone. Like
+        ``expire_partitions``'s anchor it is passed explicitly, never
+        ``current_date()``, so maintenance runs are replayable.
+
+        Each selected partition is materialized (partition-sized, the
+        same read-modify-write guard ``merge_replace`` uses), bin-packed
+        with ``repartitionByRange`` over the key columns and sorted
+        within files — row-group min/max stats then let per-key scans
+        skip groups (the plain-parquet analogue of Z-ordering) — and
+        written back over only its own directory. The driver-side loop
+        is over date partitions (bounded by retention, e.g. 365/year),
+        not rows or files. Returns the number of partitions rewritten.
+        (A table format — Delta/Iceberg OPTIMIZE / rewriteDataFiles —
+        makes each rewrite transactional; the call site would not
+        change.)
+        """
+        import datetime
+        import math
+
+        if not self.exists():
+            return 0
+        rewritten = 0
+        for name in sorted(os.listdir(self.root)):
+            if not name.startswith("dt="):
+                continue
+            try:
+                day = datetime.date.fromisoformat(name[3:])
+            except ValueError:
+                continue
+            if before is not None and day >= before:
+                continue
+            path = os.path.join(self.root, name)
+            n_files = sum(
+                1
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            if n_files <= 1:
+                continue
+            part = self.spark.read.parquet(path)
+            rows = part.count()  # parquet footer metadata, no data read
+            goal = max(1, math.ceil(rows / target_file_rows))
+            if n_files <= goal:
+                continue
+            snapshot = part.localCheckpoint(eager=True)
+            (
+                snapshot.repartitionByRange(goal, *self.keys)
+                .sortWithinPartitions(*self.keys)
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            rewritten += 1
+        if rewritten:
+            self.spark.catalog.refreshByPath(self.root)
+        return rewritten
+
     def data_file_count(self) -> int:
         """Number of parquet data files across all partitions."""
         total = 0

@@ -112,6 +112,77 @@ def test_compact_collapses_small_files(spark, warehouse):
     assert sorted(map(tuple, warehouse.read().collect())) == before
 
 
+def test_compact_partitions_bin_packs_eligible_days_only(spark, warehouse):
+    """Partition-granular OPTIMIZE contract: only partitions older than
+    the anchor are rewritten, each lands at its bin-packed file count
+    (ceil(rows / target)), table contents are untouched, the day-window
+    scan still partition-prunes (and now reads exactly the packed files),
+    and a re-run is a no-op."""
+    import datetime
+    import re
+
+    rows = [
+        ("s1", "2024-03-01T00:10:00Z", "1.0"),
+        ("s2", "2024-03-01T05:20:00Z", "2.0"),
+        ("s3", "2024-03-01T09:30:00Z", "3.0"),
+        ("s1", "2024-03-02T00:40:00Z", "4.0"),
+        ("s2", "2024-03-02T05:50:00Z", "5.0"),
+        ("s3", "2024-03-02T09:05:00Z", "6.0"),
+    ]
+    for row in rows:  # one file per row per partition: 3 files per day
+        warehouse.append(
+            clean_batch(
+                spark.createDataFrame(
+                    [row],
+                    schema="station_id string, timestamp string, temperature string",
+                )
+            ),
+            verify=False,
+        )
+    assert warehouse.data_file_count() == 6
+    before_rows = sorted(map(tuple, warehouse.read().collect()))
+
+    def day_files(day):
+        d = os.path.join(warehouse.root, f"dt={day}")
+        return sum(
+            1 for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+
+    def day_scan(day):
+        return warehouse.read().filter(F.col("dt") == day)
+
+    assert day_files("2024-03-01") == 3
+
+    # anchor excludes 2024-03-02 (the hot partition still being written)
+    n = warehouse.compact_partitions(
+        target_file_rows=2, before=datetime.date(2024, 3, 2)
+    )
+    assert n == 1
+    assert day_files("2024-03-01") == 2  # ceil(3 rows / 2): bin-packed
+    assert day_files("2024-03-02") == 3  # untouched behind the anchor
+    day1 = day_scan("2024-03-01")
+    # the day-window scan still partition-prunes over the rewritten layout
+    plan = day1._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^]]*dt", plan)
+    assert sorted(map(tuple, day1.drop("dt").collect())) == [
+        r[:-1] for r in before_rows if r[4].date().isoformat() == "2024-03-01"
+    ]
+    assert sorted(map(tuple, warehouse.read().collect())) == before_rows
+
+    # later maintenance run with an advanced anchor picks up day 2
+    assert warehouse.compact_partitions(
+        target_file_rows=2, before=datetime.date(2024, 3, 3)
+    ) == 1
+    assert day_files("2024-03-02") == 2
+    assert sorted(map(tuple, warehouse.read().collect())) == before_rows
+
+    # idempotent: everything already at its bin-packed count
+    assert warehouse.compact_partitions(
+        target_file_rows=2, before=datetime.date(2024, 3, 3)
+    ) == 0
+
+
 def test_kafka_json_roundtrip(spark):
     df = read_observations_json(spark, FIXTURE)
     decoded = decode_json(encode_json(df))
