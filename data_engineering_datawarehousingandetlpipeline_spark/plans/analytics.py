@@ -1020,6 +1020,99 @@ ORDER BY m.event_type
 """
 
 
+def q_event_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: per-user daily resample with LOCF.
+
+    The regularization step every downstream time-series consumer
+    (forecasting features, day-over-day deltas, dashboard sparklines)
+    needs: project each user's event stream onto the corpus's daily grid
+    and carry the last observed ``value`` forward across silent days.
+    Per (user, day) the observation is the LAST event of the day
+    (ts desc, event_id desc — deterministic); days before a user's first
+    observation stay NULL (nothing to carry), flagged by ``observed``.
+
+    Scale shape: the per-day selection and the fill are both user-keyed
+    window passes; the grid is users × explode(sequence(d0, d1)) with the
+    1-row global bounds broadcast — fan-out bounded by the corpus's day
+    span, which is the inherent output size of gap-fill (users × days).
+    The daily table feeds three subtrees (bounds, the user list, the grid
+    join) and is pinned so the events scan happens once. No value
+    arithmetic — LOCF copies doubles verbatim, so no rounding is needed.
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "ts", "event_id", "value"
+    )
+    w_last = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        events.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("value").alias("obs_value"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        daily.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("obs_value").isNotNull().alias("observed"),
+            F.last("obs_value", ignorenulls=True)
+            .over(w_fill)
+            .alias("value_filled"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+SQL_EVENT_GAPFILL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value FROM events
+), ranked AS (
+  SELECT user_id, day, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, day
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev
+), daily AS (
+  SELECT user_id, day, value AS obs_value FROM ranked WHERE rn = 1
+), bounds AS (
+  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily
+), grid AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN bounds
+), joined AS (
+  SELECT g.user_id, g.day, d.obs_value
+  FROM grid g LEFT JOIN daily d USING (user_id, day)
+)
+SELECT user_id, day, obs_value IS NOT NULL AS observed,
+       last_value(obs_value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS value_filled
+FROM joined
+ORDER BY user_id, day
+"""
+
+
 QUERIES = [
     QuerySpec(
         "pricing_summary",
@@ -1141,5 +1234,13 @@ QUERIES = [
         "incremental COUNT(DISTINCT) via merged per-day HLL sketch "
         "states, with in-plan merge-exactness + tolerance proof",
         tags=("agg", "warehouse", "sketch"),
+    ),
+    QuerySpec(
+        "event_gapfill",
+        q_event_gapfill,
+        SQL_EVENT_GAPFILL,
+        "per-user daily resample with last-observation-carried-forward "
+        "over the corpus day grid",
+        tags=("window", "timeseries"),
     ),
 ]

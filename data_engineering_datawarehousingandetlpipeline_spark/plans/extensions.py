@@ -1100,13 +1100,17 @@ BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
 )
 
 
-def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 retrieval: top-5 documents per query (k1=1.2, b=0.75).
+def bm25_ranking(
+    docs: DataFrame,
+    qterms: DataFrame,
+    top_k: int,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """BM25 ranking core (k1=1.2, b=0.75, Lucene idf), shared by the
+    standalone retrieval query and the hybrid RRF fusion.
 
-    The ranking function real retrieval stacks serve, composed from the
-    same postings machinery as ``doc_tfidf_terms``: score(q, d) =
-    Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with the
-    Lucene idf = ln((N−df+0.5)/(df+0.5) + 1).
+    score(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    with idf = ln((N−df+0.5)/(df+0.5) + 1).
 
     DSIR-style pinned-postings shape: ONE tokenize/explode pass reduces to
     per-(doc, term) counts, pinned — that table then feeds (a) document
@@ -1122,7 +1126,8 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: idf rounded at scale 7, each term contribution at scale
     6, then decimal-anchored into the per-(query, doc) sum — exact in any
-    execution order; ties rank by doc_id asc.
+    execution order; ties rank by doc_id asc. ``exclude_self`` drops the
+    candidate equal to its query id (query-by-example / more-like-this).
     """
     from pyspark.sql import Window
 
@@ -1130,13 +1135,7 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum,
     )
 
-    docs = _docs(spark, sf_dir)
-    qterms = F.broadcast(
-        spark.createDataFrame(
-            [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
-            "query_id int, term string",
-        )
-    )
+    qterms = F.broadcast(qterms)
     # Pin the per-(doc, term) counts: they feed doclen AND the match join
     # (separate plan subtrees — unpinned, the corpus tokenizes twice).
     doc_term = (
@@ -1156,6 +1155,8 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     matched = doc_term.join(qterms, "term")
+    if exclude_self:
+        matched = matched.filter(F.col("doc_id") != F.col("query_id"))
     docfreq = matched.groupBy("query_id", "term").agg(
         F.count("*").alias("df")  # (doc_id, term) is unique in doc_term
     )
@@ -1200,15 +1201,24 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BM25_TOP_K)
+        .filter(F.col("rank") <= top_k)
         .select(
             F.col("query_id").cast("int").alias("query_id"),
             "doc_id",
             "bm25",
             F.col("rank").cast("int").alias("rank"),
         )
-        .orderBy("query_id", "rank")
     )
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-5 documents per query — see :func:`bm25_ranking`."""
+    docs = _docs(spark, sf_dir)
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    return bm25_ranking(docs, qterms, BM25_TOP_K).orderBy("query_id", "rank")
 
 
 def _sql_bm25_values() -> str:
@@ -1217,8 +1227,12 @@ def _sql_bm25_values() -> str:
     )
 
 
-SQL_DOC_BM25_TOPK = f"""
-WITH qterms(query_id, term) AS (VALUES {_sql_bm25_values()}),
+def _sql_bm25_core(qterms_sql: str, top_k: int, exclude_self: bool = False) -> str:
+    """Oracle-side twin of :func:`bm25_ranking` as reusable CTE text ending
+    in a ``bm25_ranked`` relation — shared by the standalone retrieval
+    oracle and the hybrid RRF fusion oracle."""
+    self_pred = " WHERE d.doc_id <> q.query_id" if exclude_self else ""
+    return f"""qterms AS ({qterms_sql}),
 postings AS (
   SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
 ), doc_term AS (
@@ -1230,7 +1244,7 @@ postings AS (
   FROM doclen
 ), matched AS (
   SELECT q.query_id, q.term, d.doc_id, d.tf
-  FROM doc_term d JOIN qterms q USING (term)
+  FROM doc_term d JOIN qterms q USING (term){self_pred}
 ), docfreq AS (
   SELECT query_id, term, COUNT(*) AS df
   FROM matched GROUP BY query_id, term
@@ -1249,19 +1263,161 @@ postings AS (
   JOIN idf i ON m.query_id = i.query_id AND m.term = i.term
   JOIN doclen l USING (doc_id)
   CROSS JOIN stats s
-), scored AS (
+), bm25_scored AS (
   SELECT query_id, doc_id, {sql_dsum("c", wide=True)} AS bm25
   FROM contrib GROUP BY query_id, doc_id
-)
-SELECT CAST(query_id AS INT) AS query_id, doc_id, bm25, CAST(rank AS INT) AS rank
-FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY bm25 DESC, doc_id ASC) AS rank
-  FROM scored
-) ranked
-WHERE rank <= {BM25_TOP_K}
+), bm25_ranked AS (
+  SELECT CAST(query_id AS INT) AS query_id, doc_id, bm25, CAST(rank AS INT) AS rank
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY bm25 DESC, doc_id ASC) AS rank
+    FROM bm25_scored
+  ) ranked
+  WHERE rank <= {top_k}
+)"""
+
+
+SQL_DOC_BM25_TOPK = f"""
+WITH {_sql_bm25_core(f"SELECT * FROM (VALUES {_sql_bm25_values()}) v(query_id, term)", BM25_TOP_K)}
+SELECT query_id, doc_id, bm25, rank
+FROM bm25_ranked
 ORDER BY query_id, rank
 """
+
+
+#: Hybrid retrieval: reciprocal-rank fusion of the dense (cosine) and
+#: lexical (BM25 more-like-this) rankings. RRF_K = 60 is the literature
+#: constant (Cormack et al., 2009); each modality contributes a pool of
+#: RRF_POOL candidates per query before fusion.
+RRF_QUERY_DOCS = 3
+RRF_POOL = 10
+RRF_K = 60
+RRF_TOP_K = 5
+RRF_SCALE = 9
+
+
+def q_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid more-like-this retrieval: RRF over dense ⊕ lexical rankings.
+
+    For each query document (``doc_id < 3``, whose embedding row shares
+    the id), two independent rankings are produced — exact cosine top-10
+    over the embedding table, and BM25 top-10 where the query terms are
+    the document's own distinct tokens (query-by-example, self excluded) —
+    then fused by reciprocal-rank fusion: score(d) = Σ_modality
+    1/(60 + rank_modality(d)), the standard ranker-agnostic hybrid that
+    needs no score calibration between modalities.
+
+    Scale shape: both sides keep their own audited plans (corpus ×
+    broadcast(queries) scan for dense; pinned postings + broadcast query
+    model for lexical — :func:`bm25_ranking`), each already bounded to
+    RRF_POOL rows per query BEFORE the fusion join, so the full-outer
+    fusion joins two ≤ |queries|·pool row sets — trivially small at any
+    corpus size. Rank arithmetic on integers is engine-exact; the fused
+    score is rounded before ranking; ties rank by doc_id asc.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    embs = _embs(spark, sf_dir)
+    dense = sim.cosine_top_k(
+        embs, embs.filter(F.col("vec_id") < RRF_QUERY_DOCS), k=RRF_POOL
+    ).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank_dense"),
+    )
+    qterms = docs.filter(F.col("doc_id") < RRF_QUERY_DOCS).select(
+        F.col("doc_id").cast("int").alias("query_id"),
+        F.explode(F.array_distinct(tx.tokens(F.col("text")))).alias("term"),
+    )
+    lex = bm25_ranking(docs, qterms, RRF_POOL, exclude_self=True).select(
+        "query_id", "doc_id", F.col("rank").cast("int").alias("rank_lex")
+    )
+    fused = dense.join(lex, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "rank_dense",
+        "rank_lex",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_dense")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lex")), F.lit(0.0)
+            ),
+            RRF_SCALE,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RRF_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank_dense",
+            "rank_lex",
+            "rrf_score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sql_retrieval_rrf() -> str:
+    bm25 = _sql_bm25_core(
+        f"SELECT CAST(doc_id AS INT) AS query_id,"
+        f" unnest(list_distinct({SQL_TOKS})) AS term"
+        f" FROM documents WHERE doc_id < {RRF_QUERY_DOCS}",
+        RRF_POOL,
+        exclude_self=True,
+    )
+    return f"""
+WITH {bm25},
+dq AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {RRF_QUERY_DOCS}
+), dc AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), dense_scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               {sim.COSINE_SCALE}) AS cos_sim
+  FROM dc CROSS JOIN dq
+  WHERE neighbor_id <> query_id
+), dense_ranked AS (
+  SELECT CAST(query_id AS INT) AS query_id, neighbor_id AS doc_id,
+         CAST(rank AS INT) AS rank
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM dense_scored
+  ) ranked
+  WHERE rank <= {RRF_POOL}
+), fused AS (
+  SELECT query_id, doc_id,
+         d.rank AS rank_dense, l.rank AS rank_lex,
+         round(coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + d.rank), 0.0)
+             + coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + l.rank), 0.0),
+               {RRF_SCALE}) AS rrf_score
+  FROM dense_ranked d FULL JOIN bm25_ranked l USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, rank_dense, rank_lex, rrf_score,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused
+) final
+WHERE rank <= {RRF_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+SQL_RETRIEVAL_RRF = _sql_retrieval_rrf()
 
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2664,6 +2820,10 @@ QUERIES = [
     QuerySpec("doc_bm25_topk", q_doc_bm25_topk, SQL_DOC_BM25_TOPK,
               "BM25 retrieval top-5 per query (pinned postings, broadcast "
               "query model)", tags=("text", "retrieval")),
+    QuerySpec("retrieval_rrf", q_retrieval_rrf, SQL_RETRIEVAL_RRF,
+              "hybrid more-like-this: reciprocal-rank fusion of dense "
+              "cosine and lexical BM25 rankings",
+              tags=("text", "retrieval", "embedding")),
     QuerySpec("doc_bpe_tokens", q_doc_bpe_tokens, SQL_DOC_BPE_TOKENS,
               "BPE-ish pre-tokenizer piece counts by class", tags=("text",)),
     QuerySpec("doc_hash_sample", q_doc_hash_sample, SQL_DOC_HASH_SAMPLE,

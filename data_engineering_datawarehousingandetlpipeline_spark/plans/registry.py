@@ -91,14 +91,22 @@ WINDOW_HEAD: tuple[str, ...] = (
     "doc_lang_profile",
     "doc_quality",
     "doc_fingerprints",
-    "doc_simhash",
+    # r7 debut: hybrid RRF retrieval (dense cosine ⊕ BM25 more-like-this)
+    # — took doc_simhash's slot (green r1/r2/r3/r5, benched every round
+    # with a plan-gated shape, and doc_simhash_pairs stays in-window
+    # exercising the same fingerprint fold; joins the r8 owed set)
+    "retrieval_rrf",
     "doc_simhash_pairs",
     "doc_tfidf_terms",
     "doc_bpe_tokens",
     "doc_hash_sample",
     "doc_pack_bins",
     "doc_norm_dedup",
-    "media_features",
+    # r7 debut: per-user daily gap-fill with LOCF — took media_features's
+    # slot (green r1/r2/r3/r5; media_feature_vectors + media_frame_sample
+    # stay in-window exercising the same _media decode plumbing, and the
+    # multimodal pytest family runs every CI pass; joins the r8 owed set)
+    "event_gapfill",
     "media_feature_vectors",
     "media_frame_sample",
     "emb_cosine_topk",
@@ -151,14 +159,17 @@ MUST_VERIFY: tuple[str, ...] = (
     # r7 debuts (this round's new queries — never driver-verified)
     "doc_bm25_topk",
     "streaming_minhash_dedup",
+    "retrieval_rrf",
+    "event_gapfill",
 )
 
 #: r8 OWED SET (window math for next round, decided now, not by slip):
 #: owed at r8 = the 49 green-r6 queries rotated out above + the
-#: r7-displaced pricing_summary and doc_exact_dedup + the 2 r7-deferred queries
+#: 4 r7-displaced queries (pricing_summary, doc_exact_dedup, doc_simhash,
+#: media_features) + the 2 r7-deferred queries
 #: (dedup_keep_first, dedup_hourly_last — at the bent ≤-3-round limit,
 #: CANNOT defer again) + any r7 debuts landing after this window filled
-#: = 53+ candidates for 50 slots. Resolution: defer multiply-green
+#: = 55+ candidates for 50 slots. Resolution: defer multiply-green
 #: unchanged queries from the 49 (recommend dup_audit / dup_audit_hourly
 #: — green r1/r2/r3/r4/r6, the deepest histories in the registry after
 #: the two cleaning queries) one per extra candidate. Never defer a debut

@@ -353,6 +353,33 @@ def test_bm25_is_pinned_postings_with_broadcast_query_model(spark):
         assert frag.startswith(" BuildRight, Cross"), frag[:60]
 
 
+def test_rrf_fusion_joins_only_pool_sized_sides(spark):
+    """RRF composes two already-audited rankings; the fusion itself must
+    stay trivial — both sides pre-limited per query (WindowGroupLimit)
+    before the full-outer join, no cartesian beyond the broadcast crosses
+    of 1-row stats / the broadcast query set, no Python."""
+    plan = _plan(spark, "retrieval_rrf")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert frag.startswith(" BuildRight, Cross"), frag[:60]
+
+
+def test_gapfill_is_user_keyed_with_pinned_daily(spark):
+    """Gap-fill must ride the pinned per-(user, day) table — one events
+    scan total (the final plan reads Scan ExistingRDD), the grid explode
+    bounded by broadcast day bounds (broadcast cross of a 1-row
+    aggregate), and both window passes user-keyed. No Python."""
+    plan = _plan(spark, "event_gapfill")
+    assert "FileScan parquet" not in plan  # everything rides the pinned daily
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert frag.startswith(" BuildRight, Cross"), frag[:60]
+
+
 def test_window_head_is_exactly_fifty():
     """The driver records the FIRST 50 registry entries; WINDOW_HEAD must
     be exactly that size — one entry over and the 50th silently falls out
