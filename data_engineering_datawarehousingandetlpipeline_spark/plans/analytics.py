@@ -557,13 +557,17 @@ ORDER BY stage_idx
 
 # ------------------------------------------------- warehouse maintenance
 
-def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scd2_history(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
     """The versioned history table (unordered) — shared by the SCD2 build
-    query and the point-in-time snapshot query, so both read ONE
-    definition of the dimension."""
+    query, the point-in-time snapshot query, and the fact-enrichment
+    query, so all read ONE definition of the dimension. ``pred``
+    optionally filters the source events (e.g. dimension-bearing event
+    types only)."""
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
+    if pred is not None:
+        events = events.filter(pred)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("event_type").over(w)
     runs = events.withColumn(
@@ -1020,6 +1024,175 @@ ORDER BY m.event_type
 """
 
 
+#: Columns profiled by lineitem_profile: every column gets null/distinct
+#: counts; numeric columns also get min/max (cast to DOUBLE — exact for
+#: these magnitudes and engine-identical, unlike string rendering of
+#: timestamps/floats which differs across engines).
+PROFILE_NUMERIC = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+)
+PROFILE_OTHER = ("l_returnflag", "l_linestatus", "l_shipdate")
+
+
+def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile of the fact table (ANALYZE-style).
+
+    The Deequ/Great-Expectations-shaped audit every ingestion pipeline
+    runs before publishing a table: per column, row count, NULL count,
+    exact distinct count, and (numeric columns) min/max. ONE scan
+    computes every statistic — the multi-distinct aggregate plans as
+    Spark's standard expand (one pass over the files, |columns|-way
+    expand before the partial aggregation, map-side combined); the
+    per-column rows are then a zero-cost ``stack`` unpivot of the single
+    aggregate row. At 100 TB the same plan holds; swap the exact
+    distincts for ``approx_count_distinct`` (the HLL path
+    ``approx_sketches`` demonstrates) when ±2% suffices — the oracle
+    needs exactness, a production profile usually doesn't.
+    """
+    ensure_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in PROFILE_NUMERIC + PROFILE_OTHER:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    for c in PROFILE_NUMERIC:
+        aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+        aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+    prof = li.agg(*aggs)
+    parts = []
+    for c in PROFILE_NUMERIC:
+        parts.append(f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}")
+    for c in PROFILE_OTHER:
+        parts.append(f"'{c}', nn_{c}, nd_{c}, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)")
+    n = len(PROFILE_NUMERIC) + len(PROFILE_OTHER)
+    return (
+        prof.selectExpr(
+            "n_rows",
+            f"stack({n}, {', '.join(parts)}) AS "
+            "(column_name, n_nonnull, n_distinct, min_value, max_value)",
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            (F.col("n_rows") - F.col("n_nonnull")).alias("n_nulls"),
+            "n_distinct",
+            "min_value",
+            "max_value",
+        )
+        .orderBy("column_name")
+    )
+
+
+def _sql_lineitem_profile() -> str:
+    base_aggs = ["COUNT(*) AS n_rows"]
+    for c in PROFILE_NUMERIC + PROFILE_OTHER:
+        base_aggs.append(f"COUNT({c}) AS nn_{c}")
+        base_aggs.append(f"COUNT(DISTINCT {c}) AS nd_{c}")
+    for c in PROFILE_NUMERIC:
+        base_aggs.append(f"CAST(MIN({c}) AS DOUBLE) AS mn_{c}")
+        base_aggs.append(f"CAST(MAX({c}) AS DOUBLE) AS mx_{c}")
+    rows = []
+    for c in PROFILE_NUMERIC:
+        rows.append(
+            f"SELECT '{c}' AS column_name, n_rows, n_rows - nn_{c} AS n_nulls,"
+            f" nd_{c} AS n_distinct, mn_{c} AS min_value, mx_{c} AS max_value"
+            " FROM base"
+        )
+    for c in PROFILE_OTHER:
+        rows.append(
+            f"SELECT '{c}' AS column_name, n_rows, n_rows - nn_{c} AS n_nulls,"
+            f" nd_{c} AS n_distinct, CAST(NULL AS DOUBLE) AS min_value,"
+            " CAST(NULL AS DOUBLE) AS max_value FROM base"
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return (
+        f"WITH base AS (\n  SELECT {', '.join(base_aggs)} FROM lineitem\n)\n"
+        f"{union}\nORDER BY column_name"
+    )
+
+
+SQL_LINEITEM_PROFILE = _sql_lineitem_profile()
+
+
+#: Fact event type for point-in-time enrichment; the dimension history is
+#: built from every OTHER event type (the state-bearing observations).
+SCD2_ENRICH_FACT = "purchase"
+
+
+def q_scd2_event_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact enrichment: facts join the SCD2 dimension AS OF
+    their own timestamp.
+
+    The read pattern that makes a Type-2 dimension useful to the fact
+    side of the warehouse: each purchase event is annotated with the
+    state the user was in AT PURCHASE TIME — the version of the
+    (non-purchase-event) dimension history whose ``[valid_from,
+    valid_to)`` interval contains the fact's ``ts``. Purchases before a
+    user's first dimension version keep NULLs (left-outer as-of).
+
+    Executed with the merge-scan as-of (operators/joins.as_of_join —
+    union + one user-keyed window pass, no inequality join, the same
+    machinery as ``asof_last_error``), against DuckDB's native ``ASOF
+    LEFT JOIN`` as the oracle. Contiguous SCD2 intervals make the as-of
+    (latest ``valid_from <= ts``) exactly the interval-containment
+    lookup, so no ``valid_to`` predicate is needed. One shuffle keyed on
+    user_id; dimension rows per user are bounded by the user's version
+    count — the plan a 100 TB fact table wants.
+    """
+    ensure_runtime_confs(spark)
+    from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+        joins,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    facts = events.filter(F.col("event_type") == SCD2_ENRICH_FACT).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    dim = _scd2_history(
+        spark, sf_dir, pred=F.col("event_type") != SCD2_ENRICH_FACT
+    ).select("user_id", F.col("valid_from").alias("ts"), "state", "version")
+    return (
+        joins.as_of_join(
+            facts,
+            dim,
+            on="user_id",
+            ts_col="ts",
+            right_value_cols={
+                "state": "state_at",
+                "version": "state_version",
+                "ts": "state_since",
+            },
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            "state_at",
+            F.col("state_version").cast("int").alias("state_version"),
+            "state_since",
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_SCD2_EVENT_ENRICH = f"""
+{sql_scd2_ctes(f"event_type <> '{SCD2_ENRICH_FACT}'")},
+facts AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = '{SCD2_ENRICH_FACT}'
+)
+SELECT f.event_id, f.user_id, f.ts, f.value,
+       h.state AS state_at, CAST(h.version AS INT) AS state_version,
+       h.valid_from AS state_since
+FROM facts f
+ASOF LEFT JOIN (SELECT user_id, state, version, valid_from FROM history) h
+  ON f.user_id = h.user_id AND f.ts >= h.valid_from
+ORDER BY f.event_id
+"""
+
+
 def q_event_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap-fill: per-user daily resample with LOCF.
 
@@ -1242,5 +1415,22 @@ QUERIES = [
         "per-user daily resample with last-observation-carried-forward "
         "over the corpus day grid",
         tags=("window", "timeseries"),
+    ),
+    QuerySpec(
+        "scd2_event_enrich",
+        q_scd2_event_enrich,
+        SQL_SCD2_EVENT_ENRICH,
+        "point-in-time fact enrichment: purchases join the SCD2 "
+        "dimension as of their own timestamp (merge-scan as-of vs "
+        "native ASOF JOIN oracle)",
+        tags=("join", "warehouse", "window"),
+    ),
+    QuerySpec(
+        "lineitem_profile",
+        q_lineitem_profile,
+        SQL_LINEITEM_PROFILE,
+        "one-pass per-column data-quality profile: nulls, exact "
+        "distincts, numeric min/max, unpivoted to rows",
+        tags=("agg", "quality"),
     ),
 ]

@@ -90,7 +90,11 @@ WINDOW_HEAD: tuple[str, ...] = (
     "doc_token_stats",
     "doc_lang_profile",
     "doc_quality",
-    "doc_fingerprints",
+    # r7 debut: point-in-time SCD2 fact enrichment — took
+    # doc_fingerprints's slot (green r1/r2/r3/r5; the shingle/minhash
+    # fingerprint machinery is exercised in-window end-to-end by
+    # doc_minhash_neardup; joins the r8 owed set)
+    "scd2_event_enrich",
     # r7 debut: hybrid RRF retrieval (dense cosine ⊕ BM25 more-like-this)
     # — took doc_simhash's slot (green r1/r2/r3/r5, benched every round
     # with a plan-gated shape, and doc_simhash_pairs stays in-window
@@ -109,7 +113,11 @@ WINDOW_HEAD: tuple[str, ...] = (
     "event_gapfill",
     "media_feature_vectors",
     "media_frame_sample",
-    "emb_cosine_topk",
+    # r7 debut: one-pass per-column table profile — took emb_cosine_topk's
+    # slot (green r1/r2/r3/r5; the exact-cosine machinery gets its r7 row
+    # in-window through retrieval_rrf's dense side, and the ANN recall
+    # gates baseline against it every CI pass; joins the r8 owed set)
+    "lineitem_profile",
     "emb_ann_topk",
     "doc_repetition",
     "doc_decontaminate",
@@ -161,15 +169,18 @@ MUST_VERIFY: tuple[str, ...] = (
     "streaming_minhash_dedup",
     "retrieval_rrf",
     "event_gapfill",
+    "scd2_event_enrich",
+    "lineitem_profile",
 )
 
 #: r8 OWED SET (window math for next round, decided now, not by slip):
 #: owed at r8 = the 49 green-r6 queries rotated out above + the
-#: 4 r7-displaced queries (pricing_summary, doc_exact_dedup, doc_simhash,
-#: media_features) + the 2 r7-deferred queries
+#: 6 r7-displaced queries (pricing_summary, doc_exact_dedup, doc_simhash,
+#: media_features, doc_fingerprints, emb_cosine_topk) + the 2 r7-deferred
+#: queries
 #: (dedup_keep_first, dedup_hourly_last — at the bent ≤-3-round limit,
 #: CANNOT defer again) + any r7 debuts landing after this window filled
-#: = 55+ candidates for 50 slots. Resolution: defer multiply-green
+#: = 57+ candidates for 50 slots. Resolution: defer multiply-green
 #: unchanged queries from the 49 (recommend dup_audit / dup_audit_hourly
 #: — green r1/r2/r3/r4/r6, the deepest histories in the registry after
 #: the two cleaning queries) one per extra candidate. Never defer a debut

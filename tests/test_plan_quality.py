@@ -380,6 +380,34 @@ def test_gapfill_is_user_keyed_with_pinned_daily(spark):
         assert frag.startswith(" BuildRight, Cross"), frag[:60]
 
 
+def test_scd2_enrich_is_joinless_merge_scan(spark):
+    """Point-in-time enrichment must ride the union + user-keyed window
+    merge-scan — NO join operator of any kind (the inequality-join
+    formulation a naive AS-OF would plan is the scale-killer this shape
+    exists to avoid), no Python, and only user-keyed exchanges."""
+    plan = _plan(spark, "scd2_event_enrich")
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin",
+               "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan, op
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # dim build + merge scan
+
+
+def test_lineitem_profile_is_one_scan_expand(spark):
+    """The profile must compute every statistic from ONE scan: a single
+    FileScan feeding the standard multi-distinct Expand with map-side
+    partial aggregation; the per-column rows are a zero-cost stack
+    unpivot of the one aggregate row. No joins, no Python."""
+    plan = _plan(spark, "lineitem_profile")
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
+    assert "partial_count" in plan
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin",
+               "SortMergeJoin", "BroadcastHashJoin"):
+        assert op not in plan, op
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_window_head_is_exactly_fifty():
     """The driver records the FIRST 50 registry entries; WINDOW_HEAD must
     be exactly that size — one entry over and the 50th silently falls out
