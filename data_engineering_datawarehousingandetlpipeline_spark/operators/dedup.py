@@ -178,6 +178,7 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     perms: int = MINHASH_PERMS,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """MinHash signature (array<bigint> of length ``perms``) per document.
 
@@ -193,7 +194,9 @@ def minhash_signatures(
     a_arr = F.array(*[F.lit(a) for a, _ in coeffs])  # constant-folded
     b_arr = F.array(*[F.lit(b) for _, b in coeffs])
     hashed = spread(df).select(
-        F.col(id_col).alias("doc"), token_hash_array(F.col(text_col)).alias("hs")
+        F.col(id_col).alias("doc"),
+        token_hash_array(F.col(text_col)).alias("hs"),
+        *carry_cols,
     )
     per_token = F.transform(
         F.col("hs"),
@@ -210,7 +213,9 @@ def minhash_signatures(
     # n (distinct-token set size) rides along for the size prune: it is the
     # array length the signature fold walks anyway, so it costs nothing here
     # and saves a separate corpus pass later.
-    return hashed.select("doc", sig.alias("sig"), F.size("hs").alias("n"))
+    return hashed.select(
+        "doc", sig.alias("sig"), F.size("hs").alias("n"), *carry_cols
+    )
 
 
 def lsh_band_hashes(

@@ -259,6 +259,68 @@ def start_minhash_dedup(
     return writer.start()
 
 
+def start_windowed_minhash_dedup(
+    source: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    event_time_col: str = "ts",
+    delay: str = "1 hour",
+    available_now: bool = False,
+    trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Bounded-state streaming near-dup index:
+    ``dropDuplicatesWithinWatermark`` on the LSH band keys.
+
+    The windowed rung of :func:`start_minhash_dedup`, completing the
+    streaming dedup ladder (exact / windowed-exact / near-dup /
+    windowed-near-dup): band-bucket state lives only until the watermark
+    passes the carrying document's event time + ``delay``, so total state
+    is bounded by the distinct contents within one lateness horizon — NOT
+    the whole corpus history. The trade is the same one
+    ``start_windowed_exact_dedup`` documents: a twin band arriving within
+    ``delay`` is suppressed (even across a restart), one arriving after
+    expiry re-emits its buckets — downstream batch compaction of the
+    index (a trivial DISTINCT) absorbs the rare late twins.
+    """
+    from pyspark.sql import functions as F
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.dedup import (
+        lsh_band_hashes,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(
+        source.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "text",
+            F.col(event_time_col),
+        ),
+        id_col="doc_id",
+        carry_cols=(event_time_col,),
+    )
+    index = (
+        lsh_band_hashes(sigs)
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "band_hash",
+            F.col(event_time_col),
+        )
+        .withWatermark(event_time_col, delay)
+        .dropDuplicatesWithinWatermark(["band", "band_hash"])
+        .drop(event_time_col)
+    )
+    writer = (
+        index.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def start_windowed_exact_dedup(
     source: DataFrame,
     out_dir: str,

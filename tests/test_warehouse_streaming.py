@@ -466,6 +466,78 @@ def test_windowed_dedup_drops_within_delay_and_expires_state(spark, tmp_path):
     assert got.filter("n_chars = 5").count() == 3  # alpha twice + gamma
 
 
+def test_windowed_minhash_index_drops_within_delay_and_expires_state(spark, tmp_path):
+    """The bounded-state near-dup rung: a twin document's band buckets
+    inside the lateness horizon are suppressed (across a restart); after
+    the watermark passes the original's event time + delay, its bucket
+    state is gone and a far-future twin re-emits its 16 buckets — the
+    state-bound trade the operator documents."""
+    from pyspark.sql import types as T
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_windowed_minhash_dedup,
+    )
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+
+    def land(rows, name):
+        with open(indir / name, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row) + "\n")
+
+    def drain():
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType(), True),
+                T.StructField("text", T.StringType(), True),
+                T.StructField("ts", T.TimestampType(), True),
+            ]
+        )
+        query = start_windowed_minhash_dedup(
+            spark.readStream.schema(schema).json(str(indir)),
+            str(tmp_path / "index"),
+            str(tmp_path / "ckpt"),
+            delay="1 hour",
+            available_now=True,
+        )
+        query.awaitTermination()
+        return spark.read.parquet(str(tmp_path / "index"))
+
+    land(
+        [
+            {"doc_id": "1", "text": "alpha beta gamma delta", "ts": "2024-03-01T10:00:00.000Z"},
+            {"doc_id": "2", "text": "epsilon zeta eta theta", "ts": "2024-03-01T10:00:00.000Z"},
+        ],
+        "shard1.json",
+    )
+    assert drain().count() == 32  # 16 bands × 2 contents
+
+    # twin 30 min later: inside the horizon, state recovered across the
+    # restart → all 16 of its buckets suppressed
+    land(
+        [{"doc_id": "3", "text": "alpha beta gamma delta", "ts": "2024-03-01T10:30:00.000Z"}],
+        "shard2.json",
+    )
+    assert drain().count() == 32
+
+    # advance the watermark far past expiry, then a far-future twin:
+    # its bucket state is gone → 16 buckets re-emitted (batch DISTINCT
+    # compaction of the index absorbs them downstream)
+    land(
+        [{"doc_id": "4", "text": "iota kappa lambda mu", "ts": "2024-03-01T20:00:00.000Z"}],
+        "shard3.json",
+    )
+    assert drain().count() == 48
+    land(
+        [{"doc_id": "5", "text": "alpha beta gamma delta", "ts": "2024-03-01T20:00:00.000Z"}],
+        "shard4.json",
+    )
+    got = drain()
+    assert got.count() == 64
+    assert got.distinct().count() == 48  # the re-emitted twin buckets collapse
+
+
 def test_merge_replace_updates_matched_and_inserts_new(spark, warehouse):
     """MERGE with update-on-match: a correction batch replaces same-key
     rows in place, inserts new keys, preserves everything else (other
