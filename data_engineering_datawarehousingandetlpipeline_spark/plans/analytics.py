@@ -1115,6 +1115,63 @@ def _sql_lineitem_profile() -> str:
 SQL_LINEITEM_PROFILE = _sql_lineitem_profile()
 
 
+def q_daily_active_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-dashboard staple: DAU, new users, and cumulative uniques by day.
+
+    The naive cumulative COUNT(DISTINCT) re-scans an ever-growing prefix
+    per day (quadratic at warehouse scale); the scalable identity is that
+    a user increments the cumulative count only on their FIRST day — so
+    one user-keyed aggregate (min day per user) turns the running
+    distinct into a running SUM of new-user counts. Shape: two
+    aggregations over one events scan (pinned (user, day) activity pairs
+    feed both), then a window cumsum over the tiny per-day table.
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    pairs = events.distinct().localCheckpoint(eager=False)
+    dau = pairs.groupBy("day").agg(F.count("*").alias("dau"))
+    firsts = (
+        pairs.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(firsts, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cum_users", F.sum("new_users").over(w))
+        .orderBy("day")
+    )
+
+
+SQL_DAILY_ACTIVE_CUMULATIVE = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM pairs GROUP BY day
+), firsts AS (
+  SELECT day, COUNT(*) AS new_users
+  FROM (SELECT user_id, MIN(day) AS day FROM pairs GROUP BY user_id) f
+  GROUP BY day
+)
+SELECT d.day, d.dau,
+       COALESCE(f.new_users, 0) AS new_users,
+       CAST(SUM(COALESCE(f.new_users, 0))
+              OVER (ORDER BY d.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users
+FROM dau d LEFT JOIN firsts f USING (day)
+ORDER BY d.day
+"""
+
+
 #: Fact event type for point-in-time enrichment; the dimension history is
 #: built from every OTHER event type (the state-bearing observations).
 SCD2_ENRICH_FACT = "purchase"
@@ -1424,6 +1481,14 @@ QUERIES = [
         "dimension as of their own timestamp (merge-scan as-of vs "
         "native ASOF JOIN oracle)",
         tags=("join", "warehouse", "window"),
+    ),
+    QuerySpec(
+        "daily_active_cumulative",
+        q_daily_active_cumulative,
+        SQL_DAILY_ACTIVE_CUMULATIVE,
+        "DAU / new users / cumulative uniques via the first-day "
+        "identity (no quadratic re-scan)",
+        tags=("agg", "window", "timeseries"),
     ),
     QuerySpec(
         "lineitem_profile",

@@ -1285,6 +1285,73 @@ ORDER BY query_id, rank
 """
 
 
+QUALITY_DECILES = 10
+
+
+def q_doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile report: the curation dashboard's one-screen answer
+    to "where would a quality threshold cut, and what would it cost?".
+
+    Documents are ranked by the heuristic quality score (``doc_quality``'s
+    exact expression) and cut into NTILE(10) deciles; per decile the
+    report carries document count, the quality range (the threshold
+    candidates), and mean token count (the data a cut discards). Deciles
+    are corpus-order statistics, so the exact form sorts the scored
+    PROJECTION — two numeric columns per doc, a range-partitioned sort of
+    ~16 bytes/row, not the text — and everything after is a 10-group
+    aggregate. At 100 TB swap exact NTILE for approx_percentile cut
+    points + map-side bucketing (the sketch path ``approx_sketches``
+    demonstrates) when ±ε boundaries suffice; the oracle needs exactness.
+    Ties order by doc_id so both engines cut identically.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
+        tx.token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = Window.orderBy(F.col("quality").asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("decile", F.ntile(QUALITY_DECILES).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count("*"), 6
+            ).alias("avg_tokens"),
+        )
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_docs",
+            "min_quality",
+            "max_quality",
+            "avg_tokens",
+        )
+        .orderBy("decile")
+    )
+
+
+SQL_DOC_QUALITY_DECILES = f"""
+WITH scored AS (
+  SELECT doc_id, {_SQL_QUALITY_EXPR} AS quality,
+         len({SQL_TOKS}) AS n_tokens
+  FROM documents
+), dec AS (
+  SELECT *, NTILE({QUALITY_DECILES})
+              OVER (ORDER BY quality ASC, doc_id ASC) AS decile
+  FROM scored
+)
+SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
+       MIN(quality) AS min_quality, MAX(quality) AS max_quality,
+       round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+FROM dec GROUP BY decile ORDER BY decile
+"""
+
+
 #: Hybrid retrieval: reciprocal-rank fusion of the dense (cosine) and
 #: lexical (BM25 more-like-this) rankings. RRF_K = 60 is the literature
 #: constant (Cormack et al., 2009); each modality contributes a pool of
@@ -2820,6 +2887,10 @@ QUERIES = [
     QuerySpec("doc_bm25_topk", q_doc_bm25_topk, SQL_DOC_BM25_TOPK,
               "BM25 retrieval top-5 per query (pinned postings, broadcast "
               "query model)", tags=("text", "retrieval")),
+    QuerySpec("doc_quality_deciles", q_doc_quality_deciles,
+              SQL_DOC_QUALITY_DECILES,
+              "quality-decile curation report: counts, threshold ranges, "
+              "token cost per decile", tags=("text", "quality")),
     QuerySpec("retrieval_rrf", q_retrieval_rrf, SQL_RETRIEVAL_RRF,
               "hybrid more-like-this: reciprocal-rank fusion of dense "
               "cosine and lexical BM25 rankings",

@@ -173,14 +173,20 @@ MUST_VERIFY: tuple[str, ...] = (
     "lineitem_profile",
 )
 
+#: r8 DEBUT QUEUE — queries implemented after all 50 r7 slots were
+#: spoken for (the same late-debut pattern as r6): doc_quality_deciles,
+#: daily_active_cumulative. Both are local-oracle-verified (sf0.001
+#: pytest parity every CI run + sf0.01 sweep) and MUST take window slots
+#: in r8 (add them to MUST_VERIFY when rotating).
+#:
 #: r8 OWED SET (window math for next round, decided now, not by slip):
 #: owed at r8 = the 49 green-r6 queries rotated out above + the
 #: 6 r7-displaced queries (pricing_summary, doc_exact_dedup, doc_simhash,
 #: media_features, doc_fingerprints, emb_cosine_topk) + the 2 r7-deferred
 #: queries
 #: (dedup_keep_first, dedup_hourly_last — at the bent ≤-3-round limit,
-#: CANNOT defer again) + any r7 debuts landing after this window filled
-#: = 57+ candidates for 50 slots. Resolution: defer multiply-green
+#: CANNOT defer again) + the 2 r8-queue debuts above = 59 candidates for
+#: 50 slots. Resolution: defer multiply-green
 #: unchanged queries from the 49 (recommend dup_audit / dup_audit_hourly
 #: — green r1/r2/r3/r4/r6, the deepest histories in the registry after
 #: the two cleaning queries) one per extra candidate. Never defer a debut

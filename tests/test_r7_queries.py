@@ -189,6 +189,37 @@ def test_scd2_enrich_picks_the_containing_version(spark):
     assert enriched > 0  # the join matched something
 
 
+def test_daily_active_cumulative_first_day_identity(spark):
+    """new_users must sum to the distinct-user total, cum_users must be
+    its running sum ending exactly there, and every day's DAU must be ≥
+    its new-user count."""
+    rows = all_queries()["daily_active_cumulative"].fn(spark, SF_DIR).collect()
+    total_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.new_users for r in rows) == total_users
+    run = 0
+    for r in rows:  # already day-ordered
+        run += r.new_users
+        assert r.cum_users == run
+        assert r.dau >= r.new_users
+    assert rows[-1].cum_users == total_users
+
+
+def test_quality_deciles_partition_the_corpus_in_order(spark):
+    """Deciles must cover every document exactly once, with NTILE's
+    balanced sizes and non-overlapping, ascending quality ranges."""
+    rows = all_queries()["doc_quality_deciles"].fn(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n_docs for r in rows) == n_docs
+    base, extra = divmod(n_docs, 10)
+    assert all(r.n_docs in (base, base + 1) for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a.min_quality <= a.max_quality
+        assert a.max_quality <= b.min_quality  # ranges ascend without overlap
+
+
 def test_lineitem_profile_counts_match_direct_computation(spark):
     """Null and distinct counts per column must equal a direct
     recomputation over the same table."""
