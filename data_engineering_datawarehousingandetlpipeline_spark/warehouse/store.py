@@ -151,9 +151,18 @@ class WarehouseTable:
             incoming.select(*self.keys), self.keys, "left_anti"
         )
         # materialize before the overwrite: survivors reads the very
-        # files the write replaces (read-modify-write hazard)
-        merged = survivors.unionByName(incoming).localCheckpoint(eager=True)
-        n = incoming.count()
+        # files the write replaces (read-modify-write hazard). The
+        # rows-written return contract rides the SAME materialization as
+        # an observe() metric on the incoming branch of the union — no
+        # second pass over the batch (the eager count this replaces was
+        # batch-sized, not table-sized, but it still re-ran the dedup).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        merged = survivors.unionByName(
+            incoming.observe(obs, F.count(F.lit(1)).alias("n"))
+        ).localCheckpoint(eager=True)
+        n = int(obs.get["n"])
         mode_key = "spark.sql.sources.partitionOverwriteMode"
         previous = self.spark.conf.get(mode_key, "static")
         self.spark.conf.set(mode_key, "dynamic")
