@@ -1,6 +1,7 @@
-"""Stateful streaming operators: watermarked windows + custom sessions.
+"""Stateful streaming operators: watermarked windows, custom sessions,
+streaming SCD2, and event-time-timeout heartbeats.
 
-Two capabilities beyond the ingestion pipeline (SURVEY.md §2.8):
+Capabilities beyond the ingestion pipeline (SURVEY.md §2.8):
 
 - :func:`windowed_stats` — the reference's tumbling-hour cadence (T5,
   ``dags/fmi_weather_dag.py:17``) as a *streaming* aggregation:
@@ -15,8 +16,14 @@ Two capabilities beyond the ingestion pipeline (SURVEY.md §2.8):
   session (constant size); closed sessions are emitted as soon as the gap
   is observed. This is the pattern any bespoke accumulating operator
   (dedup-by-key, running top-k, anomaly trackers) plugs into.
+- :func:`stateful_scd2` — the Type-2 dimension build run incrementally
+  (one open version per key in state; closed versions stream out).
+- :func:`stateful_heartbeat` — liveness monitoring via the state store's
+  EVENT-TIME TIMEOUT: fires on the absence of data, which no
+  row-triggered operator can express, and replays deterministically
+  because the alarm clock is the watermark, not wall time.
 
-Both run identically under ``trigger(availableNow)`` (scheduled drain) and
+All run identically under ``trigger(availableNow)`` (scheduled drain) and
 processing-time triggers (continuous) — the cadence is deployment config,
 not operator logic.
 """
@@ -163,6 +170,91 @@ def stateful_sessions(
         SESSION_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+HEARTBEAT_OUTPUT_SCHEMA = (
+    "user_id bigint, last_seen timestamp, silent_at timestamp, n_events int"
+)
+#: state: last observed event time (epoch µs) + running event count.
+HEARTBEAT_STATE_SCHEMA = "last_ts long, n_events int"
+
+
+def stateful_heartbeat(
+    events: DataFrame,
+    silence_seconds: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Silence detection: emit a row when a key stops sending events.
+
+    The inverse of every other operator here — it fires on the ABSENCE of
+    data, which only the state store's event-time timeout can express: no
+    incoming row exists to hang the logic on. Each key's state carries
+    its last event time; ``setTimeoutTimestamp(last + silence)`` arms the
+    alarm, and when the WATERMARK (not wall clock — replays behave
+    identically) passes it with no new event, the update function runs
+    with ``hasTimedOut`` and emits ``(user, last_seen, silent_at,
+    n_events)``, clearing the state. A new event before the deadline
+    simply re-arms it.
+
+    This is the heartbeat/liveness monitor an ingestion fleet runs over
+    its producers (the reference polls a wall-clock scheduler instead —
+    dags/fmi_weather_dag.py — which cannot replay). State is one row per
+    ACTIVE key and self-cleans on silence — strictly bounded. Timeouts
+    fire during the first micro-batch after the watermark passes the
+    deadline; on an availableNow drain that can be the next scheduled
+    drain, which is exactly the reference's hourly-cadence shape (T5).
+    """
+    silence_us = int(silence_seconds) * 1_000_000
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    (
+                        key[0],
+                        pd.Timestamp(last, unit="us"),
+                        pd.Timestamp(last + silence_us, unit="us"),
+                        n,
+                    )
+                ],
+                columns=["user_id", "last_seen", "silent_at", "n_events"],
+            )
+            return
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(
+                int(v) // 1_000
+                for v in pd.to_datetime(pdf[ts_col])
+                .astype("datetime64[ns]")
+                .astype("int64")
+            )
+        last, n = state.get if state.exists else (0, 0)
+        last = max([last, *ts_us])
+        n += len(ts_us)
+        state.update((last, n))
+        # epoch ms for the state store's alarm clock
+        state.setTimeoutTimestamp((last + silence_us) // 1_000)
+        return
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            HEARTBEAT_OUTPUT_SCHEMA,
+            HEARTBEAT_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

@@ -538,6 +538,83 @@ def test_windowed_minhash_index_drops_within_delay_and_expires_state(spark, tmp_
     assert got.distinct().count() == 48  # the re-emitted twin buckets collapse
 
 
+def test_heartbeat_fires_on_event_time_silence_across_restarts(spark, tmp_path):
+    """The event-time timeout contract: a key with no events for the
+    silence threshold emits exactly one silence row once the WATERMARK
+    passes its deadline (on the first batch after — here the next
+    scheduled drain), carrying its last event time and count; an active
+    key stays silent-free; state survives restarts and self-cleans."""
+    from pyspark.sql import types as T
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.stateful import (
+        stateful_heartbeat,
+    )
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+
+    def land(rows, name):
+        with open(indir / name, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row) + "\n")
+
+    def drain():
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType(), True),
+                T.StructField("ts", T.TimestampType(), True),
+            ]
+        )
+        query = (
+            stateful_heartbeat(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .json(str(indir)),
+                silence_seconds=3600,
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "silence"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.read.parquet(str(tmp_path / "silence"))
+
+    land(
+        [
+            {"user_id": 1, "ts": "2024-03-01T10:00:00.000Z"},
+            {"user_id": 1, "ts": "2024-03-01T10:01:00.000Z"},
+            {"user_id": 2, "ts": "2024-03-01T10:05:00.000Z"},
+        ],
+        "shard1.json",
+    )
+    assert drain().count() == 0  # nothing silent yet
+
+    # a far-future event advances the watermark past both deadlines;
+    # timeouts fire on the FIRST batch after (the next drain — the
+    # scheduled-cadence shape the operator documents)
+    land([{"user_id": 3, "ts": "2024-03-01T20:00:00.000Z"}], "shard2.json")
+    drain()
+    land([{"user_id": 3, "ts": "2024-03-01T20:30:00.000Z"}], "shard3.json")
+    got = {r.user_id: r for r in drain().collect()}
+    assert set(got) == {1, 2}  # user 3 is still active — no alarm
+    assert got[1].n_events == 2
+    assert got[1].last_seen.isoformat() == "2024-03-01T10:01:00"
+    assert got[1].silent_at.isoformat() == "2024-03-01T11:01:00"
+    assert got[2].n_events == 1
+
+    # the fired keys' state is gone (no re-emission), while a NEW user's
+    # far-future events push the watermark past user 3's deadline — u3
+    # fires exactly once on the following drain; the new user stays active
+    land([{"user_id": 4, "ts": "2024-03-02T12:00:00.000Z"}], "shard4.json")
+    drain()
+    land([{"user_id": 4, "ts": "2024-03-02T12:30:00.000Z"}], "shard5.json")
+    rows = drain().collect()
+    assert sorted(r.user_id for r in rows) == [1, 2, 3]  # u3 once, u4 active
+
+
 def test_merge_replace_updates_matched_and_inserts_new(spark, warehouse):
     """MERGE with update-on-match: a correction batch replaces same-key
     rows in place, inserts new keys, preserves everything else (other
