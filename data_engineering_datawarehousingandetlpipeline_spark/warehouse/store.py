@@ -143,10 +143,17 @@ class WarehouseTable:
         contract as ``merge_upsert``) — feed pre-deduplicated batches
         (``prepare_hourly`` keep-last) when the winner matters.
         """
-        incoming = df.dropDuplicates(self.keys)
+        # normalize away the derived partition column on BOTH sides: the
+        # existing slice always carries `dt` (it is read back from the
+        # hive layout) while a correction batch arriving from outside the
+        # table does not — the union below must see one schema, and
+        # `_with_dt` re-derives the column at write time anyway. (Caught
+        # by examples/maintenance.py: the original code only worked for
+        # batches that happened to come FROM warehouse.read().)
+        incoming = df.drop("dt").dropDuplicates(self.keys)
         if not self.exists():
             return self.append(incoming, verify=False)
-        existing = self._partition_slice(incoming)
+        existing = self._partition_slice(incoming).drop("dt")
         survivors = existing.join(
             incoming.select(*self.keys), self.keys, "left_anti"
         )

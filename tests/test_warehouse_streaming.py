@@ -653,6 +653,34 @@ def test_merge_replace_updates_matched_and_inserts_new(spark, warehouse):
     assert warehouse.count() == n0 + 1
 
 
+def test_merge_replace_accepts_an_external_correction_batch(spark, warehouse):
+    """A correction batch built OUTSIDE the table (no derived `dt`
+    column — the realistic feed shape) must merge cleanly: the original
+    code only worked for batches that happened to come from
+    warehouse.read(), which carries `dt` (caught by
+    examples/maintenance.py)."""
+    warehouse.append(clean_batch(read_observations_json(spark, FIXTURE)))
+    n0 = warehouse.count()
+    victim = warehouse.read().orderBy("station_id", "timestamp").first()
+    external = clean_batch(
+        spark.createDataFrame(
+            [
+                (victim.station_id, victim.timestamp.isoformat() + "Z", "77.7"),
+                ("999998", "2024-03-01T06:00:00Z", "1.1"),
+            ],
+            schema="station_id string, timestamp string, temperature string",
+        )
+    )
+    assert "dt" not in external.columns
+    assert warehouse.merge_replace(external) == 2
+    assert warehouse.count() == n0 + 1  # in-place update + one insert
+    got = warehouse.read().filter(
+        (F.col("station_id") == victim.station_id)
+        & (F.col("timestamp") == victim.timestamp)
+    ).collect()
+    assert len(got) == 1 and got[0].temperature == 77.7
+
+
 def test_expire_partitions_drops_only_old_days(spark, warehouse):
     import datetime
 
