@@ -23,6 +23,8 @@ skew, which AQE's skew-join splitting already handles.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -33,6 +35,7 @@ def as_of_join(
     on: str,
     ts_col: str,
     right_value_cols: dict[str, str],
+    tiebreak_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Left as-of join: latest right row with ``right.ts <= left.ts`` per key.
 
@@ -41,31 +44,47 @@ def as_of_join(
     prior right row keep NULLs (left-outer as-of semantics, matching
     DuckDB's ``ASOF LEFT JOIN``). Ties (equal timestamps) match — the
     right side sorts before the left at the same instant.
+
+    ``tiebreak_cols`` (right-side source column names, highest priority
+    first) decides which right row wins when SEVERAL share one timestamp:
+    the largest tiebreak tuple. When omitted, the largest value struct
+    wins — deterministic, but field-order-dependent (e.g. a (state,
+    version) struct resolves by state string before version). SCD2
+    callers should pass ``("version",)`` so a same-instant version tie
+    resolves to the latest version, matching the intent of "current as of
+    ts" even when two dimension versions share a valid_from.
     """
     out_cols = list(right_value_cols.values())
     # ONE struct carries the whole matched right row: last(struct, ignorenulls)
     # takes it atomically, so a NULL in one value column can never resurrect
     # that field from an older right row (struct-level null-ness is what
     # ignorenulls tests — field NULLs ride along, matching ASOF LEFT JOIN).
+    tiebreak = F.struct(
+        *[F.col(c) for c in (tiebreak_cols or ())],
+        F.struct(
+            *[F.col(src).alias(dst) for src, dst in right_value_cols.items()]
+        ),
+    )
     r = right.select(
         F.col(on),
         F.col(ts_col),
         F.struct(
             *[F.col(src).alias(dst) for src, dst in right_value_cols.items()]
         ).alias("__rv"),
+        tiebreak.alias("__tb"),
     ).withColumn("__side", F.lit(0))
     l = left.withColumn("__side", F.lit(1))
     merged = l.unionByName(r, allowMissingColumns=True)
 
-    # the value struct as final tiebreaker: among right rows at the same
-    # instant the largest value tuple wins deterministically (left rows
+    # the tiebreak struct as final orderer: among right rows at the same
+    # instant the largest tiebreak tuple wins deterministically (left rows
     # carry a NULL struct there, which sorts first and never reorders).
     w = (
         Window.partitionBy(on)
         .orderBy(
             F.col(ts_col).asc(),
             F.col("__side").asc(),
-            F.col("__rv").asc_nulls_first(),
+            F.col("__tb").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -77,7 +96,7 @@ def as_of_join(
         .select(
             "*", *[F.col(f"__c.{c}").alias(c) for c in out_cols]
         )
-        .drop("__side", "__rv", "__c")
+        .drop("__side", "__rv", "__tb", "__c")
     )
 
 

@@ -1220,6 +1220,11 @@ def q_scd2_event_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "version": "state_version",
                 "ts": "state_since",
             },
+            # same-instant version ties (two dimension versions sharing a
+            # valid_from) resolve to the LATEST version, not the largest
+            # state string — contiguous SCD2 history makes ties impossible
+            # in practice, but the tiebreak keeps the pick principled.
+            tiebreak_cols=("version",),
         )
         .select(
             "event_id",

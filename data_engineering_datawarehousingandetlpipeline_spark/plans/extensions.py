@@ -1293,18 +1293,22 @@ def q_doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     to "where would a quality threshold cut, and what would it cost?".
 
     Documents are ranked by the heuristic quality score (``doc_quality``'s
-    exact expression) and cut into NTILE(10) deciles; per decile the
-    report carries document count, the quality range (the threshold
-    candidates), and mean token count (the data a cut discards). Deciles
-    are corpus-order statistics, so the exact form sorts the scored
-    PROJECTION — two numeric columns per doc, a range-partitioned sort of
-    ~16 bytes/row, not the text — and everything after is a 10-group
-    aggregate. At 100 TB swap exact NTILE for approx_percentile cut
-    points + map-side bucketing (the sketch path ``approx_sketches``
-    demonstrates) when ±ε boundaries suffice; the oracle needs exactness.
-    Ties order by doc_id so both engines cut identically.
+    exact expression) and cut into 10 deciles; per decile the report
+    carries document count, the quality range (the threshold candidates),
+    and mean token count (the data a cut discards). Deciles are corpus
+    order statistics, and a bare ``NTILE(10) OVER (ORDER BY ...)`` would
+    execute as ONE window task holding every scored row — so the plan
+    uses :func:`~..operators.ranking.distributed_ntile` instead: one
+    range exchange over the 3-column projection, per-bucket row_number,
+    per-bucket offsets (one row per shuffle partition) broadcast back,
+    tile assigned map-side. Exact NTILE semantics — ties split by doc_id
+    identically on both engines — so DuckDB's native NTILE stays the
+    oracle; no single-partition window ever touches corpus-sized data
+    (plan-gated). Everything after is a 10-group aggregate.
     """
-    from pyspark.sql import Window
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.ranking import (
+        distributed_ntile,
+    )
 
     docs = _docs(spark, sf_dir)
     scored = docs.select(
@@ -1312,9 +1316,10 @@ def q_doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
         tx.token_count(F.col("text")).alias("n_tokens"),
     )
-    w = Window.orderBy(F.col("quality").asc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("decile", F.ntile(QUALITY_DECILES).over(w))
+        distributed_ntile(
+            scored, QUALITY_DECILES, ("quality", "doc_id"), out_col="decile"
+        )
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_docs"),

@@ -206,6 +206,18 @@ def stateful_heartbeat(
     fire during the first micro-batch after the watermark passes the
     deadline; on an availableNow drain that can be the next scheduled
     drain, which is exactly the reference's hourly-cadence shape (T5).
+
+    **Late-data trade of the ``0 seconds`` default**: the stateful
+    operator only sees rows at-or-after the watermark, so with a zero
+    delay ANY out-of-order event across micro-batch boundaries is
+    silently dropped before ``update`` runs — undercounting ``n_events``,
+    leaving ``last_seen`` at the newer (already-seen) timestamp, and — if
+    a key's ONLY events arrive behind the watermark — never registering
+    the key at all. The default suits in-order sources (one producer per
+    key, monotone file drains); for out-of-order sources pass a nonzero
+    ``watermark`` covering the expected disorder (e.g. ``"10 minutes"``),
+    which delays silence alarms by the same bound — the standard
+    completeness-vs-latency trade.
     """
     silence_us = int(silence_seconds) * 1_000_000
 

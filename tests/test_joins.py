@@ -57,6 +57,29 @@ def test_as_of_join_null_right_value_taken_atomically(spark):
     assert row["r_value"] is None  # NOT 1.0 from the older row
 
 
+def test_as_of_join_tiebreak_cols_pick_latest_version(spark):
+    """Among several right rows at ONE timestamp, ``tiebreak_cols`` decides
+    the winner — version-first for SCD2 callers, so a same-instant version
+    tie resolves to the latest version, not the largest state string."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        # 'zzz' > 'aaa' lexicographically but version 2 is the later one:
+        # the default (value-struct) tiebreak would pick 'zzz'.
+        [(10, _ts(5), "zzz", 1), (10, _ts(5), "aaa", 2)],
+        "user_id long, ts timestamp, state string, version int",
+    )
+    kwargs = dict(
+        on="user_id", ts_col="ts",
+        right_value_cols={"state": "state_at", "version": "state_version"},
+    )
+    [default_row] = as_of_join(left, right, **kwargs).collect()
+    assert default_row["state_at"] == "zzz"  # documented default
+    [row] = as_of_join(left, right, tiebreak_cols=("version",), **kwargs).collect()
+    assert row["state_at"] == "aaa" and row["state_version"] == 2
+
+
 def test_as_of_join_matches_naive_on_random_data(spark):
     """Randomized equivalence vs a per-row reference implementation.
 

@@ -1,0 +1,78 @@
+"""Contract tests for the round-8 work: distributed NTILE equivalence and
+edge semantics (the scale-safe decile machinery), plus this round's new
+query surfaces as they land."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_engineering_datawarehousingandetlpipeline_spark.operators.ranking import (
+    distributed_ntile,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ntile_reference(spark, rows, n_tiles):
+    df = spark.createDataFrame(rows, "id long, v double")
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    return {
+        r["id"]: r["t"]
+        for r in df.withColumn("t", F.ntile(n_tiles).over(w)).collect()
+    }
+
+
+def test_distributed_ntile_matches_builtin_on_random_data(spark):
+    """Bit-identical to NTILE over a value column with heavy ties — the
+    tiebreaker (id) must split tied values exactly as a monolithic sort
+    would, across every range bucket boundary."""
+    import random
+
+    rng = random.Random(8)
+    # values from a tiny domain → many ties, including ties that straddle
+    # range-partition boundaries
+    rows = [(i, float(rng.randrange(7))) for i in range(500)]
+    expected = _ntile_reference(spark, rows, 10)
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r["id"]: r["tile"]
+        for r in distributed_ntile(
+            df, 10, ("v", "id"), num_partitions=8
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_distributed_ntile_fewer_rows_than_tiles(spark):
+    """n < tiles: NTILE hands out one row per tile, tiles 1..n."""
+    rows = [(i, float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r["id"]: r["tile"]
+        for r in distributed_ntile(df, 10, ("v", "id"), num_partitions=8).collect()
+    }
+    assert got == {0: 1, 1: 2, 2: 3, 3: 4}
+
+
+def test_distributed_ntile_uneven_split_sizes(spark):
+    """23 rows / 5 tiles → the first 3 tiles take 5 rows, the last 2 take
+    4 (NTILE's big-tiles-first rule)."""
+    rows = [(i, 0.0) for i in range(23)]  # all-tied: order is purely the id
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = distributed_ntile(df, 5, ("v", "id"), num_partitions=4).collect()
+    sizes: dict[int, int] = {}
+    for r in out:
+        sizes[r["tile"]] = sizes.get(r["tile"], 0) + 1
+    assert sizes == {1: 5, 2: 5, 3: 5, 4: 4, 5: 4}
+    # and assignment follows the id order exactly
+    for r in out:
+        expected = min(r["id"] // 5, 2) + 1 if r["id"] < 15 else 4 + (r["id"] >= 19)
+        assert r["tile"] == expected, (r["id"], r["tile"])
+
+
+def test_distributed_ntile_passes_through_columns(spark):
+    df = spark.createDataFrame([(1, 2.0, "x")], "id long, v double, tag string")
+    [row] = distributed_ntile(df, 3, ("v", "id"), out_col="q").collect()
+    assert set(row.asDict()) == {"id", "v", "tag", "q"}
+    assert row["q"] == 1

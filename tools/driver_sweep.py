@@ -2,8 +2,9 @@
 DuckDB oracle side-by-side (the round driver's t2 comparison), under a
 hostile-timezone vanilla session. Exit output ends with `TOTAL <n> BAD <m>`.
 
-Usage: python tools/driver_sweep.py  (SPARK_GRAFT_SF_DIR overrides the
-default sf0.01 tables; ~10 min on local[8] for the full registry).
+Usage: python tools/driver_sweep.py [name ...]  (SPARK_GRAFT_SF_DIR
+overrides the default sf0.01 tables; ~10 min on local[8] for the full
+registry; positional names restrict the sweep to those queries).
 """
 import os
 import sys, duckdb, decimal, math
@@ -22,6 +23,10 @@ con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 qs, osql = E.queries(), E.oracle_sql()
+if len(sys.argv) > 1:
+    unknown = [n for n in sys.argv[1:] if n not in qs]
+    assert not unknown, f"unknown query names: {unknown}"
+    qs = {n: qs[n] for n in sys.argv[1:]}
 # window check: every never-driver-verified or changed-this-round query
 # (registry MUST_VERIFY annotation) must sit inside the driver's first-50
 # window, so a rotation can never silently strand a debut.
