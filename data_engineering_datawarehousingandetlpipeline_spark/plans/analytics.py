@@ -1348,6 +1348,67 @@ ORDER BY user_id, day
 """
 
 
+#: Anchored watermark + silence threshold for the batch silence report —
+#: fixed constants so the query is deterministic and the streaming
+#: heartbeat can be replayed to the SAME watermark for the equivalence
+#: pytest (tests/test_stateful_streaming.py).
+SILENCE_WATERMARK = "2024-01-28 00:00:00"
+SILENCE_SECONDS = 86400
+
+
+def q_silence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch silence report: users gone quiet, as of an anchored watermark.
+
+    The oracle-checkable twin of the streaming heartbeat
+    (streaming/stateful.py:stateful_heartbeat): with the event-time clock
+    stopped at watermark W, report every user whose last event is at
+    least SILENCE_SECONDS old — ``(user_id, last_seen, silent_at,
+    n_events)``, exactly the streaming operator's alarm schema, where
+    ``silent_at = last_seen + T`` is the instant the alarm armed. Events
+    after W are invisible (the stream hasn't seen them at that
+    watermark), which is what makes the two surfaces comparable: the
+    heartbeat replayed over the same data with the watermark advanced to
+    W fires precisely these rows (equivalence pytest).
+
+    Scale shape: one scan with the ``ts <= W`` predicate pushed to the
+    parquet reader, one user-keyed partial aggregate (max + count), a
+    map-side threshold filter on the aggregate — the two-aggregate plan a
+    100 TB events table wants; output is bounded by the silent-user
+    count.
+    """
+    ensure_runtime_confs(spark)
+    wm = F.lit(SILENCE_WATERMARK).cast("timestamp")
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") <= wm)
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_seen"),
+            F.count("*").cast("int").alias("n_events"),
+        )
+        .withColumn(
+            "silent_at",
+            (F.col("last_seen") + F.expr(f"INTERVAL {SILENCE_SECONDS} SECOND")),
+        )
+        .filter(F.col("silent_at") <= wm)
+        .select("user_id", "last_seen", "silent_at", "n_events")
+        .orderBy("user_id")
+    )
+
+
+SQL_SILENCE_REPORT = f"""
+SELECT user_id, MAX(ts) AS last_seen,
+       MAX(ts) + INTERVAL {SILENCE_SECONDS} SECOND AS silent_at,
+       CAST(COUNT(*) AS INT) AS n_events
+FROM events
+WHERE ts <= TIMESTAMP '{SILENCE_WATERMARK}'
+GROUP BY user_id
+HAVING MAX(ts) + INTERVAL {SILENCE_SECONDS} SECOND
+         <= TIMESTAMP '{SILENCE_WATERMARK}'
+ORDER BY user_id
+"""
+
+
 QUERIES = [
     QuerySpec(
         "pricing_summary",
@@ -1502,5 +1563,13 @@ QUERIES = [
         "one-pass per-column data-quality profile: nulls, exact "
         "distincts, numeric min/max, unpivoted to rows",
         tags=("agg", "quality"),
+    ),
+    QuerySpec(
+        "silence_report",
+        q_silence_report,
+        SQL_SILENCE_REPORT,
+        "batch twin of the streaming heartbeat: users silent past the "
+        "threshold as of an anchored watermark",
+        tags=("agg", "streaming-twin"),
     ),
 ]

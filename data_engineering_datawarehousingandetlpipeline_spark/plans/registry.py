@@ -37,160 +37,128 @@ class QuerySpec:
 #: been driver-verified, MUST be in this list; multiply-green unchanged
 #: queries rotate out to make room and rotate back in later rounds.
 #:
-#: Round-7 window, 50 = 7 debuts + 43 staleness-limit rotations —
-#: executing the r6 window math exactly as pre-committed below the r6
-#: entry in git history: owed at r7 were the 45 r5-green queries rotated
-#: out in r6 (the 35-name r6 rotation list plus the 10 displaced
-#: second-rows/keepers) + the 7 r6-late debuts = 52 candidates for 50
-#: slots. Resolution (pre-decided in r6, confirmed by the r6 verdict):
-#: defer dedup_keep_first and dedup_hourly_last to r8 — green
-#: r1/r2/r3/r4/r5, implementation unchanged since r3, exercised
-#: end-to-end by tests/test_cleaning.py every pytest run — bending the
-#: staleness policy to ≤ 3 rounds for exactly these two. Never defer a
-#: debut or a changed query: doc_split_assign (changed in r6,
-#: shared-_split_expr refactor, no r6 row of its own) is inside.
-#: Rotated out this round (all green r6 rows, unchanged since):
-#: streaming_exact_dedup, emb_ivfpq_topk, emb_pq_topk,
-#: doc_mixture_sample, doc_ngram_jaccard, doc_dedup_clusters,
-#: doc_pii_scan, event_funnel, doc_mixture_weights, long_term_users,
-#: event_grouping_sets, click_days_no_purchase, user_day_overlap,
-#: user_rolling_stats, value_correlations, doc_edit_distance, dup_audit,
-#: missingness, outliers, filtered_count, max_ts_per_user,
-#: watermark_filter, schema_projection, validate_counts, hourly_rollup,
-#: json_props, composite_sort, region_revenue, top_customers,
-#: order_priority, supplier_volume, part_type_stats, revenue_rollup,
-#: event_cube, top_orders_per_customer, pivot_daily, salted_rollup,
-#: distinct_counts, value_quantiles, dup_audit_hourly, dashboard_summary,
-#: emb_hard_negatives, split_leakage_audit, doc_dsir_weights,
-#: doc_cluster_keep, dedup_cluster_stats, doc_vocab_drift,
-#: source_overlap, salted_enrich, doc_gopher_rules.
+#: Round-8 window, executing the r7 owed-set math as pre-committed (with
+#: the r7 advisor's count correction: the r7 rotation list names 50
+#: queries, not 49). Candidates at r8 = 50 green-r6 rotations + 6
+#: r7-displaced + 2 exhausted deferrals + 2 r8-queue debuts + 2 r8-new
+#: debuts (retrieval_rrf_ann, silence_report) + 2 changed-this-round
+#: (scd2_event_enrich, asof_last_error — the as_of_join tiebreak_cols
+#: change touches both) = 64 candidates for 50 slots. Resolution: defer
+#: exactly 14 multiply-green unchanged queries from the green-r6 fifty to
+#: r9 — the advisor-recommended dup_audit / dup_audit_hourly plus the 12
+#: deepest-history reference queries (missingness, outliers,
+#: filtered_count, max_ts_per_user, watermark_filter, schema_projection,
+#: validate_counts, hourly_rollup, json_props, composite_sort,
+#: long_term_users, distinct_counts) — all green r1-ish/r2/r3/r4/r6 with
+#: implementations unchanged for 5+ rounds and sf0.001 oracle parity in
+#: every pytest run (tests/test_oracle_parity.py). This is the same
+#: documented ≤-3-round bend as the r7 cleaning-query deferral, and at
+#: 112 oracle queries over a 50-slot window it is now the steady state:
+#: ~12 queries per round must ride the 3-round cycle; the deepest-history
+#: unchanged queries take it. Never defer a debut or a changed query.
 WINDOW_HEAD: tuple[str, ...] = (
-    # the 7 r6-late debuts — the only registry queries that have never
-    # received a driver row; they take slots first, per policy
-    "scd2_user_state",
-    "scd2_snapshots",
-    "streaming_scd2",
-    "incremental_rollup",
-    "incremental_distinct",
-    "event_unpivot",
-    "doc_perplexity",
-    # changed in r6 without an r6 row of its own (split_leakage_audit
-    # carried the refactored _split_expr through r6; this is the
-    # out-of-window side)
-    "doc_split_assign",
-    # the 35-name r6 rotation list, minus the two pre-decided deferrals
-    # and doc_split_assign above (last driver row r5 for all)
-    "emb_near_dup",
-    "doc_chunks",
-    # r7 debut: streaming MinHash near-dup index (r6 verdict, marching
-    # order 2) — took doc_exact_dedup's slot (green r1/r2/r3/r5; its
-    # sha-groupby machinery got a fresh r6 row via streaming_exact_dedup,
-    # and sf0.001 pytest parity runs every CI pass; joins the r8 owed set)
-    "streaming_minhash_dedup",
-    "doc_token_stats",
-    "doc_lang_profile",
-    "doc_quality",
-    # r7 debut: point-in-time SCD2 fact enrichment — took
-    # doc_fingerprints's slot (green r1/r2/r3/r5; the shingle/minhash
-    # fingerprint machinery is exercised in-window end-to-end by
-    # doc_minhash_neardup; joins the r8 owed set)
+    # the 2 r7-queue debuts — never driver-verified; slots first, per policy
+    "doc_quality_deciles",
+    "daily_active_cumulative",
+    # r8 debuts (this round's new queries — never driver-verified):
+    # ANN-served hybrid retrieval (r7 verdict, marching order 3) and the
+    # heartbeat's batch silence twin (marching order 4)
+    "retrieval_rrf_ann",
+    "silence_report",
+    # changed this round: as_of_join grew tiebreak_cols (scd2_event_enrich
+    # passes version-first; asof_last_error shares the operator), and
+    # doc_quality_deciles above was rebuilt on distributed_ntile
     "scd2_event_enrich",
-    # r7 debut: hybrid RRF retrieval (dense cosine ⊕ BM25 more-like-this)
-    # — took doc_simhash's slot (green r1/r2/r3/r5, benched every round
-    # with a plan-gated shape, and doc_simhash_pairs stays in-window
-    # exercising the same fingerprint fold; joins the r8 owed set)
-    "retrieval_rrf",
-    "doc_simhash_pairs",
-    "doc_tfidf_terms",
-    "doc_bpe_tokens",
-    "doc_hash_sample",
-    "doc_pack_bins",
-    "doc_norm_dedup",
-    # r7 debut: per-user daily gap-fill with LOCF — took media_features's
-    # slot (green r1/r2/r3/r5; media_feature_vectors + media_frame_sample
-    # stay in-window exercising the same _media decode plumbing, and the
-    # multimodal pytest family runs every CI pass; joins the r8 owed set)
-    "event_gapfill",
-    "media_feature_vectors",
-    "media_frame_sample",
-    # r7 debut: one-pass per-column table profile — took emb_cosine_topk's
-    # slot (green r1/r2/r3/r5; the exact-cosine machinery gets its r7 row
-    # in-window through retrieval_rrf's dense side, and the ANN recall
-    # gates baseline against it every CI pass; joins the r8 owed set)
-    "lineitem_profile",
-    "emb_ann_topk",
-    "doc_repetition",
-    "doc_decontaminate",
-    "emb_semantic_dedup",
-    "doc_source_stats",
-    "streaming_window_stats",
-    "streaming_sessions",
-    "sessionization",
-    "session_stats",
     "asof_last_error",
-    "nearby_clicks",
-    "day_window",
-    # r7 debut: BM25 retrieval top-k (r6 verdict, marching order 3) —
-    # took pricing_summary's slot (green r1–r5, benched every round with
-    # a stable gated plan, pytest parity every run; joins the r8 owed set)
-    "doc_bm25_topk",
-    "approx_sketches",
-    # the 10 second-rows/keepers displaced by r6 debuts (last driver row
-    # r5 for all; due at the 2-round staleness limit now)
-    "doc_ngram_topk",
-    "retention_cohorts",
-    "doc_span_dedup",
-    "emb_quantize_stats",
-    "doc_group_sample",
-    "emb_cluster_profile",
-    "streaming_chunks",
-    "streaming_ingest",
-    "doc_minhash_neardup",
-    "emb_ivf_topk",
+    # the 2 r7-deferred cleaning queries — green r1/r2/r3/r4/r5, at the
+    # bent ≤-3-round staleness limit, CANNOT defer again (r7 verdict)
+    "dedup_keep_first",
+    "dedup_hourly_last",
+    # the 6 r7-displaced queries (last driver row r5; due now)
+    "pricing_summary",
+    "doc_exact_dedup",
+    "doc_simhash",
+    "media_features",
+    "doc_fingerprints",
+    "emb_cosine_topk",
+    # the green-r6 rotation list (50 names in the r7 comment, git history)
+    # minus the 14 deferrals documented above — 36 queries, all last
+    # verified r6, unchanged since
+    "streaming_exact_dedup",
+    "emb_ivfpq_topk",
+    "emb_pq_topk",
+    "doc_mixture_sample",
+    "doc_ngram_jaccard",
+    "doc_dedup_clusters",
+    "doc_pii_scan",
+    "event_funnel",
+    "doc_mixture_weights",
+    "event_grouping_sets",
+    "click_days_no_purchase",
+    "user_day_overlap",
+    "user_rolling_stats",
+    "value_correlations",
+    "doc_edit_distance",
+    "region_revenue",
+    "top_customers",
+    "order_priority",
+    "supplier_volume",
+    "part_type_stats",
+    "revenue_rollup",
+    "event_cube",
+    "top_orders_per_customer",
+    "pivot_daily",
+    "salted_rollup",
+    "value_quantiles",
+    "dashboard_summary",
+    "emb_hard_negatives",
+    "split_leakage_audit",
+    "doc_dsir_weights",
+    "doc_cluster_keep",
+    "dedup_cluster_stats",
+    "doc_vocab_drift",
+    "source_overlap",
+    "salted_enrich",
+    "doc_gopher_rules",
 )
 
 #: Names that MUST sit inside the driver's 50-entry window this round:
-#: every query that has never received a driver row plus every query
-#: whose implementation changed since its last green row. Maintained by
-#: hand each round alongside WINDOW_HEAD; enforced generically by
-#: tools/driver_sweep.py and tests/test_plan_quality.py so a rotation
-#: can never silently strand a debut (r6 verdict, marching order 5).
+#: every query that has never received a driver row, every query whose
+#: implementation changed since its last green row, and every query at
+#: the exhausted ≤-3-round deferral limit. Maintained by hand each round
+#: alongside WINDOW_HEAD; enforced generically by tools/driver_sweep.py
+#: and tests/test_plan_quality.py so a rotation can never silently strand
+#: a debut (r6 verdict, marching order 5).
 MUST_VERIFY: tuple[str, ...] = (
-    "scd2_user_state",
-    "scd2_snapshots",
-    "streaming_scd2",
-    "incremental_rollup",
-    "incremental_distinct",
-    "event_unpivot",
-    "doc_perplexity",
-    "doc_split_assign",
-    # r7 debuts (this round's new queries — never driver-verified)
-    "doc_bm25_topk",
-    "streaming_minhash_dedup",
-    "retrieval_rrf",
-    "event_gapfill",
+    # never driver-verified (r7 queue + r8 debuts)
+    "doc_quality_deciles",
+    "daily_active_cumulative",
+    "retrieval_rrf_ann",
+    "silence_report",
+    # changed this round (as_of_join tiebreak_cols; doc_quality_deciles
+    # is above already)
     "scd2_event_enrich",
-    "lineitem_profile",
+    "asof_last_error",
+    # exhausted deferrals — cannot slip again
+    "dedup_keep_first",
+    "dedup_hourly_last",
 )
 
-#: r8 DEBUT QUEUE — queries implemented after all 50 r7 slots were
-#: spoken for (the same late-debut pattern as r6): doc_quality_deciles,
-#: daily_active_cumulative. Both are local-oracle-verified (sf0.001
-#: pytest parity every CI run + sf0.01 sweep) and MUST take window slots
-#: in r8 (add them to MUST_VERIFY when rotating).
-#:
-#: r8 OWED SET (window math for next round, decided now, not by slip):
-#: owed at r8 = the 49 green-r6 queries rotated out above + the
-#: 6 r7-displaced queries (pricing_summary, doc_exact_dedup, doc_simhash,
-#: media_features, doc_fingerprints, emb_cosine_topk) + the 2 r7-deferred
-#: queries
-#: (dedup_keep_first, dedup_hourly_last — at the bent ≤-3-round limit,
-#: CANNOT defer again) + the 2 r8-queue debuts above = 59 candidates for
-#: 50 slots. Resolution: defer multiply-green
-#: unchanged queries from the 49 (recommend dup_audit / dup_audit_hourly
-#: — green r1/r2/r3/r4/r6, the deepest histories in the registry after
-#: the two cleaning queries) one per extra candidate. Never defer a debut
-#: or a changed query.
+#: r9 OWED SET (window math for next round, decided now, not by slip):
+#: out-of-window at r8 are 62 queries = the 14 deferrals named above
+#: (last green r6 — at the bent ≤-3-round limit, CANNOT defer again,
+#: they take r9 slots first) + the 48 green-r7 window members that
+#: rotated out this round (everything in the r7 WINDOW_HEAD except
+#: scd2_event_enrich and asof_last_error, which re-verify in-window now).
+#: Owed at r9 = 62 candidates (+ any r9 debuts) for 50 slots.
+#: Resolution: the 14 exhausted deferrals and every debut/changed query
+#: are non-negotiable; defer 12+ of the 48 multiply-green r7 queries
+#: (recommend the streaming/second-row family with every-CI pytest
+#: coverage: streaming_window_stats, streaming_sessions, streaming_chunks,
+#: streaming_ingest, sessionization, session_stats, doc_ngram_topk,
+#: retention_cohorts, doc_span_dedup, emb_quantize_stats,
+#: doc_group_sample, emb_cluster_profile — each restart/contract-tested
+#: every pytest run). Never defer a debut or a changed query.
 
 
 def all_queries() -> dict[str, QuerySpec]:

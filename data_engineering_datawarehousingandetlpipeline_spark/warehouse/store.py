@@ -258,6 +258,7 @@ class WarehouseTable:
         self,
         target_file_rows: int,
         before=None,
+        log: bool = True,
     ) -> int:
         """Partition-granular OPTIMIZE: bin-pack small files, day by day.
 
@@ -277,6 +278,13 @@ class WarehouseTable:
         ``expire_partitions``'s anchor it is passed explicitly, never
         ``current_date()``, so maintenance runs are replayable.
 
+        Every run appends to the :meth:`maintenance_log` audit table —
+        one row per rewritten partition (files before/after, rows,
+        anchor), or a single no-op row when nothing qualified — the
+        queryable what-did-maintenance-do surface Delta's ``history()``
+        provides, emulated the same way the store emulates MERGE.
+        ``log=False`` opts out.
+
         Each selected partition is materialized (partition-sized, the
         same read-modify-write guard ``merge_replace`` uses), bin-packed
         with ``repartitionByRange`` over the key columns and sorted
@@ -295,6 +303,8 @@ class WarehouseTable:
         if not self.exists():
             return 0
         rewritten = 0
+        entries: list[tuple] = []
+        anchor = before.isoformat() if before is not None else None
         for name in sorted(os.listdir(self.root)):
             if not name.startswith("dt="):
                 continue
@@ -325,20 +335,68 @@ class WarehouseTable:
                 .parquet(path)
             )
             rewritten += 1
+            entries.append(
+                ("compact_partitions", name[3:], n_files, goal, rows, anchor)
+            )
         if rewritten:
             self.spark.catalog.refreshByPath(self.root)
+        if log:
+            if not entries:  # a run that found nothing is still a run
+                entries = [("compact_partitions", None, 0, 0, 0, anchor)]
+            self._log_maintenance(entries)
         return rewritten
 
     def data_file_count(self) -> int:
-        """Number of parquet data files across all partitions."""
+        """Number of parquet data files across all partitions (metadata
+        sidecars like the ``_maintenance`` log are not data)."""
         total = 0
-        for dirpath, _dirnames, filenames in os.walk(self.root):
+        for dirpath, dirnames, filenames in os.walk(self.root):
+            dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
             total += sum(
                 1
                 for name in filenames
                 if name.endswith(".parquet") and not name.startswith(".")
             )
         return total
+
+    # ------------------------------------------------------- maintenance log
+
+    #: one row per (run, rewritten partition); a run that rewrote nothing
+    #: logs a single NULL-partition row. ``anchor`` is the run's explicit
+    #: replayable eligibility date (never wall clock — same determinism
+    #: contract as the maintenance operations themselves).
+    MAINTENANCE_SCHEMA = (
+        "run_id int, op string, partition string, files_before int, "
+        "files_after int, n_rows bigint, anchor string"
+    )
+
+    def maintenance_log(self) -> DataFrame:
+        """The maintenance audit table: what every run did, queryable.
+
+        The plain-parquet emulation of the lakehouse audit surface
+        (Delta's ``DESCRIBE HISTORY``): stored as a ``_maintenance/``
+        sidecar under the table root — underscore-prefixed paths are
+        invisible to Spark's file index, so data reads and the
+        partition-pruned day-window scans are untouched (pytest-pinned).
+        Bounded by maintenance runs × touched partitions, never data size.
+        """
+        path = os.path.join(self.root, "_maintenance")
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame([], self.MAINTENANCE_SCHEMA)
+        return self.spark.read.schema(self.MAINTENANCE_SCHEMA).parquet(path)
+
+    def _log_maintenance(self, entries: list[tuple]) -> None:
+        """Append one run's rows (next run_id = max existing + 1)."""
+        prev = self.maintenance_log().agg(F.max("run_id")).first()[0]
+        run_id = (prev or 0) + 1
+        (
+            self.spark.createDataFrame(
+                [(run_id, *e) for e in entries], self.MAINTENANCE_SCHEMA
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(os.path.join(self.root, "_maintenance"))
+        )
 
     # ------------------------------------------------------------ queries
 

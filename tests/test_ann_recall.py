@@ -171,3 +171,23 @@ def test_pq_recall_at_5(spark):
     must still clear ≥ 0.8 recall@5 at its registered re-rank budget
     (PQ_RERANK; see plans/extensions.py for the measured dial)."""
     assert _recall(spark, "emb_pq_topk") >= 0.8
+
+
+def test_rrf_ann_recall_at_5_vs_exact_fusion(spark):
+    """The ANN-served hybrid ranking must stay close to the exact fusion:
+    recall@5 of retrieval_rrf_ann's fused top-5 vs retrieval_rrf's ≥ 0.8
+    (hash-parity proves each matches ITS oracle; this bounds the IVF
+    approximation inside the fusion)."""
+    qs = all_queries()
+
+    def fused_sets(name):
+        out: dict[int, set[int]] = {}
+        for r in qs[name].fn(spark, SF_DIR).collect():
+            out.setdefault(r["query_id"], set()).add(r["doc_id"])
+        return out
+
+    exact = fused_sets("retrieval_rrf")
+    approx = fused_sets("retrieval_rrf_ann")
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert total > 0 and hits / total >= 0.8, (hits, total)

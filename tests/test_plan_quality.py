@@ -358,12 +358,27 @@ def test_rrf_fusion_joins_only_pool_sized_sides(spark):
     stay trivial — both sides pre-limited per query (WindowGroupLimit)
     before the full-outer join, no cartesian beyond the broadcast crosses
     of 1-row stats / the broadcast query set, no Python."""
-    plan = _plan(spark, "retrieval_rrf")
-    assert "CartesianProduct" not in plan
+    for name in ("retrieval_rrf", "retrieval_rrf_ann"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "WindowGroupLimit" in plan, name
+        for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+            assert frag.startswith(" BuildRight, Cross"), (name, frag[:60])
+
+
+def test_silence_report_is_two_aggregate_scan(spark):
+    """The batch silence report must be one pushed-predicate scan and one
+    user-keyed partial aggregate with a post-aggregate filter — no joins,
+    no windows, no Python (the 100 TB shape for 'who went quiet')."""
+    plan = _plan(spark, "silence_report")
+    assert plan.count("FileScan parquet") == 1
+    assert "PushedFilters: [IsNotNull(ts), LessThanOrEqual(ts," in plan
+    assert "partial_max" in plan or "partial_count" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BroadcastNestedLoopJoin", "Window"):
+        assert op not in plan, op
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "WindowGroupLimit" in plan
-    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
-        assert frag.startswith(" BuildRight, Cross"), frag[:60]
 
 
 def test_gapfill_is_user_keyed_with_pinned_daily(spark):
@@ -459,7 +474,7 @@ def test_window_guard_detects_a_stranded_debut():
     be a tautology that passes for any annotation."""
     names = list(all_queries())
     tail_query = names[60]  # any name past the 50-slot window
-    fake_must_verify = ("scd2_user_state", tail_query)
+    fake_must_verify = (names[0], tail_query)  # one in-window, one stranded
     mis = [(n, names.index(n)) for n in fake_must_verify if names.index(n) >= 50]
     assert mis == [(tail_query, 60)]
 

@@ -335,3 +335,77 @@ def test_scd2_fold_is_batch_split_invariant(case):
     if obs:
         open_n = one_state[3]
         assert sum(c[4] for c in one_closed) + open_n == len(obs)
+
+
+def test_heartbeat_alarms_equal_batch_silence_report(spark, tmp_path):
+    """The streaming heartbeat replayed over the real events table with
+    its watermark advanced to the anchored W must fire EXACTLY the rows
+    the batch ``silence_report`` query states — the oracle-equivalence
+    contract that puts a checkable surface behind the one operator that
+    fires on data ABSENCE. (r7 verdict, marching order 4.)"""
+    from data_engineering_datawarehousingandetlpipeline_spark.plans import (
+        all_queries,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.analytics import (
+        SILENCE_SECONDS,
+        SILENCE_WATERMARK,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+        load_table,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.stateful import (
+        stateful_heartbeat,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    wm = SILENCE_WATERMARK.replace(" ", "T")
+    from pyspark.sql import functions as F
+
+    seen = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") <= F.lit(SILENCE_WATERMARK).cast("timestamp"))
+        .select("user_id", "ts")
+        .collect()
+    )
+    indir = tmp_path / "events"
+    indir.mkdir()
+    # batch 1: every event the watermark has seen (watermark only updates
+    # AFTER a batch, so intra-batch disorder drops nothing); batch 2: a
+    # sentinel at exactly W advances the watermark to W; batch 3: a second
+    # sentinel event triggers the post-watermark batch where timeouts fire
+    # (the sentinel user itself stays active — last_seen == W).
+    _write(
+        indir / "shard1.json",
+        [
+            {"user_id": r.user_id, "ts": r.ts.isoformat()}
+            for r in seen
+        ],
+    )
+    _write(indir / "shard2.json", [{"user_id": -1, "ts": wm}])
+    _write(indir / "shard3.json", [{"user_id": -1, "ts": wm}])
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    _drain_append(
+        stateful_heartbeat(stream, silence_seconds=SILENCE_SECONDS), "hb_equiv"
+    )
+    fired = {
+        r.user_id: r
+        for r in spark.sql("SELECT * FROM hb_equiv").collect()
+        if r.user_id != -1
+    }
+
+    report = {
+        r.user_id: r
+        for r in all_queries()["silence_report"].fn(spark, sf_dir).collect()
+    }
+    assert set(fired) == set(report)
+    assert len(report) > 0  # non-degenerate: the anchor really cuts
+    for uid, want in report.items():
+        got = fired[uid]
+        assert got.last_seen == want.last_seen, uid
+        assert got.silent_at == want.silent_at, uid
+        assert got.n_events == want.n_events, uid

@@ -182,6 +182,26 @@ def test_compact_partitions_bin_packs_eligible_days_only(spark, warehouse):
         target_file_rows=2, before=datetime.date(2024, 3, 3)
     ) == 0
 
+    # maintenance log: three runs recorded — one rewrite row each for the
+    # first two, a NULL-partition no-op row for the replay — with the
+    # before/after file counts and anchors the operator reported
+    log = sorted(
+        map(tuple, warehouse.maintenance_log().collect()),
+        key=lambda t: (t[0], str(t[2])),
+    )
+    assert log == [
+        (1, "compact_partitions", "2024-03-01", 3, 2, 3, "2024-03-02"),
+        (2, "compact_partitions", "2024-03-02", 3, 2, 3, "2024-03-03"),
+        (3, "compact_partitions", None, 0, 0, 0, "2024-03-03"),
+    ]
+    # the sidecar is invisible to data reads: file count and the pruned
+    # day-window plan are exactly as before the log existed
+    assert warehouse.data_file_count() == 4
+    plan = day_scan("2024-03-01")._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^]]*dt", plan)
+    assert "_maintenance" not in plan
+    assert sorted(map(tuple, warehouse.read().collect())) == before_rows
+
 
 def test_kafka_json_roundtrip(spark):
     df = read_observations_json(spark, FIXTURE)
