@@ -35,6 +35,71 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def grouped_rank(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    rank_col: str = "rank",
+    size_col: str = "n",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ROW_NUMBER() OVER (PARTITION BY *group_cols ORDER BY
+    *order_cols)`` plus the group size — without one-task-per-group.
+
+    A plain grouped window puts EVERY row of a group in one task: fine
+    for thousands of small groups, the same single-machine trap as a
+    global sort when a handful of huge groups hold the corpus (event
+    types, languages, sources). Same scheme as :func:`distributed_ntile`,
+    range-bucketing on ``(*group_cols, *order_cols)`` so each group
+    spans many buckets in order; the per-(bucket, group) counts table —
+    O(#partitions × #groups present per bucket boundary), a config-sized
+    constant times the group count — yields per-group exclusive prefix
+    offsets and total sizes, broadcast back. ``order_cols`` must make
+    each group a total order (unique tiebreaker). All input columns pass
+    through; ``rank_col`` (1-based within group) and ``size_col`` (group
+    row count) are appended. For very high-cardinality group keys swap
+    the broadcast for a plain shuffle join (AQE picks the strategy when
+    the hint is dropped) — at that cardinality groups are small and the
+    ordinary keyed window is the right plan anyway.
+    """
+    full_order = [F.col(c).asc() for c in [*group_cols, *order_cols]]
+    if num_partitions is None:
+        try:
+            num_partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except ValueError:
+            num_partitions = 32
+    parts = (
+        df.repartitionByRange(num_partitions, *full_order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    gp_counts = parts.groupBy("__pid", *group_cols).agg(
+        F.count("*").alias("__pc")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = gp_counts.select(
+        "__pid",
+        *group_cols,
+        F.coalesce(F.sum("__pc").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__pc").over(Window.partitionBy(*group_cols)).alias(size_col),
+    )
+    w_local = Window.partitionBy("__pid", *group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    return (
+        parts.withColumn("__lr", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["__pid", *group_cols])
+        .withColumn(rank_col, F.col("__off") + F.col("__lr"))
+        .drop("__pid", "__lr", "__off")
+    )
+
+
 def distributed_ntile(
     df: DataFrame,
     n_tiles: int,

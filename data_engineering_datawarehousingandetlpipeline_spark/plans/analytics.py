@@ -1409,6 +1409,79 @@ ORDER BY user_id
 """
 
 
+#: Exact percentiles reported per event type (rank = ceil(p·n/100),
+#: computed in INTEGER arithmetic on both engines so a boundary rank can
+#: never drift on binary-fraction rounding of p/100).
+PERCENTILES = (25, 50, 75, 90)
+
+
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (p25/p50/p75/p90 of ``value`` per event
+    type) — grouped order statistics WITHOUT one-task-per-group.
+
+    The SLA/reporting staple. A plain ``ROW_NUMBER() OVER (PARTITION BY
+    event_type ORDER BY value)`` puts each event type's entire history in
+    ONE window task — with a handful of types over a 100 TB events table
+    that is the grouped twin of the single-partition-NTILE trap. The plan
+    rides :func:`~..operators.ranking.grouped_rank` instead: one range
+    exchange over the 3-column projection spreads every type across all
+    buckets in order, per-(bucket, type) counts (a config-sized table)
+    broadcast back as offsets, rank and group size assigned map-side.
+    Percentile selection is then a 5-group aggregate picking the
+    rank == ceil(p·n/100) rows. Exact — the DuckDB oracle states the
+    monolithic window form with the identical integer rank arithmetic.
+    NULL values are excluded (percentiles describe observed values).
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.ranking import (
+        grouped_rank,
+    )
+
+    ensure_runtime_confs(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value", "event_id")
+    )
+    ranked = grouped_rank(
+        ev, ["event_type"], ["value", "event_id"], rank_col="r", size_col="n"
+    )
+    aggs = [F.max("n").cast("bigint").alias("n_events")]
+    for p in PERCENTILES:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("r") == F.expr(f"(n * {p} + 99) div 100"),
+                    F.col("value"),
+                )
+            ).alias(f"p{p}")
+        )
+    return ranked.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+def _sql_percentile_cases() -> str:
+    return ",\n       ".join(
+        f"MAX(CASE WHEN r = (n * {p} + 99) // 100 THEN value END) AS p{p}"
+        for p in PERCENTILES
+    )
+
+
+SQL_EVENT_VALUE_PERCENTILES = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+  WHERE value IS NOT NULL
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       {_sql_percentile_cases()}
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = [
     QuerySpec(
         "pricing_summary",
@@ -1571,5 +1644,13 @@ QUERIES = [
         "batch twin of the streaming heartbeat: users silent past the "
         "threshold as of an anchored watermark",
         tags=("agg", "streaming-twin"),
+    ),
+    QuerySpec(
+        "event_value_percentiles",
+        q_event_value_percentiles,
+        SQL_EVENT_VALUE_PERCENTILES,
+        "exact per-type value percentiles via distributed grouped rank "
+        "(no one-task-per-group window)",
+        tags=("agg", "window", "order-stats"),
     ),
 ]

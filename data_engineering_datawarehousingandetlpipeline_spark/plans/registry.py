@@ -144,13 +144,20 @@ MUST_VERIFY: tuple[str, ...] = (
     "dedup_hourly_last",
 )
 
+#: r9 DEBUT QUEUE — queries implemented after all 50 r8 slots were
+#: spoken for (the same late-debut pattern as r6/r7):
+#: event_value_percentiles (exact per-group percentiles via
+#: operators/ranking.grouped_rank). Local-oracle-verified (sf0.001
+#: pytest parity every CI run + sf0.01 sweep); MUST take a window slot
+#: in r9 (add to MUST_VERIFY when rotating).
+#:
 #: r9 OWED SET (window math for next round, decided now, not by slip):
 #: out-of-window at r8 are 62 queries = the 14 deferrals named above
 #: (last green r6 — at the bent ≤-3-round limit, CANNOT defer again,
 #: they take r9 slots first) + the 48 green-r7 window members that
 #: rotated out this round (everything in the r7 WINDOW_HEAD except
 #: scd2_event_enrich and asof_last_error, which re-verify in-window now).
-#: Owed at r9 = 62 candidates (+ any r9 debuts) for 50 slots.
+#: Owed at r9 = 62 candidates + the r9 debut queue above for 50 slots.
 #: Resolution: the 14 exhausted deferrals and every debut/changed query
 #: are non-negotiable; defer 12+ of the 48 multiply-green r7 queries
 #: (recommend the streaming/second-row family with every-CI pytest

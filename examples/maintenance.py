@@ -68,6 +68,13 @@ def main() -> None:
         target_file_rows=100, before=datetime.date(2024, 3, 3)
     )
     print(f"compacted partitions={rewritten} files={wh.data_file_count()}")
+    # the audit surface: what did maintenance do (Delta history, emulated)
+    for row in wh.maintenance_log().orderBy("run_id", "partition").collect():
+        print(
+            f"  log run={row.run_id} op={row.op} partition={row.partition}"
+            f" files {row.files_before}->{row.files_after}"
+            f" rows={row.n_rows} anchor={row.anchor}"
+        )
 
     # --- 3. retention: drop days beyond the window (explicit anchor) ----
     dropped = wh.expire_partitions(keep_days=1, anchor=datetime.date(2024, 3, 3))

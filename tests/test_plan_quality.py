@@ -441,6 +441,21 @@ def test_quality_deciles_have_no_corpus_sized_global_window(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_percentiles_have_no_per_group_corpus_window(spark):
+    """Grouped order statistics must ride grouped_rank: the corpus-side
+    row_number window is partitioned by (range bucket, group) — never by
+    the group alone, which would put a whole event type in one task. Only
+    the per-(bucket, group) counts table (config-sized) may carry plain
+    group-keyed windows."""
+    plan = _plan(spark, "event_value_percentiles")
+    assert "ntile" not in plan
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "__pid" in line, line
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_window_head_is_exactly_fifty():
     """The driver records the FIRST 50 registry entries; WINDOW_HEAD must
     be exactly that size — one entry over and the 50th silently falls out

@@ -76,3 +76,67 @@ def test_distributed_ntile_passes_through_columns(spark):
     [row] = distributed_ntile(df, 3, ("v", "id"), out_col="q").collect()
     assert set(row.asDict()) == {"id", "v", "tag", "q"}
     assert row["q"] == 1
+
+
+def test_grouped_rank_matches_builtin_window_on_random_data(spark):
+    """grouped_rank must equal ROW_NUMBER OVER (PARTITION BY g ORDER BY
+    v, id) and carry the exact group sizes — ties, multi-bucket groups,
+    and single-row groups included."""
+    import random
+
+    rng = random.Random(88)
+    rows = [(i, rng.randrange(4), float(rng.randrange(6))) for i in range(400)]
+    rows.append((400, 9, 1.0))  # a singleton group
+    df = spark.createDataFrame(rows, "id long, g int, v double")
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.ranking import (
+        grouped_rank,
+    )
+
+    got = {
+        r["id"]: (r["rank"], r["n"])
+        for r in grouped_rank(
+            df, ["g"], ["v", "id"], num_partitions=8
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    expected = {
+        r["id"]: (r["rank"], r["n"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("g")))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_event_value_percentiles_match_direct_computation(spark):
+    """Each reported percentile must equal the ceil(p*n/100)-th smallest
+    value of its type, recomputed directly in Python."""
+    import math
+
+    from data_engineering_datawarehousingandetlpipeline_spark.plans import (
+        all_queries,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.analytics import (
+        PERCENTILES,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    rows = {
+        r["event_type"]: r
+        for r in all_queries()["event_value_percentiles"].fn(spark, SF_DIR).collect()
+    }
+    by_type: dict[str, list[float]] = {}
+    for r in load_table(spark, SF_DIR, "events").select("event_type", "value").collect():
+        if r["value"] is not None:
+            by_type.setdefault(r["event_type"], []).append(r["value"])
+    assert set(rows) == set(by_type)
+    for et, vals in by_type.items():
+        vals.sort()
+        got = rows[et]
+        assert got["n_events"] == len(vals)
+        for p in PERCENTILES:
+            want = vals[math.ceil(p * len(vals) / 100) - 1]
+            assert got[f"p{p}"] == want, (et, p)
