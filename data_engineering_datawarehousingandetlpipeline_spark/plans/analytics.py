@@ -1024,6 +1024,131 @@ ORDER BY m.event_type
 """
 
 
+#: Order-date cutoff splitting the star-join view into closed history
+#: and the open delta (orders span 1992-1998; ~2 years ride the delta).
+INCR_JOIN_CUTOFF = "1997-01-01 00:00:00"
+
+
+def q_incremental_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance: the star-join revenue rollup
+    kept fresh from per-day states, merge == recompute proven in-plan.
+
+    ``incremental_rollup`` maintains a single-table aggregate; real
+    warehouse views join first — revenue per customer region is
+    lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, then aggregate. With
+    insert-only facts and slowly-changing dimensions the classic IVM
+    identity applies: Agg(V) = merge(states of closed days, states of
+    ΔF ⋈ dims) — the join DISTRIBUTES over the fact delta, so a new day
+    of orders joins only ITS rows against the dimensions and history is
+    never re-joined or re-scanned. The query executes exactly that: the
+    joined view's per-(region, order-day) states are pinned (ONE join
+    builds them), split at ``INCR_JOIN_CUTOFF`` into stored/delta
+    branches, merged per region — and verified per-row against a
+    from-scratch recompute (``merge_consistent``, computed identically by
+    the oracle so the driver hash checks it cross-engine). Decimal
+    anchors make the two-level revenue sum exact in any merge order.
+
+    Shape: one fact shuffle per join key (orders, customer); fixed-size
+    nation/region broadcast; the state re-aggregation shuffles ~(regions
+    × days) states, never rows; verification joins two 5-row aggregates.
+    Production stores the closed states and runs only the delta branch.
+    """
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        # customer scales with SF — statistics/AQE decide (see
+        # q_region_revenue); only the fixed-size dims stay hinted
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("day_ts"),
+            _revenue().alias("rev"),
+        )
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
+        ANCHOR_TYPE_WIDE,
+    )
+
+    anchored = F.col("rev").cast(ANCHOR_TYPE_WIDE)
+    states = (
+        joined.groupBy("region_name", "day_ts")
+        .agg(F.count("*").alias("n"), F.sum(anchored).alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    cutoff = F.lit(INCR_JOIN_CUTOFF).cast("timestamp")
+    merged = (
+        states.filter(F.col("day_ts") < cutoff)
+        .unionByName(states.filter(F.col("day_ts") >= cutoff))
+        .groupBy("region_name")
+        .agg(F.sum("n").alias("n_items"), F.sum("s").alias("__s"))
+    )
+    full = joined.groupBy("region_name").agg(
+        F.count("*").alias("__n_full"), F.sum(anchored).alias("__s_full")
+    )
+    return (
+        merged.join(F.broadcast(full), "region_name")
+        .select(
+            "region_name",
+            "n_items",
+            F.col("__s").cast("double").alias("revenue"),
+            (
+                (F.col("n_items") == F.col("__n_full"))
+                & (F.col("__s") == F.col("__s_full"))
+            ).alias("merge_consistent"),
+        )
+        .orderBy("region_name")
+    )
+
+
+SQL_INCREMENTAL_STAR_ROLLUP = f"""
+WITH joined AS (
+  SELECT r_name AS region_name, date_trunc('day', o_orderdate) AS day_ts,
+         {SQL_REVENUE} AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+), states AS (
+  SELECT region_name, day_ts, COUNT(*) AS n,
+         SUM(CAST(rev AS DECIMAL(27,8))) AS s
+  FROM joined GROUP BY region_name, day_ts
+), merged AS (
+  SELECT region_name, CAST(SUM(n) AS BIGINT) AS n_items, SUM(s) AS s2
+  FROM (
+    SELECT * FROM states WHERE day_ts < TIMESTAMP '{INCR_JOIN_CUTOFF}'
+    UNION ALL
+    SELECT * FROM states WHERE day_ts >= TIMESTAMP '{INCR_JOIN_CUTOFF}'
+  )
+  GROUP BY region_name
+), full_agg AS (
+  SELECT region_name, COUNT(*) AS n_full, SUM(CAST(rev AS DECIMAL(27,8))) AS s_full
+  FROM joined GROUP BY region_name
+)
+SELECT m.region_name, m.n_items, CAST(m.s2 AS DOUBLE) AS revenue,
+       (m.n_items = f.n_full AND m.s2 = f.s_full) AS merge_consistent
+FROM merged m JOIN full_agg f USING (region_name)
+ORDER BY m.region_name
+"""
+
+
 #: Columns profiled by lineitem_profile: every column gets null/distinct
 #: counts; numeric columns also get min/max (cast to DOUBLE — exact for
 #: these magnitudes and engine-identical, unlike string rendering of
@@ -1652,5 +1777,13 @@ QUERIES = [
         "exact per-type value percentiles via distributed grouped rank "
         "(no one-task-per-group window)",
         tags=("agg", "window", "order-stats"),
+    ),
+    QuerySpec(
+        "incremental_star_rollup",
+        q_incremental_star_rollup,
+        SQL_INCREMENTAL_STAR_ROLLUP,
+        "incremental star-join view maintenance: merged per-day join "
+        "states == full recompute, proven in-plan",
+        tags=("agg", "join", "warehouse"),
     ),
 ]

@@ -147,9 +147,11 @@ MUST_VERIFY: tuple[str, ...] = (
 #: r9 DEBUT QUEUE — queries implemented after all 50 r8 slots were
 #: spoken for (the same late-debut pattern as r6/r7):
 #: event_value_percentiles (exact per-group percentiles via
-#: operators/ranking.grouped_rank). Local-oracle-verified (sf0.001
-#: pytest parity every CI run + sf0.01 sweep); MUST take a window slot
-#: in r9 (add to MUST_VERIFY when rotating).
+#: operators/ranking.grouped_rank) and incremental_star_rollup
+#: (incremental join-view maintenance with the in-plan merge proof).
+#: Both local-oracle-verified (sf0.001 pytest parity every CI run +
+#: sf0.01 sweep); each MUST take a window slot in r9 (add to MUST_VERIFY
+#: when rotating).
 #:
 #: r9 OWED SET (window math for next round, decided now, not by slip):
 #: out-of-window at r8 are 62 queries = the 14 deferrals named above

@@ -594,6 +594,21 @@ def test_incremental_rollup_merges_states_not_rows(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_incremental_star_rollup_merges_states_not_rows(spark):
+    """The star-join view's per-(region, day) state table is pinned —
+    ONE join pass builds it; the closed and delta branches read the
+    checkpoint — the merge shuffles state rows only, and the
+    full-recompute verification lands as a broadcast join of a 5-row
+    aggregate. The fixed-size dims broadcast inside the (re)join; no
+    cartesian, no Python."""
+    plan = _plan(spark, "incremental_star_rollup")
+    assert plan.count("Scan ExistingRDD") == 2  # pinned states, two branches
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_scd2_snapshots_use_bounded_explode_not_inequality_join(spark):
     """The as-of grid read must be an interval-explode (Generate bounded
     by the snapshot grid) + one count shuffle — never a history ×

@@ -140,3 +140,36 @@ def test_event_value_percentiles_match_direct_computation(spark):
         for p in PERCENTILES:
             want = vals[math.ceil(p * len(vals) / 100) - 1]
             assert got[f"p{p}"] == want, (et, p)
+
+
+def test_incremental_star_rollup_merge_verified_and_matches_direct_join(spark):
+    """merge_consistent must be TRUE on every row (the in-plan IVM proof),
+    and the merged totals must equal a directly-computed join aggregate."""
+    from data_engineering_datawarehousingandetlpipeline_spark.plans import (
+        all_queries,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    rows = all_queries()["incremental_star_rollup"].fn(spark, SF_DIR).collect()
+    assert rows and all(r["merge_consistent"] for r in rows)
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    od = load_table(spark, SF_DIR, "orders")
+    cu = load_table(spark, SF_DIR, "customer")
+    na = load_table(spark, SF_DIR, "nation")
+    re_ = load_table(spark, SF_DIR, "region")
+    direct = {
+        r["region_name"]: r["n_items"]
+        for r in (
+            li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+            .join(na, F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(re_, F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy(F.col("r_name").alias("region_name"))
+            .agg(F.count("*").alias("n_items"))
+            .collect()
+        )
+    }
+    assert {r["region_name"]: r["n_items"] for r in rows} == direct
