@@ -1024,6 +1024,109 @@ ORDER BY m.event_type
 """
 
 
+#: Trailing frame length and flag threshold for rolling robust anomaly
+#: detection (median/MAD — the Hampel filter's classic parameters).
+ANOMALY_FRAME = 15
+ANOMALY_K = 3
+
+
+def _arr_median(arr):
+    """Exact median of a sorted array column (interpolated for even n) —
+    row-local JVM expression, identical arithmetic on the oracle side."""
+    n = F.size(arr)
+    return F.round(
+        F.when(
+            n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+        ).otherwise(
+            (
+                F.element_at(arr, (n / 2).cast("int"))
+                + F.element_at(arr, (n / 2 + 1).cast("int"))
+            )
+            / 2
+        ),
+        6,
+    )
+
+
+def q_event_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel-filter anomaly detection: flag values far from the rolling
+    ROBUST center of each user's recent history.
+
+    The monitoring staple mean/stddev can't provide: a rolling MEAN is
+    dragged by the very outliers it should flag, so the filter uses the
+    trailing-15 median and the median absolute deviation (MAD) instead —
+    ``|x − med| > 3·MAD`` flags a spike without the spike poisoning its
+    own baseline. Emits only the flagged rows with their evidence
+    (med, mad).
+
+    Scale shape: one user-keyed window pass; each row's frame is a ≤15
+    element array, so median/MAD are row-local ``array_sort`` /
+    ``transform`` expressions — whole-stage-codegen JVM arithmetic, no
+    UDF, state bounded by the frame length. Ties order by event_id so
+    frames are identical on both engines; med/MAD round to 6 before the
+    threshold compare. MAD = 0 (a constant frame) flags nothing — a
+    level shift after dead-flat history needs its own detector, which is
+    the documented Hampel trade.
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ANOMALY_FRAME - 1), 0)
+    )
+    framed = events.withColumn(
+        "__arr", F.array_sort(F.collect_list("value").over(w))
+    )
+    with_med = framed.withColumn("med", _arr_median(F.col("__arr")))
+    with_mad = with_med.withColumn(
+        "mad",
+        _arr_median(
+            F.array_sort(
+                F.transform(
+                    F.col("__arr"), lambda v: F.abs(v - F.col("med"))
+                )
+            )
+        ),
+    )
+    return (
+        with_mad.filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("value") - F.col("med")) > ANOMALY_K * F.col("mad"))
+        )
+        .select("user_id", "event_id", "ts", "value", "med", "mad")
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+SQL_EVENT_ROLLING_ANOMALY = f"""
+WITH framed AS (
+  SELECT user_id, event_id, ts, value,
+         list_sort(list(value) OVER w) AS arr
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ANOMALY_FRAME - 1} PRECEDING AND CURRENT ROW)
+), med_t AS (
+  SELECT *, round(CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
+                       ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2
+                  END, 6) AS med
+  FROM framed
+), mad_t AS (
+  SELECT *, round(CASE WHEN len(darr) % 2 = 1 THEN darr[(len(darr) + 1) // 2]
+                       ELSE (darr[len(darr) // 2] + darr[len(darr) // 2 + 1]) / 2
+                  END, 6) AS mad
+  FROM (SELECT *, list_sort(list_transform(arr, x -> abs(x - med))) AS darr
+        FROM med_t)
+)
+SELECT user_id, event_id, ts, value, med, mad
+FROM mad_t
+WHERE mad > 0 AND abs(value - med) > {ANOMALY_K} * mad
+ORDER BY user_id, ts, event_id
+"""
+
+
 #: Order-date cutoff splitting the star-join view into closed history
 #: and the open delta (orders span 1992-1998; ~2 years ride the delta).
 INCR_JOIN_CUTOFF = "1997-01-01 00:00:00"
@@ -1473,6 +1576,84 @@ ORDER BY user_id, day
 """
 
 
+#: Deterministic derivation rules turning `customer` into a "corrected"
+#: second snapshot — a delete stripe, an update stripe, an insert stripe
+#: (shifted keys) — so the CDC query is replayable and oracle-checkable.
+DIFF_DELETE_MOD = 97
+DIFF_UPDATE_MOD = 13
+DIFF_INSERT_MOD = 101
+DIFF_INSERT_SHIFT = 10_000_000
+
+
+def q_customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two snapshots of a keyed table.
+
+    The CDC surface Delta serves from its log (`table_changes()`),
+    computed relationally (operators/diff.table_diff): old = the customer
+    table; new = the same table through a deterministic correction feed —
+    one key stripe deleted, one stripe's ``c_acctbal`` revised, one
+    stripe of fresh keys inserted. The diff classifies every key into
+    insert / delete / update off ONE co-partitioned full-outer join
+    (null-safe value compare), which is the entire fundamental cost of a
+    keyed snapshot diff at any scale — and on bucketed tables even that
+    shuffle vanishes. Downstream: audit a correction batch BEFORE
+    ``merge_replace`` applies it; feed non-append incremental view
+    maintenance.
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.diff import (
+        table_diff,
+    )
+
+    ensure_runtime_confs(spark)
+    old = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    kept = old.filter(F.col("c_custkey") % DIFF_DELETE_MOD != 0)
+    revised = kept.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % DIFF_UPDATE_MOD == 0,
+            F.col("c_acctbal") + 100,
+        ).otherwise(F.col("c_acctbal")),
+    )
+    inserts = old.filter(F.col("c_custkey") % DIFF_INSERT_MOD == 0).select(
+        (F.col("c_custkey") + DIFF_INSERT_SHIFT).alias("c_custkey"),
+        "c_acctbal",
+    )
+    new = revised.unionByName(inserts)
+    return table_diff(
+        old, new, keys=["c_custkey"], compare_cols=["c_acctbal"]
+    ).orderBy("c_custkey")
+
+
+SQL_CUSTOMER_SNAPSHOT_DIFF = f"""
+WITH old_t AS (
+  SELECT c_custkey, c_acctbal FROM customer
+), new_t AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % {DIFF_UPDATE_MOD} = 0
+              THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % {DIFF_DELETE_MOD} <> 0
+  UNION ALL
+  SELECT c_custkey + {DIFF_INSERT_SHIFT}, c_acctbal
+  FROM customer WHERE c_custkey % {DIFF_INSERT_MOD} = 0
+), j AS (
+  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+         o.c_custkey IS NOT NULL AS in_old,
+         n.c_custkey IS NOT NULL AS in_new,
+         o.c_acctbal AS old_c_acctbal, n.c_acctbal AS new_c_acctbal
+  FROM old_t o FULL JOIN new_t n ON o.c_custkey = n.c_custkey
+)
+SELECT c_custkey,
+       CASE WHEN NOT in_old THEN 'insert'
+            WHEN NOT in_new THEN 'delete'
+            ELSE 'update' END AS op,
+       old_c_acctbal, new_c_acctbal
+FROM j
+WHERE NOT in_old OR NOT in_new
+   OR old_c_acctbal IS DISTINCT FROM new_c_acctbal
+ORDER BY c_custkey
+"""
+
+
 #: Anchored watermark + silence threshold for the batch silence report —
 #: fixed constants so the query is deterministic and the streaming
 #: heartbeat can be replayed to the SAME watermark for the equivalence
@@ -1785,5 +1966,21 @@ QUERIES = [
         "incremental star-join view maintenance: merged per-day join "
         "states == full recompute, proven in-plan",
         tags=("agg", "join", "warehouse"),
+    ),
+    QuerySpec(
+        "event_rolling_anomaly",
+        q_event_rolling_anomaly,
+        SQL_EVENT_ROLLING_ANOMALY,
+        "Hampel-filter anomalies: trailing median/MAD flags per user, "
+        "row-local array math, no UDF",
+        tags=("window", "timeseries", "quality"),
+    ),
+    QuerySpec(
+        "customer_snapshot_diff",
+        q_customer_snapshot_diff,
+        SQL_CUSTOMER_SNAPSHOT_DIFF,
+        "change-data-feed between two table snapshots: insert/delete/"
+        "update rows from one keyed full-outer join",
+        tags=("join", "warehouse", "cdc"),
     ),
 ]

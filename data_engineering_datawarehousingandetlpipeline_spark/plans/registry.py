@@ -147,9 +147,11 @@ MUST_VERIFY: tuple[str, ...] = (
 #: r9 DEBUT QUEUE — queries implemented after all 50 r8 slots were
 #: spoken for (the same late-debut pattern as r6/r7):
 #: event_value_percentiles (exact per-group percentiles via
-#: operators/ranking.grouped_rank) and incremental_star_rollup
-#: (incremental join-view maintenance with the in-plan merge proof).
-#: Both local-oracle-verified (sf0.001 pytest parity every CI run +
+#: operators/ranking.grouped_rank), incremental_star_rollup
+#: (incremental join-view maintenance with the in-plan merge proof),
+#: event_rolling_anomaly (Hampel-filter trailing median/MAD flags), and
+#: customer_snapshot_diff (CDC between snapshots via operators/diff).
+#: All local-oracle-verified (sf0.001 pytest parity every CI run +
 #: sf0.01 sweep); each MUST take a window slot in r9 (add to MUST_VERIFY
 #: when rotating).
 #:

@@ -609,6 +609,18 @@ def test_incremental_star_rollup_merges_states_not_rows(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_rolling_anomaly_is_one_keyed_window_no_python(spark):
+    """The Hampel filter must be ONE user-keyed window pass with the
+    median/MAD as row-local array expressions — no Python, no join, no
+    second corpus exchange."""
+    plan = _plan(spark, "event_rolling_anomaly")
+    assert plan.count("Exchange hashpartitioning") == 1
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_scd2_snapshots_use_bounded_explode_not_inequality_join(spark):
     """The as-of grid read must be an interval-explode (Generate bounded
     by the snapshot grid) + one count shuffle — never a history ×

@@ -173,3 +173,108 @@ def test_incremental_star_rollup_merge_verified_and_matches_direct_join(spark):
         )
     }
     assert {r["region_name"]: r["n_items"] for r in rows} == direct
+
+
+def test_rolling_anomaly_flags_match_python_hampel(spark):
+    """Every flagged row must satisfy the Hampel test recomputed in
+    Python over the user's trailing frame — and a spot-check confirms no
+    unflagged row in a sampled user's history satisfies it."""
+    from data_engineering_datawarehousingandetlpipeline_spark.plans import (
+        all_queries,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.analytics import (
+        ANOMALY_FRAME,
+        ANOMALY_K,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    def med(sorted_vals):
+        n = len(sorted_vals)
+        if n % 2 == 1:
+            return round(sorted_vals[(n - 1) // 2], 6)
+        return round((sorted_vals[n // 2 - 1] + sorted_vals[n // 2]) / 2, 6)
+
+    history: dict[int, list] = {}
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    ):
+        history.setdefault(r["user_id"], []).append(r)
+
+    def hampel(user_rows):
+        flags = {}
+        for i, r in enumerate(user_rows):
+            frame = [x["value"] for x in user_rows[max(0, i - ANOMALY_FRAME + 1) : i + 1]]
+            m = med(sorted(frame))
+            mad = med(sorted(abs(v - m) for v in frame))
+            flags[r["event_id"]] = (
+                mad > 0 and abs(r["value"] - m) > ANOMALY_K * mad,
+                m,
+                mad,
+            )
+        return flags
+
+    out = all_queries()["event_rolling_anomaly"].fn(spark, SF_DIR).collect()
+    assert len(out) > 0
+    expected = {u: hampel(rows) for u, rows in history.items()}
+    for r in out:
+        flag, m, mad = expected[r["user_id"]][r["event_id"]]
+        assert flag and r["med"] == m and r["mad"] == mad, r
+    # completeness: every expected flag appears
+    n_expected = sum(1 for u in expected for f, *_ in expected[u].values() if f)
+    assert len(out) == n_expected
+
+
+def test_table_diff_classifies_all_three_ops(spark):
+    """Crafted snapshots: each op class present exactly once, unchanged
+    keys absent, NULL transitions classified as updates (null-safe)."""
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.diff import (
+        table_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, None)],
+        "k long, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (4, 40.0), (5, 50.0)],  # 3 deleted
+        "k long, v double",
+    )
+    out = {r["k"]: r for r in table_diff(old, new, ["k"], ["v"]).collect()}
+    assert set(out) == {2, 3, 4, 5}  # key 1 unchanged → absent
+    assert out[2]["op"] == "update" and (out[2]["old_v"], out[2]["new_v"]) == (20.0, 25.0)
+    assert out[3]["op"] == "delete" and out[3]["new_v"] is None
+    assert out[4]["op"] == "update"  # NULL → 40.0 must not be lost
+    assert out[5]["op"] == "insert" and out[5]["old_v"] is None
+
+
+def test_customer_snapshot_diff_stripes_are_exact(spark):
+    """The CDC rows must be exactly the derivation stripes: every delete
+    key ≡ 0 (mod 97), every insert key shifted, every update a +100
+    revision on a ≡ 0 (mod 13) key not deleted."""
+    from data_engineering_datawarehousingandetlpipeline_spark.plans import (
+        all_queries,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.analytics import (
+        DIFF_DELETE_MOD,
+        DIFF_INSERT_SHIFT,
+        DIFF_UPDATE_MOD,
+    )
+
+    rows = all_queries()["customer_snapshot_diff"].fn(spark, SF_DIR).collect()
+    ops = {"insert": 0, "delete": 0, "update": 0}
+    for r in rows:
+        ops[r["op"]] += 1
+        if r["op"] == "delete":
+            assert r["c_custkey"] % DIFF_DELETE_MOD == 0
+        elif r["op"] == "insert":
+            assert r["c_custkey"] >= DIFF_INSERT_SHIFT
+        else:
+            assert r["c_custkey"] % DIFF_UPDATE_MOD == 0
+            assert r["c_custkey"] % DIFF_DELETE_MOD != 0
+            assert r["new_c_acctbal"] == r["old_c_acctbal"] + 100
+    assert all(ops[o] > 0 for o in ops), ops
