@@ -132,25 +132,30 @@ def distributed_ntile(
         .localCheckpoint(eager=False)
     )
     pid_counts = parts.groupBy("__pid").agg(F.count("*").alias("__pc"))
-    # Exclusive prefix sum over one-row-per-partition data: this window IS
-    # single-partition, over at most `num_partitions` rows — a config
-    # constant, not a data size. The broadcast back is equally tiny.
+    # Exclusive prefix sum + grand total over one-row-per-partition data:
+    # these windows ARE single-partition, but over at most
+    # `num_partitions` rows — a config constant, not a data size. The
+    # broadcast back is equally tiny, and carrying the total as a second
+    # window over the same counts avoids a separate aggregate + cross
+    # join (one RDD pass fewer).
     w_off = (
         Window.orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    w_all = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     offsets = pid_counts.select(
         "__pid",
         F.coalesce(F.sum("__pc").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__pc").over(w_all).alias("__n"),
     )
-    total = pid_counts.agg(F.sum("__pc").alias("__n"))
     # Per-bucket local rank: partitioned window — every task sees exactly
     # one range bucket, never the whole input.
     w_local = Window.partitionBy("__pid").orderBy(*sort_cols)
     ranked = (
         parts.withColumn("__lr", F.row_number().over(w_local))
         .join(F.broadcast(offsets), "__pid")
-        .crossJoin(F.broadcast(total))
         .withColumn("__rank", F.col("__off") + F.col("__lr"))
     )
     # NTILE semantics: with n rows, the first (n % t) tiles hold
