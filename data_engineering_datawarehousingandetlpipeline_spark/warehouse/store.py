@@ -259,6 +259,7 @@ class WarehouseTable:
         target_file_rows: int,
         before=None,
         log: bool = True,
+        zorder: Sequence[str] | None = None,
     ) -> int:
         """Partition-granular OPTIMIZE: bin-pack small files, day by day.
 
@@ -284,6 +285,12 @@ class WarehouseTable:
         queryable what-did-maintenance-do surface Delta's ``history()``
         provides, emulated the same way the store emulates MERGE.
         ``log=False`` opts out.
+
+        ``zorder`` (numeric column names) switches the rewrite's layout
+        from key-sorted to Morton-clustered (operators/zorder.py — the
+        ``OPTIMIZE ZORDER BY`` analogue): files become local in EVERY
+        listed column, so row-group min/max footers prune scans filtered
+        on any of them, at the cost of perfect single-column ordering.
 
         Each selected partition is materialized (partition-sized, the
         same read-modify-write guard ``merge_replace`` uses), bin-packed
@@ -328,12 +335,22 @@ class WarehouseTable:
             if n_files <= goal:
                 continue
             snapshot = part.localCheckpoint(eager=True)
-            (
-                snapshot.repartitionByRange(goal, *self.keys)
-                .sortWithinPartitions(*self.keys)
-                .write.mode("overwrite")
-                .parquet(path)
-            )
+            if zorder:
+                from data_engineering_datawarehousingandetlpipeline_spark.operators.zorder import (
+                    with_zorder,
+                )
+
+                writer = (
+                    with_zorder(snapshot, zorder)
+                    .repartitionByRange(goal, F.col("__z"))
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            else:
+                writer = snapshot.repartitionByRange(
+                    goal, *self.keys
+                ).sortWithinPartitions(*self.keys)
+            writer.write.mode("overwrite").parquet(path)
             rewritten += 1
             entries.append(
                 ("compact_partitions", name[3:], n_files, goal, rows, anchor)

@@ -278,3 +278,111 @@ def test_customer_snapshot_diff_stripes_are_exact(spark):
             assert r["c_custkey"] % DIFF_DELETE_MOD != 0
             assert r["new_c_acctbal"] == r["old_c_acctbal"] + 100
     assert all(ops[o] > 0 for o in ops), ops
+
+
+def test_zorder_interleave_matches_python_reference(spark):
+    """The Spark Morton expression must equal the pure-Python interleave
+    on crafted bucket values (both orders of magnitude and bit edges)."""
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.zorder import (
+        with_zorder,
+        zorder_interleave,
+    )
+
+    # x, y in [0, 255] so the min/max scaling makes bucket == value
+    pts = [(0, 0), (255, 255), (255, 0), (0, 255), (1, 2), (128, 64), (37, 200)]
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    rows += [(len(pts), 0.0, 0.0), (len(pts) + 1, 255.0, 255.0)]  # pin bounds
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {
+        r["id"]: r["__z"] for r in with_zorder(df, ["x", "y"]).collect()
+    }
+    for i, (x, y) in enumerate(pts):
+        assert got[i] == zorder_interleave([x, y]), (i, x, y)
+
+
+def test_zorder_files_are_local_in_both_columns(spark, tmp_path):
+    """The skipping claim, measured: rewrite a 2-column table into 16
+    files sorted by x alone vs Z-ordered on (x, y). Per-file y-spans
+    must shrink dramatically under Z-order (x-sorted files each cover
+    ~the whole y domain), while x-spans stay narrow enough to prune."""
+    import random
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.zorder import (
+        with_zorder,
+    )
+
+    rng = random.Random(42)
+    rows = [(i, rng.random() * 1000, rng.random() * 1000) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id long, x double, y double").localCheckpoint()
+
+    def mean_spans(path):
+        import glob
+
+        spans_x, spans_y = [], []
+        for f in glob.glob(f"{path}/*.parquet"):
+            mn_x, mx_x, mn_y, mx_y = (
+                spark.read.parquet(f)
+                .agg(F.min("x"), F.max("x"), F.min("y"), F.max("y"))
+                .first()
+            )
+            spans_x.append(mx_x - mn_x)
+            spans_y.append(mx_y - mn_y)
+        n = len(spans_x)
+        assert n == 16
+        return sum(spans_x) / n, sum(spans_y) / n
+
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(
+        str(tmp_path / "by_x")
+    )
+    with_zorder(df, ["x", "y"]).repartitionByRange(16, "__z").sortWithinPartitions(
+        "__z"
+    ).drop("__z").write.parquet(str(tmp_path / "by_z"))
+
+    x_span_sorted, y_span_sorted = mean_spans(tmp_path / "by_x")
+    x_span_z, y_span_z = mean_spans(tmp_path / "by_z")
+    assert x_span_sorted < 120  # x-sort: sliver files in x ...
+    assert y_span_sorted > 900  # ... but every file spans all of y
+    # Z-order: BOTH columns local — each file covers a bounded tile
+    assert y_span_z < 0.6 * y_span_sorted
+    assert x_span_z < 0.6 * 1000
+
+
+def test_compact_partitions_zorder_keeps_contents(spark, tmp_path):
+    """Z-ordered compaction must preserve contents and file counts like
+    the key-sorted path, and still log to the maintenance table."""
+    import datetime
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        clean_batch,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        WarehouseTable,
+    )
+
+    warehouse = WarehouseTable(spark, str(tmp_path / "wh"))
+
+    rows = [
+        ("s1", "2024-03-01T00:10:00Z", "1.0"),
+        ("s2", "2024-03-01T05:20:00Z", "2.0"),
+        ("s3", "2024-03-01T09:30:00Z", "3.0"),
+    ]
+    for row in rows:
+        warehouse.append(
+            clean_batch(
+                spark.createDataFrame(
+                    [row],
+                    schema="station_id string, timestamp string, temperature string",
+                )
+            ),
+            verify=False,
+        )
+    before = sorted(map(tuple, warehouse.read().collect()))
+    n = warehouse.compact_partitions(
+        target_file_rows=3,
+        before=datetime.date(2024, 3, 2),
+        zorder=["temperature"],
+    )
+    assert n == 1
+    assert sorted(map(tuple, warehouse.read().collect())) == before
+    log = warehouse.maintenance_log().collect()
+    assert len(log) == 1 and log[0].files_after == 1
