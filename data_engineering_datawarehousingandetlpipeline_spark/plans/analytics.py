@@ -1576,6 +1576,89 @@ ORDER BY user_id, day
 """
 
 
+#: "Late" for the waiting-suppliers query: shipped more than this many
+#: days after the order date (the corpus carries no commit/receipt dates,
+#: so lateness anchors to o_orderdate).
+WAITING_LATE_DAYS = 90
+WAITING_TOP_K = 20
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: suppliers solely to blame for late multi-supplier
+    orders — correlated EXISTS / NOT EXISTS, decorrelated.
+
+    The textbook Q21 states "another supplier exists on the order" and
+    "no OTHER supplier was late" as two correlated subqueries; a naive
+    translation runs a semi-join AND an anti-join against lineitem —
+    three passes over the fact table. Decorrelated, one pass suffices:
+    aggregate lineitem ⋈ orders to per-(order, supplier) lateness flags,
+    then a per-order window derives both existential facts at once
+    (n_suppliers ≥ 2 ⇔ the EXISTS; n_late_suppliers = 1 ∧ is_late ⇔ the
+    NOT EXISTS), and the blamed rows aggregate per supplier. Per-order
+    groups are bounded (lineitems per order), so the window is safe at
+    any scale; the only fact shuffles are the orderkey join/agg. Top-k
+    is a TakeOrdered, ties broken by s_name.
+    """
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {WAITING_LATE_DAYS} DAY"
+    )
+    per_os = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("is_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    blamed = (
+        per_os.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count("*").cast("int").alias("numwait"))
+        # supplier scales with SF — statistics/AQE decide (q_region_revenue)
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(WAITING_TOP_K)
+    )
+
+
+SQL_WAITING_SUPPLIERS = f"""
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL {WAITING_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey
+), annotated AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         SUM(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+  FROM per_os
+)
+SELECT s_name, CAST(COUNT(*) AS INT) AS numwait
+FROM annotated JOIN supplier ON l_suppkey = s_suppkey
+WHERE is_late = 1 AND n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT {WAITING_TOP_K}
+"""
+
+
 #: Deterministic derivation rules turning `customer` into a "corrected"
 #: second snapshot — a delete stripe, an update stripe, an insert stripe
 #: (shifted keys) — so the CDC query is replayable and oracle-checkable.
@@ -1982,5 +2065,13 @@ QUERIES = [
         "change-data-feed between two table snapshots: insert/delete/"
         "update rows from one keyed full-outer join",
         tags=("join", "warehouse", "cdc"),
+    ),
+    QuerySpec(
+        "waiting_suppliers",
+        q_waiting_suppliers,
+        SQL_WAITING_SUPPLIERS,
+        "Q21-shaped sole-blame late suppliers: correlated EXISTS / NOT "
+        "EXISTS decorrelated into one pass + per-order window",
+        tags=("join", "window", "agg"),
     ),
 ]

@@ -149,8 +149,9 @@ MUST_VERIFY: tuple[str, ...] = (
 #: event_value_percentiles (exact per-group percentiles via
 #: operators/ranking.grouped_rank), incremental_star_rollup
 #: (incremental join-view maintenance with the in-plan merge proof),
-#: event_rolling_anomaly (Hampel-filter trailing median/MAD flags), and
-#: customer_snapshot_diff (CDC between snapshots via operators/diff).
+#: event_rolling_anomaly (Hampel-filter trailing median/MAD flags),
+#: customer_snapshot_diff (CDC between snapshots via operators/diff),
+#: and waiting_suppliers (Q21-shaped decorrelated EXISTS/NOT-EXISTS).
 #: All local-oracle-verified (sf0.001 pytest parity every CI run +
 #: sf0.01 sweep); each MUST take a window slot in r9 (add to MUST_VERIFY
 #: when rotating).
