@@ -1576,6 +1576,84 @@ ORDER BY user_id, day
 """
 
 
+def q_lineitem_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data contract for the fact table: declarative expectations, one scan.
+
+    The dbt-test / Delta-constraint surface: the table's contract —
+    NOT NULL columns, accepted ranges and value domains, key uniqueness,
+    referential integrity to ``orders`` — evaluated as counted violations
+    per named check (operators/expectations.py). Every row-level check
+    folds into ONE conditional-aggregate scan with map-side partials
+    (naive per-check ``COUNT(*) WHERE NOT ...`` loops scan once per
+    check); uniqueness rides the same pass as COUNT(*) −
+    COUNT(DISTINCT keys); only the referential check adds work — a
+    left-anti join the parent side of which broadcasts/AQE-plans. Key
+    columns are NOT NULL by their own checks, so the multi-column
+    DISTINCT agrees across engines.
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+        expectations as X,
+    )
+
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    row_checks = X.check_contract(
+        lineitem,
+        [
+            X.not_null("l_orderkey"),
+            X.not_null("l_quantity"),
+            X.accepted_range("l_discount", 0.0, 1.0),
+            X.accepted_range("l_quantity", 1.0, 50.0),
+            X.accepted_values("l_returnflag", ["A", "N", "R"]),
+            X.accepted_values("l_linestatus", ["O", "F"]),
+        ],
+        unique_key=["l_orderkey", "l_linenumber"],
+    )
+    ref = X.referential_check(lineitem, orders, "l_orderkey", "o_orderkey")
+    return row_checks.unionByName(ref).orderBy("check")
+
+
+SQL_LINEITEM_CONTRACT = """
+WITH agg AS (
+  SELECT
+    SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS not_null_l_orderkey,
+    SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS not_null_l_quantity,
+    SUM(CASE WHEN l_discount IS NOT NULL
+              AND l_discount NOT BETWEEN 0.0 AND 1.0 THEN 1 ELSE 0 END)
+      AS range_l_discount,
+    SUM(CASE WHEN l_quantity IS NOT NULL
+              AND l_quantity NOT BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END)
+      AS range_l_quantity,
+    SUM(CASE WHEN l_returnflag IS NOT NULL
+              AND l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+      AS values_l_returnflag,
+    SUM(CASE WHEN l_linestatus IS NOT NULL
+              AND l_linestatus NOT IN ('O', 'F') THEN 1 ELSE 0 END)
+      AS values_l_linestatus,
+    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+      AS unique_l_orderkey_l_linenumber
+  FROM lineitem
+), ref AS (
+  SELECT COUNT(*) AS v FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+), checks AS (
+  SELECT 'not_null_l_orderkey' AS check, not_null_l_orderkey AS n_violations FROM agg
+  UNION ALL SELECT 'not_null_l_quantity', not_null_l_quantity FROM agg
+  UNION ALL SELECT 'range_l_discount', range_l_discount FROM agg
+  UNION ALL SELECT 'range_l_quantity', range_l_quantity FROM agg
+  UNION ALL SELECT 'values_l_returnflag', values_l_returnflag FROM agg
+  UNION ALL SELECT 'values_l_linestatus', values_l_linestatus FROM agg
+  UNION ALL SELECT 'unique_l_orderkey_l_linenumber',
+                   unique_l_orderkey_l_linenumber FROM agg
+  UNION ALL SELECT 'ref_l_orderkey', v FROM ref
+)
+SELECT "check", CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM checks ORDER BY "check"
+"""
+
+
 #: "Late" for the waiting-suppliers query: shipped more than this many
 #: days after the order date (the corpus carries no commit/receipt dates,
 #: so lateness anchors to o_orderdate).
@@ -2073,5 +2151,13 @@ QUERIES = [
         "Q21-shaped sole-blame late suppliers: correlated EXISTS / NOT "
         "EXISTS decorrelated into one pass + per-order window",
         tags=("join", "window", "agg"),
+    ),
+    QuerySpec(
+        "lineitem_contract",
+        q_lineitem_contract,
+        SQL_LINEITEM_CONTRACT,
+        "declarative data contract: null/range/domain/uniqueness checks "
+        "in one scan + referential anti-join",
+        tags=("quality", "agg"),
     ),
 ]

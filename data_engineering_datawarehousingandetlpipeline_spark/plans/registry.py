@@ -151,7 +151,8 @@ MUST_VERIFY: tuple[str, ...] = (
 #: (incremental join-view maintenance with the in-plan merge proof),
 #: event_rolling_anomaly (Hampel-filter trailing median/MAD flags),
 #: customer_snapshot_diff (CDC between snapshots via operators/diff),
-#: and waiting_suppliers (Q21-shaped decorrelated EXISTS/NOT-EXISTS).
+#: waiting_suppliers (Q21-shaped decorrelated EXISTS/NOT-EXISTS), and
+#: lineitem_contract (declarative data-contract checks in one scan).
 #: All local-oracle-verified (sf0.001 pytest parity every CI run +
 #: sf0.01 sweep); each MUST take a window slot in r9 (add to MUST_VERIFY
 #: when rotating).

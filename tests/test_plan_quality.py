@@ -609,6 +609,18 @@ def test_incremental_star_rollup_merges_states_not_rows(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_contract_row_checks_share_one_scan(spark):
+    """Every row-level expectation must fold into ONE conditional-agg
+    lineitem scan (stack-unpivoted); only the referential anti-join may
+    read lineitem again (plus the orders parent). No Python."""
+    plan = _plan(spark, "lineitem_contract")
+    assert plan.count("FileScan parquet") == 3  # agg scan + anti child + orders
+    assert "partial_sum" in plan
+    assert plan.count("LeftAnti") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_rolling_anomaly_is_one_keyed_window_no_python(spark):
     """The Hampel filter must be ONE user-keyed window pass with the
     median/MAD as row-local array expressions — no Python, no join, no

@@ -386,3 +386,63 @@ def test_compact_partitions_zorder_keeps_contents(spark, tmp_path):
     assert sorted(map(tuple, warehouse.read().collect())) == before
     log = warehouse.maintenance_log().collect()
     assert len(log) == 1 and log[0].files_after == 1
+
+
+def test_check_contract_counts_crafted_violations(spark):
+    """Each expectation kind must count exactly its crafted violations,
+    with NULLs exempt from range/domain checks (not_null owns those)."""
+    from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+        expectations as X,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, 0.5, "A"),
+            (1, 1, 1.5, "B"),   # dup key + range violation + bad value
+            (2, 1, None, "A"),  # null v: exempt from range
+            (None, 1, 0.2, None),  # null k; null flag exempt from values
+        ],
+        "k int, sub int, v double, flag string",
+    )
+    out = {
+        r["check"]: (r["n_violations"], r["passed"])
+        for r in X.check_contract(
+            df,
+            [
+                X.not_null("k"),
+                X.accepted_range("v", 0.0, 1.0),
+                X.accepted_values("flag", ["A"]),
+            ],
+            unique_key=["k", "sub"],
+        ).collect()
+    }
+    assert out["not_null_k"] == (1, False)
+    assert out["range_v"] == (1, False)
+    assert out["values_flag"] == (1, False)
+    # count(*) - count_distinct(k, sub): 4 rows, distinct non-null pairs
+    # {(1,1), (2,1)} -> 2 "excess" rows (the dup + the null-key row)
+    assert out["unique_k_sub"] == (2, False)
+
+
+def test_lineitem_contract_finds_the_real_duplicate_keys(spark):
+    """The contract must agree with direct recomputation — including the
+    GENUINE uniqueness violation in the synthetic corpus (duplicate
+    (l_orderkey, l_linenumber) pairs), which is exactly what a data
+    contract exists to catch. Referential integrity must pass."""
+    from data_engineering_datawarehousingandetlpipeline_spark.plans import (
+        all_queries,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    out = {
+        r["check"]: r
+        for r in all_queries()["lineitem_contract"].fn(spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    dup = li.count() - li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert out["unique_l_orderkey_l_linenumber"]["n_violations"] == dup
+    assert out["ref_l_orderkey"]["passed"]
+    assert out["not_null_l_orderkey"]["passed"]
+    assert len(out) == 8
