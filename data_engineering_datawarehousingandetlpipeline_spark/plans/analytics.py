@@ -1949,6 +1949,210 @@ ORDER BY event_type
 """
 
 
+# --- Correlated-subquery decorrelation family (Q15/Q17/Q18/Q22 shapes) ---
+# The reference pushes these shapes to BigQuery verbatim; the engine
+# expresses each textbook correlated subquery as the decorrelated plan a
+# distributed optimizer wants — the ORACLE states the correlated form, so
+# the driver's hash compare is a proof that the decorrelation preserves
+# semantics.
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) with the maximum quarterly revenue.
+
+    The textbook form filters a revenue view by a scalar ``= (SELECT
+    MAX(...))`` over itself. Decorrelated: the per-supplier revenue
+    aggregate is computed ONCE and pinned (`localCheckpoint(eager=False)`
+    — it feeds both the max and the equality filter; unpinned, Spark
+    would scan lineitem twice), the 1-row max broadcasts back, and the
+    equality join is exact because revenue is decimal-anchored on both
+    engines (double equality on bit-identical values). At 100 TB: one
+    map-side-combined shuffle of lineitem by suppkey into a dim-sized
+    aggregate; everything after is dim-sized.
+    """
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(_revenue(), wide=True).alias("total_revenue"))
+        .localCheckpoint(eager=False)
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TOP_SUPPLIER = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {sql_dsum(SQL_REVENUE, wide=True)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: yearly revenue lost to small-quantity orders.
+
+    The textbook correlates ``l_quantity < 0.2 * (SELECT AVG(l_quantity)
+    ... WHERE l_partkey = p_partkey)`` per outer row. Decorrelated: the
+    brand's lineitems are materialized once (pinned — they feed the
+    per-part average AND the threshold filter), the per-part average is a
+    filtered-part-sized aggregate joined back on the partkey the rows are
+    already partitioned by, and the threshold compare is row-local. The
+    average is decimal-anchored so the 0.2× threshold is bit-identical
+    across engines. At 100 TB: one shuffle of the brand-filtered
+    lineitems by partkey covers the join, the average, and the re-join
+    (Exchange reuse); nothing is per-row correlated.
+    """
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li = (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+        .localCheckpoint(eager=False)
+    )
+    per_part = li.groupBy("l_partkey").agg(davg("l_quantity").alias("__avg_qty"))
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2).cast("double") * F.col("__avg_qty"))
+        .agg(
+            (dsum("l_extendedprice", wide=True) / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+SQL_SMALL_QTY_REVENUE = f"""
+SELECT {sql_dsum('l_extendedprice', wide=True)} / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < CAST(0.2 AS DOUBLE) * (
+    SELECT {sql_davg('l_quantity')}
+    FROM lineitem WHERE l_partkey = p_partkey
+  )
+"""
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: customers behind the largest-volume orders.
+
+    The textbook gates on ``o_orderkey IN (SELECT l_orderkey ... HAVING
+    SUM(l_quantity) > 280)`` and then re-aggregates the same sum in the
+    output. Decorrelated: ONE orderkey-keyed aggregate produces both the
+    gate and the output value; the surviving handful of orders joins
+    orders/customer with the tiny side broadcast by AQE. At 100 TB the
+    only fact-sized work is the map-side-combined lineitem aggregate —
+    the IN-subquery's second scan and second aggregation are gone.
+    """
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > F.lit(280.0))
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey"
+        )
+    )
+
+
+SQL_LARGE_VOLUME_ORDERS = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING {sql_dsum('l_quantity')} > 280.0
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: above-average-balance customers gone quiet.
+
+    Textbook: a scalar global-average subquery plus a per-customer NOT
+    EXISTS against orders. Decorrelated: the 1-row average cross-joins
+    back as a broadcast (no per-row subquery), and NOT EXISTS becomes a
+    LEFT ANTI join against the date-filtered order feed — the date
+    predicate pushes to the orders scan, so the anti-join's right side is
+    the recent slice, not table history. Grouping lands on the broadcast
+    nation dim. At 100 TB: one customer-keyed anti-join shuffle is the
+    only fact-sized exchange.
+    """
+    ensure_runtime_confs(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(davg("c_acctbal").alias("__avg_bal"))
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        customer.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, "c_custkey", "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+SQL_IDLE_RICH_CUSTOMERS = f"""
+SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS numcust,
+       {sql_dsum('c_acctbal')} AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+    SELECT {sql_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 QUERIES = [
     QuerySpec(
         "pricing_summary",
@@ -2159,5 +2363,37 @@ QUERIES = [
         "declarative data contract: null/range/domain/uniqueness checks "
         "in one scan + referential anti-join",
         tags=("quality", "agg"),
+    ),
+    QuerySpec(
+        "top_supplier",
+        q_top_supplier,
+        SQL_TOP_SUPPLIER,
+        "Q15-shaped scalar-MAX decorrelation: pinned revenue view + "
+        "broadcast 1-row max",
+        tags=("join", "agg", "decorrelate"),
+    ),
+    QuerySpec(
+        "small_qty_revenue",
+        q_small_qty_revenue,
+        SQL_SMALL_QTY_REVENUE,
+        "Q17-shaped correlated-AVG decorrelation: per-part aggregate "
+        "joined back on the reused partkey exchange",
+        tags=("join", "agg", "decorrelate"),
+    ),
+    QuerySpec(
+        "large_volume_orders",
+        q_large_volume_orders,
+        SQL_LARGE_VOLUME_ORDERS,
+        "Q18-shaped IN+HAVING decorrelation: one orderkey aggregate is "
+        "both gate and output",
+        tags=("join", "agg", "decorrelate"),
+    ),
+    QuerySpec(
+        "idle_rich_customers",
+        q_idle_rich_customers,
+        SQL_IDLE_RICH_CUSTOMERS,
+        "Q22-shaped scalar-avg + NOT-EXISTS decorrelation: broadcast "
+        "average + LEFT ANTI on the pushed-down recent slice",
+        tags=("join", "agg", "decorrelate"),
     ),
 ]

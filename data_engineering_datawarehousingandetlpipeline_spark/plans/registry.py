@@ -151,11 +151,14 @@ MUST_VERIFY: tuple[str, ...] = (
 #: (incremental join-view maintenance with the in-plan merge proof),
 #: event_rolling_anomaly (Hampel-filter trailing median/MAD flags),
 #: customer_snapshot_diff (CDC between snapshots via operators/diff),
-#: waiting_suppliers (Q21-shaped decorrelated EXISTS/NOT-EXISTS), and
-#: lineitem_contract (declarative data-contract checks in one scan).
-#: All local-oracle-verified (sf0.001 pytest parity every CI run +
-#: sf0.01 sweep); each MUST take a window slot in r9 (add to MUST_VERIFY
-#: when rotating).
+#: waiting_suppliers (Q21-shaped decorrelated EXISTS/NOT-EXISTS),
+#: lineitem_contract (declarative data-contract checks in one scan), and
+#: the decorrelation family top_supplier / small_qty_revenue /
+#: large_volume_orders / idle_rich_customers (Q15/Q17/Q18/Q22 shapes —
+#: oracles state the textbook correlated subqueries, plans run the
+#: decorrelated forms). All local-oracle-verified (sf0.001 pytest parity
+#: every CI run + sf0.01 sweep); each MUST take a window slot in r9 (add
+#: to MUST_VERIFY when rotating) — 10 debuts total.
 #:
 #: r9 OWED SET (window math for next round, decided now, not by slip):
 #: out-of-window at r8 are 62 queries = the 14 deferrals named above
@@ -163,15 +166,21 @@ MUST_VERIFY: tuple[str, ...] = (
 #: they take r9 slots first) + the 48 green-r7 window members that
 #: rotated out this round (everything in the r7 WINDOW_HEAD except
 #: scd2_event_enrich and asof_last_error, which re-verify in-window now).
-#: Owed at r9 = 62 candidates + the r9 debut queue above for 50 slots.
+#: Owed at r9 = 62 candidates + the 10-query r9 debut queue above for
+#: 50 slots.
 #: Resolution: the 14 exhausted deferrals and every debut/changed query
-#: are non-negotiable; defer 12+ of the 48 multiply-green r7 queries
-#: (recommend the streaming/second-row family with every-CI pytest
-#: coverage: streaming_window_stats, streaming_sessions, streaming_chunks,
+#: are non-negotiable (24 slots), leaving 26 for the 48 multiply-green
+#: r7 rotations — defer 22 of them, picked at r9 planning time by
+#: deepest-green-history-first among queries with every-CI pytest
+#: coverage (start with the streaming/second-row family:
+#: streaming_window_stats, streaming_sessions, streaming_chunks,
 #: streaming_ingest, sessionization, session_stats, doc_ngram_topk,
 #: retention_cohorts, doc_span_dedup, emb_quantize_stats,
 #: doc_group_sample, emb_cluster_profile — each restart/contract-tested
-#: every pytest run). Never defer a debut or a changed query.
+#: every pytest run — then extend by git-blame age). At 122 registry
+#: queries over a 50-slot window the steady-state cycle is ~2.5 rounds;
+#: the ≤-3-round staleness policy still holds with the deferral choice
+#: rotating. Never defer a debut or a changed query.
 
 
 def all_queries() -> dict[str, QuerySpec]:

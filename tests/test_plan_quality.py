@@ -681,3 +681,57 @@ def test_perplexity_scoring_is_token_keyed_hash_join_over_pinned_counts(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
         assert frag.startswith(" BuildRight, Cross"), frag[:60]
+
+
+def test_top_supplier_pins_revenue_and_broadcasts_max(spark):
+    """Q15 decorrelation: the per-supplier revenue aggregate must be
+    computed once (pinned — both consumers read Scan ExistingRDD) with
+    the 1-row max arriving as a broadcast equality join, never a second
+    lineitem scan or a nested-loop filter."""
+    plan = _plan(spark, "top_supplier")
+    assert plan.count("Scan ExistingRDD") == 2
+    assert plan.count("FileScan parquet") == 1  # supplier only
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_small_qty_revenue_reuses_one_partkey_exchange(spark):
+    """Q17 decorrelation: the brand lineitems pin once and both the
+    per-part average and the threshold join key on l_partkey — at most
+    two hash exchanges (one per SMJ side, the agg side reusing its
+    partitioning into the join; statistics may instead broadcast the
+    dim-sized average at small SF, leaving one). No correlated per-row
+    work, no Python."""
+    plan = _plan(spark, "small_qty_revenue")
+    assert plan.count("Scan ExistingRDD") == 2  # pinned brand lineitems
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_large_volume_orders_single_fact_aggregate(spark):
+    """Q18 decorrelation: ONE map-side-combined lineitem aggregate is
+    both the HAVING gate and the output sum — the textbook IN-subquery's
+    second lineitem scan must not exist."""
+    plan = _plan(spark, "large_volume_orders")
+    assert plan.count("FileScan parquet") == 3  # lineitem, orders, customer
+    assert "partial_sum" in plan
+    assert "SortMergeJoin" not in plan  # tiny gated side joins hashed
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_idle_rich_customers_anti_join_pushes_date_slice(spark):
+    """Q22 decorrelation: NOT EXISTS must execute as LEFT ANTI against
+    the date-filtered orders slice (predicate at the scan), the global
+    average joins as a broadcast 1-row build, and nation stays
+    broadcast."""
+    plan = _plan(spark, "idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate," in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row average
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
