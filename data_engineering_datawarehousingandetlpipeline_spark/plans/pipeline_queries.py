@@ -951,6 +951,121 @@ ORDER BY event_type
 """
 
 
+#: streaming contract runs the user_id < 8 slice sharded 3 ways on
+#: event_id — small enough for a driver-verifiable e2e drain, large
+#: enough that every batch counts real violations.
+STREAM_CONTRACT_PRED = "user_id < 8"
+STREAM_CONTRACT_SHARDS = 3
+
+
+def q_streaming_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch data-contract reports from the streaming monitor.
+
+    The events slice is staged as three ``event_id % 3`` shards with
+    increasing mtimes (the Kafka stand-in), drained one file per
+    micro-batch through ``streaming/pipeline.start_contract_monitor``
+    with a contract the corpus genuinely violates — values capped at 100
+    (real max ~490) and an event-type whitelist that excludes ``error``
+    — plus two checks it satisfies (value NOT NULL, event_id unique per
+    batch). The oracle recomputes every (batch, check) violation count
+    from the batch grouping ``event_id % 3``, so the comparison proves
+    the monitor's per-epoch reports equal the declared per-batch
+    semantics — and the idempotent ``batch_id=<epoch>`` partition writes
+    mean a checkpoint replay could not have double-counted.
+    """
+    import glob
+    import shutil
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+        expectations as X,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_contract_monitor,
+    )
+
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").filter(
+        F.expr(STREAM_CONTRACT_PRED)
+    )
+    staged = events.select("event_id", "user_id", "event_type", "value")
+    # TEST-SCALE ONLY staging (the q_streaming_scd2 convention): modular
+    # shards as single files with forced increasing mtimes so the file
+    # source's (mtime, path) order maps epoch i to shard i.
+    workdir = tempfile.mkdtemp(prefix="streaming_contract_q_")
+    indir = os.path.join(workdir, "incoming")
+    os.makedirs(indir)
+    for i in range(STREAM_CONTRACT_SHARDS):
+        shard_dir = os.path.join(workdir, f"shard{i}")
+        staged.filter(
+            F.col("event_id") % STREAM_CONTRACT_SHARDS == i
+        ).coalesce(1).write.mode("overwrite").json(shard_dir)
+        (part,) = glob.glob(os.path.join(shard_dir, "part-*.json"))
+        dest = os.path.join(indir, f"shard{i}.json")
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(indir)
+    )
+    out_dir = os.path.join(workdir, "contract_log")
+    query = start_contract_monitor(
+        stream,
+        out_dir,
+        os.path.join(workdir, "ckpt"),
+        checks=[
+            X.not_null("value"),
+            X.accepted_range("value", 0.0, 100.0),
+            X.accepted_values(
+                "event_type", ["click", "purchase", "signup", "view"]
+            ),
+        ],
+        unique_key=["event_id"],
+        available_now=True,
+    )
+    query.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            F.col("batch_id").cast("int").alias("batch_id"),
+            "check",
+            "n_violations",
+            "passed",
+        )
+        .orderBy("batch_id", "check")
+    )
+
+
+SQL_STREAMING_CONTRACT = f"""
+WITH src AS (
+  SELECT CAST(event_id % {STREAM_CONTRACT_SHARDS} AS INT) AS batch_id,
+         event_id, event_type, value
+  FROM events WHERE {STREAM_CONTRACT_PRED}
+), agg AS (
+  SELECT batch_id,
+    SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS not_null_value,
+    SUM(CASE WHEN value IS NOT NULL
+              AND value NOT BETWEEN 0.0 AND 100.0 THEN 1 ELSE 0 END)
+      AS range_value,
+    SUM(CASE WHEN event_type IS NOT NULL
+              AND event_type NOT IN ('click', 'purchase', 'signup', 'view')
+             THEN 1 ELSE 0 END) AS values_event_type,
+    COUNT(*) - COUNT(DISTINCT event_id) AS unique_event_id
+  FROM src GROUP BY batch_id
+), checks AS (
+  SELECT batch_id, 'not_null_value' AS check, not_null_value AS n FROM agg
+  UNION ALL SELECT batch_id, 'range_value', range_value FROM agg
+  UNION ALL SELECT batch_id, 'values_event_type', values_event_type FROM agg
+  UNION ALL SELECT batch_id, 'unique_event_id', unique_event_id FROM agg
+)
+SELECT batch_id, "check", CAST(n AS BIGINT) AS n_violations,
+       n = 0 AS passed
+FROM checks ORDER BY batch_id, "check"
+"""
+
+
 QUERIES = [
     QuerySpec("pivot_daily", q_pivot_daily, SQL_PIVOT_DAILY,
               "pivot: daily totals per event type", tags=("pivot", "agg")),
@@ -1009,4 +1124,9 @@ QUERIES = [
               "HLL distinct + t-digest percentiles: exact values + "
               "within-tolerance booleans (hash-verifiable sketch contract)",
               tags=("agg", "sketch")),
+    QuerySpec("streaming_contract", q_streaming_contract,
+              SQL_STREAMING_CONTRACT,
+              "per-micro-batch data-contract reports (streaming "
+              "expectations monitor), oracle = per-shard recomputation",
+              tags=("streaming", "quality")),
 ]

@@ -399,3 +399,76 @@ def start_scd2(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def start_contract_monitor(
+    source: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    checks,
+    unique_key=None,
+    quarantine_dir: str | None = None,
+    available_now: bool = False,
+    trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Per-micro-batch data-contract evaluation (streaming expectations).
+
+    The streaming twin of ``operators/expectations.check_contract``: each
+    micro-batch's violation counts land as one tiny report partition
+    (``batch_id=<epoch>``), so a feed's health is queryable per batch the
+    moment the batch commits — the dbt-test / Delta-constraint loop run
+    continuously instead of nightly. With ``quarantine_dir`` set, rows
+    failing any ROW-LEVEL check are also diverted (with a ``violated``
+    array naming the failed checks) for replay after upstream repair.
+
+    Idempotence: a replayed epoch rewrites its OWN partition directory
+    (mode=overwrite on ``batch_id=<epoch>``), so checkpoint recovery
+    cannot double-count — the same contract as the exactly-once parquet
+    sink, expressed per-partition because foreachBatch owns the write.
+
+    Scope notes: ``unique_key`` counts duplicates WITHIN a batch (the
+    transport-level contract — a double-delivered payload inside one
+    poll); cross-batch identity is the dedup ladder's job
+    (``start_exact_dedup``), and cross-batch uniqueness violations are
+    exactly what its state detects. Row-level checks are row-local, so
+    the monitor adds no shuffle beyond ``check_contract``'s one
+    conditional-aggregate pass per micro-batch.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.expectations import (
+        check_contract,
+    )
+
+    row_checks = list(checks)
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        report = check_contract(batch, row_checks, unique_key=unique_key)
+        report.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={int(epoch_id)}")
+        )
+        if quarantine_dir is not None:
+            violated = F.array_compact(
+                F.array(
+                    *[
+                        F.when(cond, F.lit(name))
+                        for name, cond in row_checks
+                    ]
+                )
+            )
+            batch.withColumn("violated", violated).filter(
+                F.size("violated") > 0
+            ).write.mode("overwrite").parquet(
+                os.path.join(quarantine_dir, f"batch_id={int(epoch_id)}")
+            )
+
+    writer = source.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -797,3 +797,85 @@ def test_warehouse_history_example_composes(spark):
     assert got["closed_versions"] > 0
     assert got["snapshot_cells"] > 0
     assert got["event_types"] == 5
+
+
+def test_contract_monitor_reports_quarantines_and_replays_idempotently(
+    spark, tmp_path
+):
+    """The streaming expectations monitor must (a) emit one report row
+    per (batch, check) with exactly the crafted violation counts, (b)
+    divert violating rows to quarantine with the failed checks named,
+    and (c) rewrite — not duplicate — its partitions when the same epoch
+    replays after a checkpoint wipe (the idempotence contract)."""
+    from pyspark.sql import types as T
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+        expectations as X,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_contract_monitor,
+    )
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    shards = [
+        [
+            {"k": 1, "v": 10.0},
+            {"k": 2, "v": None},   # not_null violation
+            {"k": 2, "v": 20.0},   # duplicate key
+        ],
+        [
+            {"k": 4, "v": 999.0},  # range violation
+            {"k": 5, "v": 50.0},
+        ],
+    ]
+    for i, rows in enumerate(shards):
+        path = indir / f"shard{i}.json"
+        with open(path, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row) + "\n")
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+
+    def drain(ckpt):
+        query = start_contract_monitor(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(indir)),
+            str(tmp_path / "log"),
+            str(tmp_path / ckpt),
+            checks=[X.not_null("v"), X.accepted_range("v", 0.0, 100.0)],
+            unique_key=["k"],
+            quarantine_dir=str(tmp_path / "bad"),
+            available_now=True,
+        )
+        query.awaitTermination()
+        return {
+            (r.batch_id, r.check): r.n_violations
+            for r in spark.read.parquet(str(tmp_path / "log")).collect()
+        }
+
+    got = drain("ckpt")
+    assert got == {
+        (0, "not_null_v"): 1,
+        (0, "range_v"): 0,
+        (0, "unique_k"): 1,
+        (1, "not_null_v"): 0,
+        (1, "range_v"): 1,
+        (1, "unique_k"): 0,
+    }
+    bad = spark.read.parquet(str(tmp_path / "bad")).collect()
+    assert {(r.batch_id, r.k, tuple(r.violated)) for r in bad} == {
+        (0, 2, ("not_null_v",)),
+        (1, 4, ("range_v",)),
+    }
+
+    # fresh checkpoint: both epochs replay onto the same partitions —
+    # counts identical, nothing appended twice
+    assert drain("ckpt2") == got
