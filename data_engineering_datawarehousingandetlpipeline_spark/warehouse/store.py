@@ -23,6 +23,13 @@ changes):
   table itself instead of a side JSON file (no crash window between data
   write and state write — the reference's T4 bug, kafka_stream.py:326-330,
   fixed structurally).
+- schema evolution — Delta's contract on plain parquet: the registered
+  schema lives in a ``_schema`` sidecar (the metadata-log analogue), reads
+  bind to it (O(1) in file count — no footer sampling, pre-widening files
+  surface added columns as NULLs), type drift always fails, old-schema
+  producers keep working (missing columns → typed NULLs), and widening is
+  an explicit ``evolve_schema=True`` opt-in recorded in the maintenance
+  audit.
 
 Layout: ``root/dt=YYYY-MM-DD/*.parquet``, hive-style partitioning on the
 UTC date of the event timestamp.
@@ -30,11 +37,13 @@ UTC date of the event timestamp.
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_engineering_datawarehousingandetlpipeline_spark.schema import KEY_COLUMNS
 
@@ -67,7 +76,83 @@ class WarehouseTable:
             return False
 
     def read(self) -> DataFrame:
+        stored = self.table_schema()
+        if stored is not None:
+            # the registered schema makes reads O(1) in file count: no
+            # footer sampling, and files written BEFORE a column was
+            # added surface it as typed NULLs (per-file missing-column
+            # semantics) without a mergeSchema footer scan of the table.
+            return self.spark.read.schema(stored).parquet(self.root)
         return self.spark.read.parquet(self.root)
+
+    # ------------------------------------------------------ schema registry
+
+    def _schema_file(self) -> str:
+        return os.path.join(self.root, "_schema", "current.json")
+
+    def table_schema(self) -> T.StructType | None:
+        """The registered table schema (the Delta/Iceberg metadata-log
+        analogue, as an underscore sidecar invisible to data scans).
+        ``None`` for pre-registry tables — reads fall back to inference."""
+        try:
+            with open(self._schema_file()) as fh:
+                return T.StructType.fromJson(json.load(fh))
+        except FileNotFoundError:
+            return None
+
+    def _register_schema(self, schema: T.StructType) -> None:
+        os.makedirs(os.path.dirname(self._schema_file()), exist_ok=True)
+        tmp = self._schema_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(schema.jsonValue(), fh)
+        os.replace(tmp, self._schema_file())  # atomic swap, no torn reads
+
+    def _align_schema(
+        self, df: DataFrame, evolve: bool
+    ) -> tuple[DataFrame, T.StructType, list[str]]:
+        """Schema-evolution contract on the write path (Delta semantics).
+
+        Against the registered schema: a same-name/different-type column
+        always raises (silent type drift corrupts every later read);
+        batch-MISSING table columns are filled as typed NULLs (safe —
+        Delta allows this by default, and it keeps an old-schema producer
+        working after the table evolved); batch-NEW columns require
+        ``evolve=True`` (they change the table contract — Delta's
+        ``mergeSchema`` opt-in), after which the registry holds the union
+        and earlier files surface the column as NULL.
+        """
+        stored = self.table_schema()
+        if stored is None:
+            return df, df.schema, []
+        cur = {f.name: f for f in stored.fields}
+        new = {f.name: f for f in df.schema.fields}
+        conflicts = [
+            n for n in new
+            if n in cur and new[n].dataType != cur[n].dataType
+        ]
+        if conflicts:
+            raise ValueError(
+                f"schema conflict on {conflicts}: incoming "
+                f"{[new[n].dataType.simpleString() for n in conflicts]} vs table "
+                f"{[cur[n].dataType.simpleString() for n in conflicts]}"
+            )
+        added = [n for n in new if n not in cur]
+        if added and not evolve:
+            raise ValueError(
+                f"batch adds columns {added} not in the table schema; "
+                "pass evolve_schema=True to widen the table"
+            )
+        aligned = df
+        for n in cur:
+            if n not in new:
+                aligned = aligned.withColumn(
+                    n, F.lit(None).cast(cur[n].dataType)
+                )
+        aligned = aligned.select(*list(cur), *added)
+        evolved = T.StructType(
+            stored.fields + [new[n] for n in added]
+        )
+        return aligned, evolved, added
 
     def count(self) -> int:
         return self.read().count() if self.exists() else 0
@@ -77,22 +162,38 @@ class WarehouseTable:
     def _with_dt(self, df: DataFrame) -> DataFrame:
         return df.withColumn("dt", F.to_date(F.col(self.ts_col)))
 
-    def append(self, df: DataFrame, verify: bool = True) -> int:
+    def append(
+        self, df: DataFrame, verify: bool = True, evolve_schema: bool = False
+    ) -> int:
         """S5: append the batch; S6: verify persisted rows afterwards.
 
         Returns the number of rows written. Verification re-counts only the
         partitions the batch touched (cheap at any scale), mirroring
         ``_verify_row_persistence`` (kafka_stream.py:161-193) without a
         full-table scan.
+
+        Schema contract (see :meth:`_align_schema`): batches missing
+        registered columns write typed NULLs; batches ADDING columns
+        require ``evolve_schema=True``, which widens the registered
+        schema (logged to the maintenance audit) — files written before
+        the widening surface the new column as NULL on read.
         """
         before = self._count_in_partitions(df) if verify else 0
-        n = df.count()
+        aligned, evolved, added = self._align_schema(
+            self._with_dt(df), evolve_schema
+        )
+        n = aligned.count()
         (
-            self._with_dt(df)
+            aligned
             .write.mode("append")
             .partitionBy("dt")
             .parquet(self.root)
         )
+        self._register_schema(evolved)
+        if added:
+            self._log_maintenance(
+                [("evolve_schema", ",".join(added), None, None, None, None)]
+            )
         if verify:
             after = self._count_in_partitions(df)
             if after - before < n:
@@ -102,23 +203,31 @@ class WarehouseTable:
                 )
         return n
 
-    def merge_upsert(self, df: DataFrame) -> int:
+    def merge_upsert(self, df: DataFrame, evolve_schema: bool = False) -> int:
         """T4: idempotent insert-if-absent on the key columns.
 
         Anti-join the incoming batch against ONLY the existing rows of the
         partitions it touches, then append the survivors. Re-running the
         same batch is a no-op — the exactly-once property the reference
         approximates with its watermark file.
+
+        Schema evolution rides the append contract: old-schema batches
+        keep working after the table widened (missing columns → NULLs);
+        widening itself needs ``evolve_schema=True``. ``merge_replace``
+        stays schema-strict — a correction feed whose schema drifted
+        should fail loudly, not null out columns it forgot.
         """
         incoming = df.dropDuplicates(self.keys)
         if not self.exists():
-            return self.append(incoming, verify=False)
+            return self.append(
+                incoming, verify=False, evolve_schema=evolve_schema
+            )
         existing = self._partition_slice(incoming).select(*self.keys)
         fresh = incoming.join(existing, self.keys, "left_anti")
         # materialize before writing: the anti-join must not re-read the
         # table mid-append (read-modify-write hazard on the same files)
         fresh = fresh.localCheckpoint(eager=True)
-        return self.append(fresh, verify=False)
+        return self.append(fresh, verify=False, evolve_schema=evolve_schema)
 
     def merge_replace(self, df: DataFrame) -> int:
         """MERGE with update-on-match: incoming rows REPLACE same-key rows.

@@ -879,3 +879,68 @@ def test_contract_monitor_reports_quarantines_and_replays_idempotently(
     # fresh checkpoint: both epochs replay onto the same partitions —
     # counts identical, nothing appended twice
     assert drain("ckpt2") == got
+
+
+def _ts_df(spark, rows, ddl):
+    """Rows with ISO-string timestamps -> DataFrame with a real ts column."""
+    df = spark.createDataFrame(rows, ddl.replace("ts timestamp", "ts string"))
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_schema_evolution_widens_on_optin_and_rejects_drift(spark, tmp_path):
+    """The Delta-shaped schema contract: silent type drift always fails;
+    widening needs evolve_schema=True and backfills earlier files as
+    NULLs on read; an old-schema producer keeps working afterwards
+    (missing column -> typed NULLs); the registered schema survives a
+    fresh handle; and the widening is in the maintenance audit."""
+    warehouse = WarehouseTable(
+        spark, str(tmp_path / "wh"), keys=["k", "ts"], ts_col="ts"
+    )
+    v1 = _ts_df(spark, [(1, "2024-03-01T00:00:00", 10.0)], "k long, ts timestamp, temp double")
+    warehouse.append(v1, verify=False)
+
+    # same name, different type: always a loud failure
+    drift = _ts_df(spark, [(2, "2024-03-01T01:00:00", "hot")], "k long, ts timestamp, temp string")
+    with pytest.raises(ValueError, match="schema conflict"):
+        warehouse.append(drift, verify=False)
+
+    # new column without opt-in: refused; with opt-in: widened
+    v2 = _ts_df(spark, [(3, "2024-03-02T00:00:00", 12.5, 55.0)], "k long, ts timestamp, temp double, humidity double")
+    with pytest.raises(ValueError, match="evolve_schema=True"):
+        warehouse.append(v2, verify=False)
+    warehouse.append(v2, verify=False, evolve_schema=True)
+
+    got = {r.k: (r.temp, r.humidity) for r in warehouse.read().collect()}
+    assert got == {1: (10.0, None), 3: (12.5, 55.0)}
+
+    # old-schema producer after the widening: missing column -> NULL
+    warehouse.merge_upsert(
+        _ts_df(spark, [(4, "2024-03-03T00:00:00", 9.0)], "k long, ts timestamp, temp double")
+    )
+    # fresh handle: the registry, not footer sampling, defines the schema
+    again = WarehouseTable(spark, str(tmp_path / "wh"), keys=["k", "ts"], ts_col="ts")
+    # (Spark surfaces the dt partition column last on read)
+    assert [f.name for f in again.read().schema.fields] == [
+        "k", "ts", "temp", "humidity", "dt",
+    ]
+    assert again.read().filter("k = 4").first().humidity is None
+
+    log = warehouse.maintenance_log().filter("op = 'evolve_schema'").collect()
+    assert [r.partition for r in log] == ["humidity"]
+
+
+def test_schema_evolution_keeps_merge_idempotent_across_widening(spark, tmp_path):
+    """A replayed old-schema batch after the table widened must still be
+    a no-op — the anti-join sees the registered schema's key columns."""
+    warehouse = WarehouseTable(
+        spark, str(tmp_path / "wh"), keys=["k", "ts"], ts_col="ts"
+    )
+    batch = _ts_df(spark, [(1, "2024-03-01T00:00:00", 10.0)], "k long, ts timestamp, temp double")
+    warehouse.merge_upsert(batch)
+    warehouse.append(
+        _ts_df(spark, [(2, "2024-03-01T02:00:00", 11.0, 60.0)], "k long, ts timestamp, temp double, humidity double"),
+        verify=False,
+        evolve_schema=True,
+    )
+    assert warehouse.merge_upsert(batch) == 0  # replay: still idempotent
+    assert warehouse.count() == 2
