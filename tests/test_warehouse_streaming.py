@@ -944,3 +944,21 @@ def test_schema_evolution_keeps_merge_idempotent_across_widening(spark, tmp_path
     )
     assert warehouse.merge_upsert(batch) == 0  # replay: still idempotent
     assert warehouse.count() == 2
+
+
+def test_data_contracts_example_composes(spark):
+    """examples/data_contracts.py is the quality-family composition
+    check: batch contract -> quarantine -> streaming monitor -> schema
+    evolution -> widened contract, one lifecycle."""
+    import sys as _sys
+
+    _sys.path.insert(0, "examples")
+    from data_contracts import run_checks
+
+    got = run_checks(spark)
+    assert got["batch_failed_checks"] == 3
+    assert got["stream_failed_checks"] == 2   # one range, one dup
+    assert got["stream_quarantined"] == 1     # the -80.0 reading
+    assert got["rows"] == 4
+    assert got["humidity_nulls"] == 3
+    assert got["evolutions"] == 1
