@@ -2153,6 +2153,193 @@ ORDER BY n_name
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 undelivered orders by revenue for a segment.
+
+    The segment filter reduces customer to a key list BEFORE the join
+    (semi-join shape — no customer payload travels); the date predicates
+    push to the orders and lineitem scans; and the top-10 must execute as
+    TakeOrdered (limit pushed into the shuffle — every partition ships
+    its local top-10, the driver merges 10×P rows), never a global sort
+    materializing the full aggregate. At 100 TB the only fact-sized work
+    is the orderkey-keyed aggregate of the filtered join.
+    """
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-07-01 00:00:00").cast("timestamp")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp")
+    )
+    building = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(building, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_revenue(), wide=True).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {sql_dsum(SQL_REVENUE, wide=True)} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: promo revenue share for one ship month.
+
+    Both the numerator (PROMO-typed revenue) and the denominator ride the
+    SAME aggregate pass as conditional sums — the two-query formulation a
+    naive translation produces would scan the month twice. The month
+    predicate pushes to the lineitem scan; part joins on partkey (AQE
+    picks broadcast vs shuffle by size). Decimal-anchored sums make the
+    final one-op division bit-identical across engines.
+    """
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))
+    return (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0) * dsum(promo, wide=True)
+                / dsum(_revenue(), wide=True)
+            ).alias("promo_share")
+        )
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = f"""
+SELECT 100.0 * {sql_dsum(f"CASE WHEN p_type = 'PROMO' THEN {SQL_REVENUE} ELSE 0.0 END", wide=True)}
+       / {sql_dsum(SQL_REVENUE, wide=True)} AS promo_share
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+def q_disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: revenue under an OR-of-ANDs brand/size/quantity
+    predicate.
+
+    The classic optimizer test: the disjunction must NOT break the join
+    into three union'd scans or a nested loop — Catalyst keeps ONE
+    partkey equi-join and evaluates the OR as a join residual, while
+    constraint extraction pushes each side's common superset (the brand
+    IN-list and size floor to the part scan, the quantity bounds to the
+    lineitem scan) so row groups skip before the join even sees them.
+    """
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    band = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 30)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return lineitem.join(
+        part, (F.col("l_partkey") == F.col("p_partkey")) & band
+    ).agg(
+        dsum(_revenue(), wide=True).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_DISJUNCTIVE_BAND_REVENUE = f"""
+SELECT {sql_dsum(SQL_REVENUE, wide=True)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: one nation's revenue share by order year.
+
+    Share-of-total without a self-join or window: the numerator is a
+    conditional sum over the SAME per-year aggregate as the denominator.
+    The customer→nation lookup broadcasts (fixed-size dim); lineitem
+    shuffles once onto orders; the per-year output is a handful of rows.
+    Both sums are decimal-anchored, so the per-year division and the
+    6-dp round agree across engines.
+    """
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    target = F.when(F.col("n_name") == "NATION_3", _revenue()).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                dsum(target, wide=True) / dsum(_revenue(), wide=True), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_NATION_MARKET_SHARE = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round({sql_dsum(f"CASE WHEN n_name = 'NATION_3' THEN {SQL_REVENUE} ELSE 0.0 END", wide=True)}
+             / {sql_dsum(SQL_REVENUE, wide=True)}, 6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+
 QUERIES = [
     QuerySpec(
         "pricing_summary",
@@ -2395,5 +2582,36 @@ QUERIES = [
         "Q22-shaped scalar-avg + NOT-EXISTS decorrelation: broadcast "
         "average + LEFT ANTI on the pushed-down recent slice",
         tags=("join", "agg", "decorrelate"),
+    ),
+    QuerySpec(
+        "shipping_priority",
+        q_shipping_priority,
+        SQL_SHIPPING_PRIORITY,
+        "Q3-shaped segment top-10 by revenue: TakeOrdered, semi-shaped "
+        "customer filter, both date predicates pushed",
+        tags=("join", "agg", "topk"),
+    ),
+    QuerySpec(
+        "promo_revenue_share",
+        q_promo_revenue_share,
+        SQL_PROMO_REVENUE_SHARE,
+        "Q14-shaped conditional-sum ratio in ONE aggregate pass",
+        tags=("join", "agg"),
+    ),
+    QuerySpec(
+        "disjunctive_band_revenue",
+        q_disjunctive_band_revenue,
+        SQL_DISJUNCTIVE_BAND_REVENUE,
+        "Q19-shaped OR-of-ANDs join: one equi-join + residual, superset "
+        "constraints pushed to both scans",
+        tags=("join", "agg"),
+    ),
+    QuerySpec(
+        "nation_market_share",
+        q_nation_market_share,
+        SQL_NATION_MARKET_SHARE,
+        "Q8-shaped share-of-total by year: numerator and denominator in "
+        "the same aggregate",
+        tags=("join", "agg"),
     ),
 ]

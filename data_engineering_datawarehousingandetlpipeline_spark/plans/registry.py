@@ -156,11 +156,15 @@ MUST_VERIFY: tuple[str, ...] = (
 #: the decorrelation family top_supplier / small_qty_revenue /
 #: large_volume_orders / idle_rich_customers (Q15/Q17/Q18/Q22 shapes —
 #: oracles state the textbook correlated subqueries, plans run the
-#: decorrelated forms), and streaming_contract (per-micro-batch
-#: expectations monitor, oracle = per-shard recomputation). All
-#: local-oracle-verified (sf0.001 pytest parity every CI run + sf0.01
-#: sweep); each MUST take a window slot in r9 (add to MUST_VERIFY when
-#: rotating) — 11 debuts total.
+#: decorrelated forms), streaming_contract (per-micro-batch
+#: expectations monitor, oracle = per-shard recomputation), and the
+#: second TPC-H plan-shape batch shipping_priority / promo_revenue_share
+#: / disjunctive_band_revenue / nation_market_share (Q3/Q14/Q19/Q8 —
+#: TakeOrdered top-k, one-pass conditional-sum ratio, OR-of-ANDs
+#: residual join with pushed supersets, share-of-total without a
+#: self-join). All local-oracle-verified (sf0.001 pytest parity every CI
+#: run + sf0.01 sweep); each MUST take a window slot in r9 (add to
+#: MUST_VERIFY when rotating) — 15 debuts total.
 #:
 #: r9 OWED SET (window math for next round, decided now, not by slip):
 #: out-of-window at r8 are 62 queries = the 14 deferrals named above
@@ -168,11 +172,11 @@ MUST_VERIFY: tuple[str, ...] = (
 #: they take r9 slots first) + the 48 green-r7 window members that
 #: rotated out this round (everything in the r7 WINDOW_HEAD except
 #: scd2_event_enrich and asof_last_error, which re-verify in-window now).
-#: Owed at r9 = 62 candidates + the 11-query r9 debut queue above for
+#: Owed at r9 = 62 candidates + the 15-query r9 debut queue above for
 #: 50 slots.
 #: Resolution: the 14 exhausted deferrals and every debut/changed query
-#: are non-negotiable (25 slots), leaving 25 for the 48 multiply-green
-#: r7 rotations — defer 23 of them, picked at r9 planning time by
+#: are non-negotiable (29 slots), leaving 21 for the 48 multiply-green
+#: r7 rotations — defer 27 of them, picked at r9 planning time by
 #: deepest-green-history-first among queries with every-CI pytest
 #: coverage (start with the streaming/second-row family:
 #: streaming_window_stats, streaming_sessions, streaming_chunks,

@@ -735,3 +735,51 @@ def test_idle_rich_customers_anti_join_pushes_date_slice(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row average
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shipping_priority_is_take_ordered_not_global_sort(spark):
+    """Q3: the top-10 must push into the shuffle as TakeOrdered (each
+    partition ships its local 10), never materialize a full global sort;
+    both date predicates reach their scans; customer joins as keys only."""
+    plan = _plan(spark, "shipping_priority")
+    assert "TakeOrderedAndProject(limit=10" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("GreaterThan(l_shipdate") == 1
+    assert plan.count("LessThan(o_orderdate") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_promo_share_is_one_conditional_aggregate_pass(spark):
+    """Q14: numerator and denominator must ride ONE aggregate over ONE
+    join — not the naive two-query / two-scan formulation."""
+    plan = _plan(spark, "promo_revenue_share")
+    assert plan.count("FileScan parquet") == 2  # lineitem + part, once each
+    assert "partial_sum(CASE WHEN" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_disjunctive_band_stays_one_equi_join_with_pushed_supersets(spark):
+    """Q19: the OR-of-ANDs must stay a single partkey equi-join with the
+    disjunction as a residual — no union-of-scans, no nested loop — and
+    the per-side superset constraints must reach BOTH scans (the
+    quantity-band OR on lineitem, the brand/size OR on part)."""
+    plan = _plan(spark, "disjunctive_band_revenue")
+    assert plan.count("FileScan parquet") == 2
+    assert plan.count("Join") == plan.count("BroadcastHashJoin") == 1
+    # constraint extraction: disjunctive pushdown present on both scans
+    assert plan.count("Or(And(") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nation_market_share_single_aggregate_no_self_join(spark):
+    """Q8: share-of-total must be conditional sums in ONE per-year
+    aggregate — no self-join, no window, each table scanned once."""
+    plan = _plan(spark, "nation_market_share")
+    assert plan.count("FileScan parquet") == 4
+    assert "Window" not in plan
+    assert "partial_sum(CASE WHEN" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
