@@ -446,3 +446,57 @@ def test_lineitem_contract_finds_the_real_duplicate_keys(spark):
     assert out["ref_l_orderkey"]["passed"]
     assert out["not_null_l_orderkey"]["passed"]
     assert len(out) == 8
+
+
+def test_file_skipping_prunes_files_and_stays_exact(spark, tmp_path):
+    """The stats manifest must let a narrow range open strictly fewer
+    files while returning exactly the full-scan answer; files appended
+    AFTER the analyze must always be read (never skipped); an all-file
+    miss returns empty with the table schema."""
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse import (
+        skipping as S,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        WarehouseTable,
+    )
+
+    wh = WarehouseTable(spark, str(tmp_path / "wh"), keys=["k", "ts"], ts_col="ts")
+    # 4 appends -> 4+ files, each spanning a DISJOINT band of x
+    for i in range(4):
+        df = spark.createDataFrame(
+            [(i * 10 + j, f"2024-03-01T0{i}:00:00", float(i * 100 + j)) for j in range(5)],
+            "k long, ts string, x double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        wh.append(df, verify=False)
+    n_files = len(S.data_files(wh))
+    assert n_files >= 4
+
+    profiled = S.analyze_file_stats(wh, ["x"])
+    assert profiled == n_files
+
+    # band 2 only: [200, 204]
+    read, skipped = S.select_files(wh, "x", 200.0, 204.0)
+    assert len(skipped) >= 3 and len(read) < n_files
+    got = sorted(r.k for r in S.read_skipping(wh, "x", 200.0, 204.0).collect())
+    want = sorted(
+        r.k for r in wh.read().filter(F.col("x").between(200.0, 204.0)).collect()
+    )
+    assert got == want == [20, 21, 22, 23, 24]
+
+    # append after analyze: the new file is unknown -> must still be read
+    late = spark.createDataFrame(
+        [(99, "2024-03-01T09:00:00", 202.5)], "k long, ts string, x double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    wh.append(late, verify=False)
+    got2 = sorted(r.k for r in S.read_skipping(wh, "x", 200.0, 204.0).collect())
+    assert got2 == [20, 21, 22, 23, 24, 99]
+
+    # a range nothing can satisfy: every manifest file is skipped, only
+    # the unknown late file is opened (and filtered to zero rows)
+    read3, skipped3 = S.select_files(wh, "x", 9000.0, 9001.0)
+    assert len(read3) == 1 and len(skipped3) == n_files
+    assert S.read_skipping(wh, "x", 9000.0, 9001.0).count() == 0
+
+    # the analyze run is in the audit
+    ops = [r.op for r in wh.maintenance_log().collect()]
+    assert "analyze_stats" in ops
