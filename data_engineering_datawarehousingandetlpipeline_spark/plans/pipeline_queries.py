@@ -1066,6 +1066,72 @@ FROM checks ORDER BY batch_id, "check"
 """
 
 
+#: value-banded staging for the skipping query: each append carries one
+#: band, so every data file's recorded [min, max] is one band wide and
+#: the probe range prunes all but one file.
+SKIP_BANDS = ((0.0, 100.0), (100.0, 200.0), (200.0, 500.0))
+SKIP_PROBE = (120.0, 180.0)
+
+
+def q_warehouse_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping, driver-verified end to end.
+
+    The events slice (user_id < 5) lands in a temp warehouse as three
+    value-banded appends (so each file spans one band — the layout
+    Z-order compaction produces organically), ``analyze_file_stats``
+    records the per-file manifest in ONE scan, and the probe range
+    [120, 180] is answered through ``read_skipping`` — which the
+    construction ASSERTS opened strictly fewer files than the table
+    holds (the skipping must actually happen, not just not break). The
+    oracle is the plain predicate over the source events: proof that
+    manifest pruning removed IO, never rows.
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse import (
+        skipping as S,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        WarehouseTable,
+    )
+
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < 5
+    ).select("event_id", "user_id", "ts", "value")
+    # TEST-SCALE ONLY staging (the q_streaming_ingest convention): a
+    # tempdir warehouse stands in for the lakehouse table maintenance
+    # already Z-ordered. A deployment calls analyze_file_stats /
+    # read_skipping against its real table root.
+    workdir = tempfile.mkdtemp(prefix="skipping_q_")
+    wh = WarehouseTable(
+        spark, os.path.join(workdir, "wh"), keys=["event_id"], ts_col="ts"
+    )
+    for lo, hi in SKIP_BANDS:
+        band = events.filter(
+            (F.col("value") >= lo) & (F.col("value") < hi)
+        ).coalesce(1)
+        wh.append(band, verify=False)
+    S.analyze_file_stats(wh, ["value"])
+    lo, hi = SKIP_PROBE
+    read, skipped = S.select_files(wh, "value", lo, hi)
+    if not skipped:
+        raise AssertionError(
+            f"manifest failed to prune: read={read} skipped={skipped}"
+        )
+    return (
+        S.read_skipping(wh, "value", lo, hi)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    )
+
+
+SQL_WAREHOUSE_SKIPPING_SCAN = f"""
+SELECT event_id, user_id, value
+FROM events
+WHERE user_id < 5 AND value BETWEEN {SKIP_PROBE[0]} AND {SKIP_PROBE[1]}
+ORDER BY event_id
+"""
+
+
 QUERIES = [
     QuerySpec("pivot_daily", q_pivot_daily, SQL_PIVOT_DAILY,
               "pivot: daily totals per event type", tags=("pivot", "agg")),
@@ -1129,4 +1195,10 @@ QUERIES = [
               "per-micro-batch data-contract reports (streaming "
               "expectations monitor), oracle = per-shard recomputation",
               tags=("streaming", "quality")),
+    QuerySpec("warehouse_skipping_scan", q_warehouse_skipping_scan,
+              SQL_WAREHOUSE_SKIPPING_SCAN,
+              "file-level data skipping: manifest-pruned range read with "
+              "an in-construction pruning assertion, oracle = plain "
+              "predicate",
+              tags=("warehouse", "scan")),
 ]

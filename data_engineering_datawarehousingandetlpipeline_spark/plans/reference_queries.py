@@ -601,6 +601,62 @@ ORDER BY user_id, session_id
 """
 
 
+def q_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's BUILT-IN ``session_window`` aggregate.
+
+    The JVM-native alternative to both the two-window lag formulation
+    (``sessionization``) and the stateful Python operator
+    (``streaming_sessions``): ONE aggregation whose grouping key is the
+    merging session itself — no lag pass, no running sum, no Python. The
+    planner runs it as partial session-merge then a user-keyed exchange
+    (states, not rows).
+
+    Boundary semantics differ from the lag formulation BY DESIGN and the
+    oracle states them exactly: ``session_window`` merges an event only
+    while it lands strictly BEFORE the open window's end (last event +
+    gap), so a gap of exactly 30 minutes STARTS a new session (the lag
+    variant's strict ``>`` keeps it). The window end is padded:
+    last event + gap.
+    """
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end_padded"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SQL_NATIVE_SESSION_WINDOW = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sessioned AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end_padded,
+       COUNT(*) AS n_events
+FROM sessioned
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON prop extraction from the semi-structured ``props`` column.
 
@@ -689,6 +745,11 @@ QUERIES = [
               "tumbling-hour rollup (T5)", bench=True, tags=("agg", "time")),
     QuerySpec("sessionization", q_sessionization, SQL_SESSIONIZATION,
               "gap-based sessionization (§2.11)", bench=True, tags=("window", "time")),
+    QuerySpec("native_session_window", q_native_session_window,
+              SQL_NATIVE_SESSION_WINDOW,
+              "built-in session_window aggregate (no lag pass, no Python); "
+              "oracle states the >= boundary semantics",
+              tags=("window", "time")),
     QuerySpec("json_props", q_json_props, SQL_JSON_PROPS,
               "JSON prop extraction + agg (§2.11)", tags=("json", "agg")),
     QuerySpec("composite_sort", q_composite_sort, SQL_COMPOSITE_SORT,
