@@ -472,3 +472,54 @@ def start_contract_monitor(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def start_native_sessions(
+    source: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "0 seconds",
+    available_now: bool = False,
+    trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Streaming sessionization via the BUILT-IN ``session_window``.
+
+    The JVM-native rung beside the ``applyInPandasWithState`` operator
+    (streaming/stateful.stateful_sessions): watermarked events group by
+    their merging session window; append mode emits a session only once
+    the watermark passes its end (start + last gap), so the sink holds
+    CLOSED sessions exactly — the same contract as the stateful
+    operator, with session-merge state managed by the engine instead of
+    Python. Boundary semantics are the ``session_window`` ones (a gap of
+    exactly ``gap`` starts a new session), matching the batch twin
+    ``native_session_window`` — the pytest pins streaming == batch.
+
+    The 0-second default watermark drops any out-of-order event across
+    micro-batch boundaries (same trade, and same loud documentation, as
+    stateful_heartbeat); pass a nonzero delay for out-of-order sources.
+    """
+    from pyspark.sql import functions as F
+
+    sessions = (
+        source.withWatermark("ts", watermark_delay)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end_padded"),
+            "n_events",
+        )
+    )
+    writer = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -477,7 +477,11 @@ def test_file_skipping_prunes_files_and_stays_exact(spark, tmp_path):
     # band 2 only: [200, 204]
     read, skipped = S.select_files(wh, "x", 200.0, 204.0)
     assert len(skipped) >= 3 and len(read) < n_files
-    got = sorted(r.k for r in S.read_skipping(wh, "x", 200.0, 204.0).collect())
+    pruned_df = S.read_skipping(wh, "x", 200.0, 204.0)
+    # Spark-level evidence: the pruned plan's file index holds fewer
+    # files than the full table read
+    assert len(pruned_df.inputFiles()) < len(wh.read().inputFiles())
+    got = sorted(r.k for r in pruned_df.collect())
     want = sorted(
         r.k for r in wh.read().filter(F.col("x").between(200.0, 204.0)).collect()
     )

@@ -962,3 +962,67 @@ def test_data_contracts_example_composes(spark):
     assert got["rows"] == 4
     assert got["humidity_nulls"] == 3
     assert got["evolutions"] == 1
+
+
+def test_native_streaming_sessions_emit_closed_sessions_across_batches(
+    spark, tmp_path
+):
+    """The built-in session_window rung must MERGE a session across
+    micro-batches (engine-managed session state), emit a session only
+    once the watermark passes its padded end, and keep a still-warm
+    session in state rather than emitting it early."""
+    from pyspark.sql import types as T
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_native_sessions,
+    )
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    shards = [
+        [
+            {"user_id": 1, "ts": "2024-03-01T10:00:00"},
+            {"user_id": 1, "ts": "2024-03-01T10:10:00"},
+            {"user_id": 2, "ts": "2024-03-01T10:05:00"},
+        ],
+        [
+            # merges into user 1's open session from batch 0
+            {"user_id": 1, "ts": "2024-03-01T10:20:00"},
+            # a fresh session too close to the final watermark to close
+            {"user_id": 1, "ts": "2024-03-01T12:00:00"},
+        ],
+    ]
+    for i, rows in enumerate(shards):
+        path = indir / f"shard{i}.json"
+        with open(path, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row) + "\n")
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    query = start_native_sessions(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir)),
+        str(tmp_path / "sessions"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    query.awaitTermination()
+    got = {
+        (r.user_id, r.session_start.isoformat(), r.session_end_padded.isoformat()):
+        r.n_events
+        for r in spark.read.parquet(str(tmp_path / "sessions")).collect()
+    }
+    assert got == {
+        # cross-batch merged session: 10:00 + 10:10 (batch 0) + 10:20 (batch 1)
+        (1, "2024-03-01T10:00:00", "2024-03-01T10:50:00"): 3,
+        (2, "2024-03-01T10:05:00", "2024-03-01T10:35:00"): 1,
+        # user 1's 12:00 session is NOT here: watermark (12:00) has not
+        # passed its padded end (12:30) — still open in state
+    }
