@@ -783,3 +783,32 @@ def test_nation_market_share_single_aggregate_no_self_join(spark):
     assert "partial_sum(CASE WHEN" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- wholesale registry audit -------------------------------------------
+# Per-query gates above pin specific plan SHAPES; this audit pins the
+# three absolute bans across EVERY lazily-constructible registered query,
+# so a future query cannot ship a degenerate plan without a named
+# exemption here. Streaming / staged-warehouse queries are excluded
+# because their CONSTRUCTION runs an eager end-to-end drain (the parity
+# suite runs them); their plans are pinned by their own tests.
+
+#: Arrow-batched Python is sanctioned ONLY at the multimodal codec
+#: boundary (operators/multimodal.py mapInPandas)
+_ARROW_OK = ("media_features", "media_feature_vectors", "media_frame_sample")
+
+#: excluded: construction is eager (tempdir staging / availableNow drains)
+_AUDIT_NAMES = sorted(
+    n
+    for n in all_queries()
+    if not n.startswith("streaming_") and n != "warehouse_skipping_scan"
+)
+
+
+@pytest.mark.parametrize("name", _AUDIT_NAMES)
+def test_registry_query_never_degenerates(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BatchEvalPython" not in plan, name  # row-at-a-time Python
+    if name not in _ARROW_OK:
+        assert "ArrowEvalPython" not in plan, name
