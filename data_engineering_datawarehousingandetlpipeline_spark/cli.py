@@ -16,6 +16,10 @@ with the reference's three actions (``kafka_stream.py:390-439``):
                          (``plans/registry.py``) against a parquet dataset
                          dir; print rows or write parquet. ``query --list``
                          enumerates the surface.
+- ``maintain``         — the day-2 loop as one command: partition
+                         compaction (optionally Z-ordered), retention, and
+                         the file-stats analyze for data skipping, all
+                         anchored (replayable) and audit-logged.
 
 Without Kafka jars the transport is a staging directory of JSON files —
 the same downstream pipeline either way (streaming/pipeline.py).
@@ -106,13 +110,51 @@ def _run_query(args) -> None:
         df.show(args.limit, truncate=False)
 
 
+def _run_maintain(args) -> None:
+    """``maintain`` action: the day-2 loop as one command — partition
+    compaction (optionally Z-ordered), retention, and the file-stats
+    analyze for data skipping. Each step is replayable (explicit
+    ``--anchor``, never wall clock) and logged to the maintenance audit;
+    running twice is a no-op for compaction/retention and an idempotent
+    overwrite for the stats manifest."""
+    import datetime
+
+    cfg = load_config()
+    spark = get_spark(app_name="dwh-maintain")
+    warehouse = _warehouse(spark, cfg)
+    if not warehouse.exists():
+        raise SystemExit(f"no table at {cfg.warehouse_root}")
+    anchor = (
+        datetime.date.fromisoformat(args.anchor) if args.anchor else None
+    )
+    if anchor is None:
+        raise SystemExit("--anchor YYYY-MM-DD is required (replayable runs)")
+    zorder = args.zorder.split(",") if args.zorder else None
+    n = warehouse.compact_partitions(
+        target_file_rows=args.target_file_rows, before=anchor, zorder=zorder
+    )
+    log.info("compacted %d partitions", n)
+    if args.keep_days:
+        dropped = warehouse.expire_partitions(args.keep_days, anchor)
+        log.info("retention dropped %d partitions", dropped)
+    if args.analyze:
+        from data_engineering_datawarehousingandetlpipeline_spark.warehouse.skipping import (
+            analyze_file_stats,
+        )
+
+        profiled = analyze_file_stats(warehouse, args.analyze.split(","))
+        log.info("profiled %d files for skipping", profiled)
+    warehouse.maintenance_log().orderBy("run_id").show(50, truncate=False)
+
+
 def main(argv: list[str] | None = None) -> None:
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s"
     )
     parser = argparse.ArgumentParser(description="Spark ingestion utilities")
     parser.add_argument(
-        "action", choices=["produce", "consume", "bootstrap-hourly", "query"]
+        "action",
+        choices=["produce", "consume", "bootstrap-hourly", "query", "maintain"],
     )
     parser.add_argument("name", nargs="?", help="query name (query action)")
     parser.add_argument("--staging-dir", default="./staging")
@@ -140,10 +182,33 @@ def main(argv: list[str] | None = None) -> None:
         "--explain", action="store_true",
         help="query action: print the physical plan instead of rows",
     )
+    parser.add_argument(
+        "--anchor", default=None,
+        help="maintain action: UTC eligibility date (YYYY-MM-DD), required",
+    )
+    parser.add_argument(
+        "--target-file-rows", type=int, default=1_000_000,
+        help="maintain action: bin-pack target rows per file",
+    )
+    parser.add_argument(
+        "--zorder", default=None,
+        help="maintain action: comma-separated numeric columns to Z-order",
+    )
+    parser.add_argument(
+        "--keep-days", type=int, default=None,
+        help="maintain action: retention window (omit = no retention)",
+    )
+    parser.add_argument(
+        "--analyze", default=None,
+        help="maintain action: comma-separated columns to profile for skipping",
+    )
     args = parser.parse_args(argv)
 
     if args.action == "query":
         _run_query(args)
+        return
+    if args.action == "maintain":
+        _run_maintain(args)
         return
 
     cfg = load_config()

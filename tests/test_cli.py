@@ -70,3 +70,37 @@ def test_consume_once_drains_staging(spark, tmp_path, monkeypatch):
 
     warehouse = WarehouseTable(spark, str(tmp_path / "warehouse"))
     assert warehouse.count() == 5
+
+
+def test_maintain_action_compacts_retains_analyzes(spark, tmp_path, monkeypatch):
+    """`maintain` must run the day-2 loop end to end: bin-pack the cold
+    partition, drop partitions past retention, build the skipping
+    manifest, and leave the whole story in the maintenance audit."""
+    staging = str(tmp_path / "staging")
+    monkeypatch.setenv("USE_SAMPLE_DATA", "true")
+    monkeypatch.setenv("SAMPLE_DATA_PATH", FIXTURE)
+    monkeypatch.setenv("WAREHOUSE_ROOT", str(tmp_path / "warehouse"))
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    main(["produce", "--staging-dir", staging, "--once"])
+    main(["bootstrap-hourly", "--staging-dir", staging, "--once"])
+
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        WarehouseTable,
+    )
+
+    warehouse = WarehouseTable(spark, str(tmp_path / "warehouse"))
+    rows = warehouse.count()
+    assert rows > 0
+
+    main([
+        "maintain", "--anchor", "2024-03-09", "--target-file-rows", "2",
+        "--keep-days", "365", "--analyze", "temperature",
+    ])
+    assert warehouse.count() == rows  # compaction + in-window retention: lossless
+    ops = {r.op for r in warehouse.maintenance_log().collect()}
+    assert "analyze_stats" in ops
+    assert os.path.isdir(str(tmp_path / "warehouse" / "_stats"))
+
+    # replay: same anchor, nothing newly eligible — still lossless
+    main(["maintain", "--anchor", "2024-03-09", "--target-file-rows", "2"])
+    assert warehouse.count() == rows
