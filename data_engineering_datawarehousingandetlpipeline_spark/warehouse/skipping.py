@@ -63,14 +63,50 @@ def data_files(table: WarehouseTable) -> list[str]:
     return sorted(out)
 
 
-def analyze_file_stats(table: WarehouseTable, cols: Sequence[str]) -> int:
-    """ONE table scan → per-file (min, max, null_count) manifest.
+def analyze_file_stats(
+    table: WarehouseTable, cols: Sequence[str], incremental: bool = False
+) -> int:
+    """Per-file (min, max, null_count) manifest for ``cols``.
 
-    Overwrites ``_stats`` (the manifest describes the table as of this
-    run; files appended later are simply absent and therefore never
-    skipped). Returns the number of files profiled and logs the run to
-    the maintenance audit.
+    Full mode: ONE table scan, overwrite the manifest. Incremental mode:
+    scan ONLY the files the existing manifest has never seen (the set an
+    append-heavy day adds) and merge their rows in — cost scales with
+    NEW data, the shape a nightly stats job needs at 100 TB. Either way
+    the manifest describes exactly the files it lists; unlisted files
+    are never skipped (read_skipping's safety rule), so a crash between
+    appends and analyzes can only cost skipping opportunity, never rows.
+    Returns the number of files profiled and logs the run to the
+    maintenance audit (op shows which mode ran).
     """
+    source = table.read()
+    carried: list[tuple] = []
+    if incremental and os.path.isdir(_stats_dir(table)):
+        existing_df = table.spark.read.parquet(_stats_dir(table))
+        want = ["file", "n_rows"] + [
+            f"{k}_{c}" for c in cols for k in ("min", "max", "nulls")
+        ]
+        if list(existing_df.columns) != want:
+            raise ValueError(
+                f"incremental analyze column mismatch: manifest has "
+                f"{existing_df.columns}, requested {want}; run a full "
+                "analyze to change the profiled column set"
+            )
+        existing = existing_df.collect()
+        known = {r["file"] for r in existing}
+        fresh = [p for p in data_files(table) if p not in known]
+        if not fresh:
+            table._log_maintenance(
+                [("analyze_stats_incr", ",".join(cols), None, 0, None, None)]
+            )
+            return 0
+        reader = table.spark.read.option("basePath", table.root)
+        stored = table.table_schema()
+        if stored is not None:
+            reader = reader.schema(stored)
+        source = reader.parquet(
+            *[os.path.join(table.root, p) for p in fresh]
+        )
+        carried = [tuple(r) for r in existing]
     aggs = []
     for c in cols:
         aggs += [
@@ -79,7 +115,7 @@ def analyze_file_stats(table: WarehouseTable, cols: Sequence[str]) -> int:
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"nulls_{c}"),
         ]
     manifest = (
-        table.read()
+        source
         .withColumn("__file", F.input_file_name())
         .groupBy("__file")
         .agg(F.count("*").alias("n_rows"), *aggs)
@@ -87,7 +123,7 @@ def analyze_file_stats(table: WarehouseTable, cols: Sequence[str]) -> int:
     rows = manifest.collect()  # bounded by file count, not data size
     normalized = [
         (_rel_path(table, r["__file"]), *tuple(r)[1:]) for r in rows
-    ]
+    ] + carried
     schema = "file string, n_rows bigint, " + ", ".join(
         f"min_{c} {t}, max_{c} {t}, nulls_{c} bigint"
         for c, t in zip(
@@ -107,10 +143,14 @@ def analyze_file_stats(table: WarehouseTable, cols: Sequence[str]) -> int:
         .write.mode("overwrite")
         .parquet(_stats_dir(table))
     )
+    # the overwrite replaced files the session's shared file-status cache
+    # may still list (same hazard merge_replace guards against)
+    table.spark.catalog.refreshByPath(_stats_dir(table))
+    op = "analyze_stats_incr" if carried else "analyze_stats"
     table._log_maintenance(
-        [("analyze_stats", ",".join(cols), None, len(normalized), None, None)]
+        [(op, ",".join(cols), None, len(rows), None, None)]
     )
-    return len(normalized)
+    return len(rows)
 
 
 def select_files(

@@ -4,6 +4,7 @@ query surfaces as they land."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -504,3 +505,51 @@ def test_file_skipping_prunes_files_and_stays_exact(spark, tmp_path):
     # the analyze run is in the audit
     ops = [r.op for r in wh.maintenance_log().collect()]
     assert "analyze_stats" in ops
+
+
+def test_incremental_analyze_profiles_only_new_files(spark, tmp_path):
+    """Incremental stats maintenance: only never-seen files are scanned,
+    their rows merge into the manifest, pruning then covers them, and a
+    column-set mismatch fails loudly instead of corrupting the manifest."""
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse import (
+        skipping as S,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        WarehouseTable,
+    )
+
+    wh = WarehouseTable(spark, str(tmp_path / "wh"), keys=["k", "ts"], ts_col="ts")
+
+    def band(i):
+        return spark.createDataFrame(
+            [(i * 10 + j, f"2024-03-01T0{i}:00:00", float(i * 100 + j)) for j in range(3)],
+            "k long, ts string, x double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    wh.append(band(0), verify=False)
+    wh.append(band(1), verify=False)
+    first = len(S.data_files(wh))
+    assert S.analyze_file_stats(wh, ["x"]) == first
+
+    # two new bands land; incremental profiles exactly those files
+    wh.append(band(2), verify=False)
+    wh.append(band(3), verify=False)
+    n_new = len(S.data_files(wh)) - first
+    assert n_new > 0
+    assert S.analyze_file_stats(wh, ["x"], incremental=True) == n_new
+
+    # the merged manifest prunes the new bands too
+    read, skipped = S.select_files(wh, "x", 300.0, 302.0)
+    assert read and skipped and len(read) + len(skipped) == len(S.data_files(wh))
+    assert len(read) < len(S.data_files(wh)) / 2
+    got = sorted(r.k for r in S.read_skipping(wh, "x", 300.0, 302.0).collect())
+    assert got == [30, 31, 32]
+
+    # nothing new: a no-op that still audits
+    assert S.analyze_file_stats(wh, ["x"], incremental=True) == 0
+    ops = [r.op for r in wh.maintenance_log().collect()]
+    assert ops.count("analyze_stats_incr") == 2
+
+    # changing the profiled column set incrementally is refused
+    with pytest.raises(ValueError, match="column mismatch"):
+        S.analyze_file_stats(wh, ["k"], incremental=True)
