@@ -548,3 +548,54 @@ class WarehouseTable:
 
     def _count_in_partitions(self, df: DataFrame) -> int:
         return self._partition_slice(df).count()
+
+    # ------------------------------------------------------------ cloning
+
+    def clone(self, dest_root: str, keys: Sequence[str] | None = None):
+        """Zero-copy SHALLOW CLONE: a new table whose data files are
+        hardlinks to this table's files.
+
+        The Delta ``CREATE TABLE ... SHALLOW CLONE`` shape on plain
+        parquet: cost is O(files) metadata work, no bytes move. Writes to
+        either side never corrupt the other — an append creates NEW
+        files in one root only, and a compaction/overwrite UNLINKS names
+        (the inode lives while the other root still links it). Sidecars
+        (_schema, _stats, _maintenance) are COPIED, not linked: the
+        clone's schema may evolve and its maintenance history diverges
+        from the moment of cloning. The one shared-fate caveat is
+        in-place mutation of file CONTENTS, which no code path here does
+        (parquet writers always create new files).
+
+        Falls back to real copies when the destination is on a different
+        filesystem (hardlinks cannot cross devices).
+        """
+        import shutil
+
+        if os.path.exists(dest_root) and os.listdir(dest_root):
+            raise ValueError(f"clone destination not empty: {dest_root}")
+        n_linked = 0
+        for dirpath, dirnames, filenames in os.walk(self.root):
+            rel = os.path.relpath(dirpath, self.root)
+            dest_dir = (
+                dest_root if rel == "." else os.path.join(dest_root, rel)
+            )
+            os.makedirs(dest_dir, exist_ok=True)
+            sidecar = rel.split(os.sep, 1)[0].startswith("_")
+            for name in filenames:
+                src = os.path.join(dirpath, name)
+                dst = os.path.join(dest_dir, name)
+                if sidecar:
+                    shutil.copy2(src, dst)
+                    continue
+                try:
+                    os.link(src, dst)
+                except OSError:  # cross-device: degrade to a copy
+                    shutil.copy2(src, dst)
+                n_linked += 1
+        cloned = WarehouseTable(
+            self.spark, dest_root, keys=keys or self.keys, ts_col=self.ts_col
+        )
+        cloned._log_maintenance(
+            [("clone_from", self.root, None, n_linked, None, None)]
+        )
+        return cloned

@@ -1026,3 +1026,66 @@ def test_native_streaming_sessions_emit_closed_sessions_across_batches(
         # user 1's 12:00 session is NOT here: watermark (12:00) has not
         # passed its padded end (12:30) — still open in state
     }
+
+
+def test_shallow_clone_is_zero_copy_and_isolated(spark, tmp_path):
+    """clone() must hardlink data files (same inode, no bytes copied),
+    copy sidecars, and keep the two tables fully isolated afterwards:
+    appends land on one side only, the clone's compaction rewrite leaves
+    the source intact, and each side's schema can evolve independently."""
+    src = WarehouseTable(spark, str(tmp_path / "src"), keys=["k", "ts"], ts_col="ts")
+    df = _ts_df(
+        spark,
+        [(1, "2024-03-01T00:00:00", 1.0), (2, "2024-03-01T01:00:00", 2.0)],
+        "k long, ts timestamp, v double",
+    )
+    src.append(df, verify=False)
+    rows = src.count()
+
+    clone = src.clone(str(tmp_path / "dev"))
+    assert clone.count() == rows
+    # zero-copy proof: every data file shares an inode with the source
+    src_inodes = {
+        os.stat(os.path.join(dp, f)).st_ino
+        for dp, dns, fns in os.walk(src.root)
+        if not any(part.startswith("_") for part in dp.split(os.sep))
+        for f in fns
+        if f.endswith(".parquet")
+    }
+    clone_files = [
+        os.path.join(dp, f)
+        for dp, dns, fns in os.walk(clone.root)
+        if "_" not in os.path.relpath(dp, clone.root).split(os.sep)[0]
+        for f in fns
+        if f.endswith(".parquet") and "_maintenance" not in dp
+    ]
+    assert clone_files and all(
+        os.stat(p).st_nlink >= 2 and os.stat(p).st_ino in src_inodes
+        for p in clone_files
+    )
+
+    # isolation: append to the clone only
+    clone.append(
+        _ts_df(spark, [(3, "2024-03-01T02:00:00", 3.0)], "k long, ts timestamp, v double"),
+        verify=False,
+    )
+    assert clone.count() == rows + 1 and src.count() == rows
+
+    # the clone compacts (overwrites its partition); the source survives
+    import datetime
+
+    clone.compact_partitions(target_file_rows=10, before=datetime.date(2024, 3, 2))
+    assert src.count() == rows and clone.count() == rows + 1
+
+    # independent schema evolution
+    clone.append(
+        _ts_df(
+            spark,
+            [(4, "2024-03-01T03:00:00", 4.0, "x")],
+            "k long, ts timestamp, v double, tag string",
+        ),
+        verify=False,
+        evolve_schema=True,
+    )
+    assert "tag" in clone.read().columns and "tag" not in src.read().columns
+    assert [r.op for r in clone.maintenance_log().collect()].count("clone_from") == 1
