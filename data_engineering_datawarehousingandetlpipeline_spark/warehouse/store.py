@@ -17,6 +17,10 @@ changes):
 - ``merge_replace`` — MERGE with update-on-match (latest-wins upsert for
   correction/late-revision feeds): touched-partition anti-join + dynamic
   partition overwrite, so cost scales with the batch's time window.
+- ``delete_where``  — row-level DELETE (the GDPR/erasure shape): one pruned
+  scan finds the affected days, dynamic partition overwrite rewrites only
+  those, fully-emptied days drop their directories; audit-logged,
+  idempotent.
 - ``expire_partitions`` — partition-granular retention (drop whole days
   beyond the window, no row rewrites).
 - ``max_ts_per_key`` — A4: the watermark-state query, derived from the
@@ -41,7 +45,7 @@ import json
 import os
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -296,6 +300,84 @@ class WarehouseTable:
         # stale listings would make the next read fail on missing files
         self.spark.catalog.refreshByPath(self.root)
         return n
+
+    def delete_where(self, predicate: Column) -> int:
+        """Row-level DELETE: rewrite only the partitions holding matches.
+
+        Completes the DML triangle beside ``merge_upsert`` (insert) and
+        ``merge_replace`` (update) — the GDPR/erasure shape. Two-phase,
+        cost bounded by AFFECTED days, not table history: (1) one pruned
+        scan finds the distinct ``dt`` values containing matching rows
+        (collected — bounded by days, the `_touched_dates` contract);
+        (2) those partitions are rewritten without the matching rows via
+        dynamic partition overwrite. A predicate matching nothing
+        rewrites nothing. Idempotent: re-running deletes zero rows.
+        Every run is audit-logged (affected partitions + deleted-row
+        count). (Delta's ``DELETE FROM`` runs this same find-then-rewrite
+        plan transactionally; the call site would not change.)
+        """
+        if not self.exists():
+            return 0
+        matches = self.read().filter(predicate)
+        days = [r["dt"] for r in matches.select("dt").distinct().collect()]
+        if not days:
+            self._log_maintenance(
+                [("delete_where", None, None, None, 0, None)]
+            )
+            return 0
+        slice_df = self.read().filter(F.col("dt").isin(days))
+        # one pass computes the deleted count and the survivors
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        survivors = (
+            slice_df.observe(
+                obs,
+                F.sum(predicate.cast("bigint")).alias("n_deleted"),
+            )
+            .filter(~predicate)
+            .localCheckpoint(eager=True)  # read-modify-write guard
+        )
+        n_deleted = int(obs.get["n_deleted"] or 0)
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        previous = self.spark.conf.get(mode_key, "static")
+        self.spark.conf.set(mode_key, "dynamic")
+        try:
+            (
+                survivors.write.mode("overwrite")
+                .partitionBy("dt")
+                .parquet(self.root)
+            )
+        finally:
+            self.spark.conf.set(mode_key, previous)
+        self.spark.catalog.refreshByPath(self.root)
+        # dynamic overwrite only rewrites partitions present in the
+        # survivors frame — a day whose EVERY row matched produces no
+        # survivor rows and must be dropped explicitly
+        import shutil
+
+        surviving_days = {
+            r["dt"] for r in survivors.select("dt").distinct().collect()
+        }
+        emptied = [d for d in days if d not in surviving_days]
+        for day in emptied:
+            shutil.rmtree(
+                os.path.join(self.root, f"dt={day.isoformat()}"),
+                ignore_errors=True,
+            )
+        if emptied:
+            self.spark.catalog.refreshByPath(self.root)
+        self._log_maintenance(
+            [(
+                "delete_where",
+                ",".join(d.isoformat() for d in sorted(days)),
+                None,
+                None,
+                n_deleted,
+                None,
+            )]
+        )
+        return n_deleted
 
     def expire_partitions(self, keep_days: int, anchor) -> int:
         """Retention: drop whole date partitions older than the window.

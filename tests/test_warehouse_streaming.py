@@ -1089,3 +1089,40 @@ def test_shallow_clone_is_zero_copy_and_isolated(spark, tmp_path):
     )
     assert "tag" in clone.read().columns and "tag" not in src.read().columns
     assert [r.op for r in clone.maintenance_log().collect()].count("clone_from") == 1
+
+
+def test_delete_where_rewrites_only_matching_partitions(spark, tmp_path):
+    """Row-level DELETE: only rows matching the predicate disappear, a
+    fully-matched day's partition directory is dropped, untouched days'
+    files are left byte-identical (no rewrite), re-running is a no-op,
+    and the run is audit-logged with the deleted count."""
+    wh = WarehouseTable(spark, str(tmp_path / "wh"), keys=["k", "ts"], ts_col="ts")
+    wh.append(
+        _ts_df(
+            spark,
+            [
+                (1, "2024-03-01T00:00:00", 10.0),
+                (2, "2024-03-01T01:00:00", 99.0),   # matches
+                (3, "2024-03-02T00:00:00", 99.0),   # matches (whole day)
+                (4, "2024-03-03T00:00:00", 20.0),   # untouched day
+            ],
+            "k long, ts timestamp, v double",
+        ),
+        verify=False,
+    )
+    untouched = tmp_path / "wh" / "dt=2024-03-03"
+    before_stats = {
+        f: os.stat(untouched / f).st_mtime_ns for f in os.listdir(untouched)
+    }
+
+    assert wh.delete_where(F.col("v") == 99.0) == 2
+    assert sorted(r.k for r in wh.read().collect()) == [1, 4]
+    assert not (tmp_path / "wh" / "dt=2024-03-02").exists()  # emptied day dropped
+    after_stats = {
+        f: os.stat(untouched / f).st_mtime_ns for f in os.listdir(untouched)
+    }
+    assert after_stats == before_stats  # untouched partition not rewritten
+
+    assert wh.delete_where(F.col("v") == 99.0) == 0  # idempotent
+    log = wh.maintenance_log().filter("op = 'delete_where'").collect()
+    assert sorted(r.n_rows for r in log) == [0, 2]
