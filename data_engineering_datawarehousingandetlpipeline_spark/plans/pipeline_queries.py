@@ -1132,6 +1132,140 @@ ORDER BY event_id
 """
 
 
+def q_warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel + row-level DELETE, driver-verified end to end.
+
+    The events slice lands in a version-tracked temp warehouse (v1), a
+    correction feed REPLACES user 1's values (v2, ``merge_replace``),
+    and user 2 is erased (v3, ``delete_where`` — the GDPR shape). The
+    query returns ``read_as_of(1)``: the pre-correction, pre-erasure
+    table, read THROUGH the retained-hardlink mirror because both later
+    operations rewrote the very files v1 references. The oracle is the
+    plain source slice — proof that time travel reconstructs history
+    exactly, not just that versions exist. The construction additionally
+    asserts v2 applied the correction and v3 equals the current read
+    (erasure complete).
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        WarehouseTable,
+    )
+
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < 5
+    ).select("event_id", "user_id", "ts", "value")
+    # TEST-SCALE ONLY staging (the q_streaming_ingest convention): a
+    # tempdir warehouse stands in for the lakehouse table.
+    workdir = tempfile.mkdtemp(prefix="time_travel_q_")
+    wh = WarehouseTable(
+        spark, os.path.join(workdir, "wh"), keys=["event_id"],
+        ts_col="ts", track_versions=True,
+    )
+    wh.append(events, verify=False)                                   # v1
+    corrections = events.filter(F.col("user_id") == 1).withColumn(
+        "value", F.col("value") * 2
+    )
+    wh.merge_replace(corrections)                                     # v2
+    wh.delete_where(F.col("user_id") == 2)                            # v3
+    if wh.read().filter(F.col("user_id") == 2).count() != 0:
+        raise AssertionError("erasure incomplete: user 2 rows remain")
+    def _u1_sum(df: DataFrame) -> float:
+        return (
+            df.filter(F.col("user_id") == 1)
+            .agg(F.sum("value").alias("s")).first()["s"]
+        ) or 0.0
+
+    v1_sum, v2_sum = _u1_sum(wh.read_as_of(1)), _u1_sum(wh.read_as_of(2))
+    if abs(v2_sum - 2 * v1_sum) > 1e-6 * max(abs(v1_sum), 1.0):
+        raise AssertionError(
+            f"v2 correction not applied: {v2_sum} != 2 * {v1_sum}"
+        )
+    return wh.read_as_of(1).select(
+        "event_id", "user_id", "ts", "value"
+    ).orderBy("event_id")
+
+
+SQL_WAREHOUSE_TIME_TRAVEL = """
+SELECT event_id, user_id, ts, value
+FROM events
+WHERE user_id < 5
+ORDER BY event_id
+"""
+
+
+#: attribution horizon for the stream-stream join query (1 hour).
+ATTRIBUTION_HORIZON_S = 3600
+
+
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, driver-verified: purchases attributed
+    to same-user clicks within the preceding hour.
+
+    Both sides are views of ONE staged event stream (clicks filter /
+    purchases filter) flowing through
+    ``streaming/joins.py:attribution_join`` — a watermarked event-time
+    interval join whose state the engine bounds to the horizon. The drain
+    is a single micro-batch, so no row is late relative to the watermark
+    and the inner join finds every pair; the oracle states the identical
+    batch self-join. The comparison proves the streaming join implements
+    the declared interval semantics (the integral ``gap_us`` pins the
+    time arithmetic cross-engine).
+    """
+    import uuid
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.joins import (
+        attribution_join,
+    )
+
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    staged = events.select(
+        "event_id",
+        "user_id",
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("ts"),
+        "event_type",
+    )
+    # TEST-SCALE ONLY staging (q_streaming_ingest convention): a file drop
+    # stands in for the two Kafka topics; production passes real streams.
+    workdir = tempfile.mkdtemp(prefix="streaming_attr_q_")
+    indir = os.path.join(workdir, "incoming")
+    staged.coalesce(1).write.mode("overwrite").json(indir)
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    stream = spark.readStream.schema(schema).json(indir)
+    pairs = attribution_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        horizon_seconds=ATTRIBUTION_HORIZON_S,
+    )
+    name = f"attr_{uuid.uuid4().hex}"
+    query = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).orderBy("purchase_id", "click_id")
+
+
+SQL_STREAMING_ATTRIBUTION = f"""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL {ATTRIBUTION_HORIZON_S} SECOND
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+ORDER BY purchase_id, click_id
+"""
+
+
 QUERIES = [
     QuerySpec("pivot_daily", q_pivot_daily, SQL_PIVOT_DAILY,
               "pivot: daily totals per event type", tags=("pivot", "agg")),
@@ -1201,4 +1335,15 @@ QUERIES = [
               "an in-construction pruning assertion, oracle = plain "
               "predicate",
               tags=("warehouse", "scan")),
+    QuerySpec("streaming_attribution", q_streaming_attribution,
+              SQL_STREAMING_ATTRIBUTION,
+              "watermarked stream-stream interval join (click→purchase "
+              "attribution), oracle = the batch self-join",
+              tags=("streaming", "join")),
+    QuerySpec("warehouse_time_travel", q_warehouse_time_travel,
+              SQL_WAREHOUSE_TIME_TRAVEL,
+              "time travel through rewrites (merge_replace + delete_where "
+              "erasure): read_as_of(1) via the retained-hardlink mirror, "
+              "oracle = the plain source slice",
+              tags=("warehouse", "dml")),
 ]

@@ -165,9 +165,15 @@ MUST_VERIFY: tuple[str, ...] = (
 #: self-join), native_session_window (built-in session_window aggregate
 #: beside the lag and stateful variants), and warehouse_skipping_scan
 #: (file-level data-skipping manifest read with in-construction pruning
-#: assertion). All local-oracle-verified (sf0.001 pytest parity every CI
-#: run + sf0.01 sweep); each MUST take a window slot in r9 (add to
-#: MUST_VERIFY when rotating) — 17 debuts total.
+#: assertion), streaming_attribution (watermarked stream-stream interval
+#: join — click→purchase attribution within a 1 h horizon, cross-batch
+#: match + left-outer watermark-emission pytests, oracle = the batch
+#: self-join), and warehouse_time_travel (read_as_of through
+#: merge_replace + delete_where rewrites via the retained-hardlink
+#: mirror — the Delta VERSION AS OF analogue, erasure driver-verified;
+#: oracle = the plain source slice). All local-oracle-verified (sf0.001
+#: pytest parity every CI run + sf0.01 sweep); each MUST take a window
+#: slot in r9 (add to MUST_VERIFY when rotating) — 19 debuts total.
 #:
 #: r9 OWED SET (window math for next round, decided now, not by slip):
 #: out-of-window at r8 are 62 queries = the 14 deferrals named above
@@ -175,11 +181,11 @@ MUST_VERIFY: tuple[str, ...] = (
 #: they take r9 slots first) + the 48 green-r7 window members that
 #: rotated out this round (everything in the r7 WINDOW_HEAD except
 #: scd2_event_enrich and asof_last_error, which re-verify in-window now).
-#: Owed at r9 = 62 candidates + the 17-query r9 debut queue above for
+#: Owed at r9 = 62 candidates + the 19-query r9 debut queue above for
 #: 50 slots.
 #: Resolution: the 14 exhausted deferrals and every debut/changed query
-#: are non-negotiable (31 slots), leaving 19 for the 48 multiply-green
-#: r7 rotations — defer 29 of them, picked at r9 planning time by
+#: are non-negotiable (33 slots), leaving 17 for the 48 multiply-green
+#: r7 rotations — defer 31 of them, picked at r9 planning time by
 #: deepest-green-history-first among queries with every-CI pytest
 #: coverage (start with the streaming/second-row family:
 #: streaming_window_stats, streaming_sessions, streaming_chunks,

@@ -27,6 +27,13 @@ changes):
   table itself instead of a side JSON file (no crash window between data
   write and state write — the reference's T4 bug, kafka_stream.py:326-330,
   fixed structurally).
+- time travel (opt-in ``track_versions=True``) — ``read_as_of(version)`` /
+  ``versions()`` / ``vacuum_versions``: every mutating op commits a file
+  manifest (the transaction-log analogue, incremental in touched
+  partitions), and rewrites hardlink the files they destroy into a
+  ``_versions/retained`` mirror first — zero bytes copied, old versions
+  stay readable until an explicit vacuum, exactly Delta's
+  leave-superseded-files-until-VACUUM contract.
 - schema evolution — Delta's contract on plain parquet: the registered
   schema lives in a ``_schema`` sidecar (the metadata-log analogue), reads
   bind to it (O(1) in file count — no footer sampling, pre-widening files
@@ -61,11 +68,19 @@ class WarehouseTable:
         root: str,
         keys: Sequence[str] = KEY_COLUMNS,
         ts_col: str = "timestamp",
+        track_versions: bool = False,
     ) -> None:
         self.spark = spark
         self.root = root
         self.keys = list(keys)
         self.ts_col = ts_col
+        #: opt-in time travel (see :meth:`read_as_of`): every mutating op
+        #: snapshots a file manifest, and rewrites hardlink the files they
+        #: destroy into a retained mirror first. Off by default — the
+        #: manifest costs O(touched files) metadata work per write, which
+        #: a streaming hot path shouldn't pay unless asked (a real table
+        #: format pays it inside its transaction log).
+        self.track_versions = track_versions
 
     # ------------------------------------------------------------ probes
 
@@ -198,6 +213,8 @@ class WarehouseTable:
             self._log_maintenance(
                 [("evolve_schema", ",".join(added), None, None, None, None)]
             )
+        if self.track_versions:
+            self._snapshot_version("append", self._touched_dates(aligned))
         if verify:
             after = self._count_in_partitions(df)
             if after - before < n:
@@ -283,6 +300,11 @@ class WarehouseTable:
             incoming.observe(obs, F.count(F.lit(1)).alias("n"))
         ).localCheckpoint(eager=True)
         n = int(obs.get["n"])
+        touched = (
+            self._touched_dates(incoming) if self.track_versions else None
+        )
+        if touched is not None:
+            self._retain_days(touched)  # keep the replaced files readable
         mode_key = "spark.sql.sources.partitionOverwriteMode"
         previous = self.spark.conf.get(mode_key, "static")
         self.spark.conf.set(mode_key, "dynamic")
@@ -299,6 +321,8 @@ class WarehouseTable:
         # cache may still list (metadataCacheTTLSeconds is ∞ by default);
         # stale listings would make the next read fail on missing files
         self.spark.catalog.refreshByPath(self.root)
+        if touched is not None:
+            self._snapshot_version("merge_replace", touched)
         return n
 
     def delete_where(self, predicate: Column) -> int:
@@ -339,6 +363,7 @@ class WarehouseTable:
             .localCheckpoint(eager=True)  # read-modify-write guard
         )
         n_deleted = int(obs.get["n_deleted"] or 0)
+        self._retain_days(days)  # keep the pre-delete files readable
         mode_key = "spark.sql.sources.partitionOverwriteMode"
         previous = self.spark.conf.get(mode_key, "static")
         self.spark.conf.set(mode_key, "dynamic")
@@ -377,6 +402,7 @@ class WarehouseTable:
                 None,
             )]
         )
+        self._snapshot_version("delete_where", days)
         return n_deleted
 
     def expire_partitions(self, keep_days: int, anchor) -> int:
@@ -395,6 +421,7 @@ class WarehouseTable:
             return 0
         cutoff = anchor - datetime.timedelta(days=keep_days)
         dropped = 0
+        dropped_days: list[datetime.date] = []
         for name in sorted(os.listdir(self.root)):
             if not name.startswith("dt="):
                 continue
@@ -405,8 +432,13 @@ class WarehouseTable:
             if day < cutoff:
                 shutil.rmtree(os.path.join(self.root, name))
                 dropped += 1
+                dropped_days.append(day)
         if dropped:
             self.spark.catalog.refreshByPath(self.root)
+            # retention deliberately does NOT retain (it exists to free
+            # space); older versions referencing these files become
+            # unreadable — time travel after VACUUM, same as Delta
+            self._snapshot_version("expire_partitions", dropped_days)
         return dropped
 
     def compact(self) -> int:
@@ -424,6 +456,7 @@ class WarehouseTable:
         """
         if not self.exists():
             return 0
+        self._retain_days(None)  # whole-table rewrite: retain everything
         snapshot = self.read().localCheckpoint(eager=True)
         n_dates = snapshot.select(F.to_date(F.col(self.ts_col))).distinct().count()
         mode_key = "spark.sql.sources.partitionOverwriteMode"
@@ -443,6 +476,7 @@ class WarehouseTable:
             )
         finally:
             self.spark.conf.set(mode_key, previous)
+        self._snapshot_version("compact", None)
         return self.data_file_count()
 
     def compact_partitions(
@@ -501,6 +535,7 @@ class WarehouseTable:
         if not self.exists():
             return 0
         rewritten = 0
+        rewritten_days: list[datetime.date] = []
         entries: list[tuple] = []
         anchor = before.isoformat() if before is not None else None
         for name in sorted(os.listdir(self.root)):
@@ -525,6 +560,7 @@ class WarehouseTable:
             goal = max(1, math.ceil(rows / target_file_rows))
             if n_files <= goal:
                 continue
+            self._retain_days([day])  # this partition is about to rewrite
             snapshot = part.localCheckpoint(eager=True)
             if zorder:
                 from data_engineering_datawarehousingandetlpipeline_spark.operators.zorder import (
@@ -543,11 +579,13 @@ class WarehouseTable:
                 ).sortWithinPartitions(*self.keys)
             writer.write.mode("overwrite").parquet(path)
             rewritten += 1
+            rewritten_days.append(day)
             entries.append(
                 ("compact_partitions", name[3:], n_files, goal, rows, anchor)
             )
         if rewritten:
             self.spark.catalog.refreshByPath(self.root)
+            self._snapshot_version("compact_partitions", rewritten_days)
         if log:
             if not entries:  # a run that found nothing is still a run
                 entries = [("compact_partitions", None, 0, 0, 0, anchor)]
@@ -566,6 +604,234 @@ class WarehouseTable:
                 if name.endswith(".parquet") and not name.startswith(".")
             )
         return total
+
+    # ------------------------------------------------------------ time travel
+
+    def _versions_dir(self) -> str:
+        return os.path.join(self.root, "_versions")
+
+    def _retained_dir(self) -> str:
+        return os.path.join(self._versions_dir(), "retained")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._versions_dir(), f"v{version:09d}.json")
+
+    def _latest_version(self) -> int | None:
+        try:
+            names = os.listdir(self._versions_dir())
+        except FileNotFoundError:
+            return None
+        versions = [
+            int(n[1:-5])
+            for n in names
+            if n.startswith("v") and n.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def _manifest(self, version: int) -> dict:
+        try:
+            with open(self._manifest_path(version)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {version} does not exist (latest: "
+                f"{self._latest_version()}); was it vacuumed?"
+            ) from None
+
+    def _live_files(self, days=None) -> list[str]:
+        """Relative paths of the data files, whole table or per-day."""
+        if days is not None:
+            dirs = [f"dt={d.isoformat()}" for d in days]
+        else:
+            try:
+                dirs = sorted(
+                    n for n in os.listdir(self.root) if n.startswith("dt=")
+                )
+            except FileNotFoundError:
+                return []
+        rels: list[str] = []
+        for d in dirs:
+            path = os.path.join(self.root, d)
+            if not os.path.isdir(path):
+                continue
+            rels.extend(
+                f"{d}/{f}"
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+        return sorted(rels)
+
+    def _snapshot_version(self, op: str, touched_days=None) -> None:
+        """Commit a new version manifest (the transaction-log analogue).
+
+        Incremental: with ``touched_days`` the new manifest is the previous
+        one minus entries under the touched partitions plus their current
+        listing — O(touched files), never O(table history). The registered
+        schema is captured per version so :meth:`read_as_of` returns the
+        table as it was, pre-widening.
+        """
+        if not self.track_versions:
+            return
+        prev = self._latest_version()
+        if prev is None or touched_days is None:
+            files = self._live_files()
+        else:
+            prefixes = tuple(
+                f"dt={d.isoformat()}/" for d in touched_days
+            )
+            kept = [
+                f
+                for f in self._manifest(prev)["files"]
+                if not f.startswith(prefixes)
+            ]
+            files = sorted(kept + self._live_files(touched_days))
+        stored = self.table_schema()
+        manifest = {
+            "version": (prev or 0) + 1,
+            "op": op,
+            "files": files,
+            "schema": stored.jsonValue() if stored is not None else None,
+        }
+        os.makedirs(self._versions_dir(), exist_ok=True)
+        path = self._manifest_path(manifest["version"])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, path)
+
+    def _retain_days(self, days) -> None:
+        """Hardlink the data files of the given partitions into the
+        retained mirror BEFORE a rewrite destroys their names.
+
+        This is how plain parquet keeps old versions readable: a table
+        format simply leaves superseded files in place until VACUUM; our
+        dynamic-partition overwrite deletes names, so the mirror keeps a
+        second link to the same inodes — zero bytes copied, O(touched
+        files) metadata work, freed only by :meth:`vacuum_versions`.
+        """
+        if not self.track_versions:
+            return
+        import shutil
+
+        for rel in self._live_files(days):
+            src = os.path.join(self.root, rel)
+            dst = os.path.join(self._retained_dir(), rel)
+            if os.path.exists(dst):
+                continue
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device: degrade to a copy
+                shutil.copy2(src, dst)
+
+    def versions(self) -> DataFrame:
+        """The version history, queryable (Delta ``DESCRIBE HISTORY``):
+        one row per committed manifest. Version ids are dense ints —
+        deliberately no wall-clock column, so histories are replayable."""
+        latest = self._latest_version()
+        rows = []
+        for v in range(1, (latest or 0) + 1):
+            try:
+                m = self._manifest(v)
+            except ValueError:  # vacuumed
+                continue
+            rows.append((m["version"], m["op"], len(m["files"])))
+        return self.spark.createDataFrame(
+            rows, "version int, op string, n_files int"
+        )
+
+    def read_as_of(self, version: int) -> DataFrame:
+        """Time travel: the table exactly as of a committed version
+        (Delta ``SELECT ... VERSION AS OF n``).
+
+        Resolves each manifest entry to its live path, else to its
+        retained hardlink (the file was rewritten since), else raises —
+        a file neither live nor retained was vacuumed, the same
+        time-travel-after-VACUUM failure a table format gives. Reads bind
+        to the schema registered AT that version, so a later widening
+        does not leak backwards. Requires ``track_versions=True``.
+        """
+        if not self.track_versions:
+            raise ValueError(
+                "time travel requires track_versions=True at table creation"
+            )
+        m = self._manifest(version)
+        schema = (
+            T.StructType.fromJson(m["schema"])
+            if m["schema"] is not None
+            else None
+        )
+        live, retained, lost = [], [], []
+        for rel in m["files"]:
+            p = os.path.join(self.root, rel)
+            r = os.path.join(self._retained_dir(), rel)
+            if os.path.exists(p):
+                live.append(p)
+            elif os.path.exists(r):
+                retained.append(r)
+            else:
+                lost.append(rel)
+        if lost:
+            raise ValueError(
+                f"version {version} is no longer readable: "
+                f"{len(lost)} files vacuumed (e.g. {lost[0]})"
+            )
+        parts: list[DataFrame] = []
+        for base, paths in (
+            (self.root, live),
+            (self._retained_dir(), retained),
+        ):
+            if not paths:
+                continue
+            reader = self.spark.read.option("basePath", base)
+            if schema is not None:
+                reader = reader.schema(schema)
+            parts.append(reader.parquet(*paths))
+        if not parts:
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], self.read().schema)
+        df = parts[0]
+        for other in parts[1:]:
+            df = df.unionByName(other)
+        return df
+
+    def vacuum_versions(self, keep_last: int) -> int:
+        """Drop manifests older than the last ``keep_last`` and unlink
+        retained files no kept version references (Delta ``VACUUM``).
+        Returns the number of retained files removed; audit-logged."""
+        latest = self._latest_version()
+        if latest is None:
+            return 0
+        cutoff = latest - keep_last
+        referenced: set[str] = set()
+        for v in range(cutoff + 1, latest + 1):
+            try:
+                referenced.update(self._manifest(v)["files"])
+            except ValueError:
+                continue
+        dropped_manifests = 0
+        for v in range(1, cutoff + 1):
+            path = self._manifest_path(v)
+            if os.path.exists(path):
+                os.remove(path)
+                dropped_manifests += 1
+        removed = 0
+        rdir = self._retained_dir()
+        if os.path.isdir(rdir):
+            for dirpath, dirnames, filenames in os.walk(rdir, topdown=False):
+                rel_dir = os.path.relpath(dirpath, rdir)
+                for name in filenames:
+                    rel = name if rel_dir == "." else f"{rel_dir}/{name}"
+                    if rel not in referenced:
+                        os.remove(os.path.join(dirpath, name))
+                        removed += 1
+                if not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+        self._log_maintenance(
+            [("vacuum_versions", None, dropped_manifests, None, removed, None)]
+        )
+        return removed
 
     # ------------------------------------------------------- maintenance log
 

@@ -1126,3 +1126,105 @@ def test_delete_where_rewrites_only_matching_partitions(spark, tmp_path):
     assert wh.delete_where(F.col("v") == 99.0) == 0  # idempotent
     log = wh.maintenance_log().filter("op = 'delete_where'").collect()
     assert sorted(r.n_rows for r in log) == [0, 2]
+
+
+def test_time_travel_reads_every_version_back(spark, tmp_path):
+    """Opt-in time travel: append → merge_replace → delete_where each
+    commit a version; read_as_of(v) returns the table exactly as it was,
+    INCLUDING rows whose files a later rewrite destroyed (the retained
+    hardlink mirror), and versions() lists the history."""
+    wh = WarehouseTable(
+        spark, str(tmp_path / "wh"), keys=["k", "ts"], ts_col="ts",
+        track_versions=True,
+    )
+    ddl = "k long, ts timestamp, v double"
+    wh.append(_ts_df(spark, [
+        (1, "2024-03-01T00:00:00", 10.0),
+        (2, "2024-03-01T01:00:00", 20.0),
+        (3, "2024-03-02T00:00:00", 30.0),
+    ], ddl), verify=False)                                  # v1
+    wh.merge_replace(_ts_df(spark, [
+        (2, "2024-03-01T01:00:00", 99.0),                   # correction
+    ], ddl))                                                # v2
+    wh.delete_where(F.col("k") == 1)                        # v3
+
+    hist = {r.version: r.op for r in wh.versions().collect()}
+    assert hist == {1: "append", 2: "merge_replace", 3: "delete_where"}
+
+    def snap(v):
+        return sorted(
+            (r.k, r.v) for r in wh.read_as_of(v).select("k", "v").collect()
+        )
+
+    assert snap(1) == [(1, 10.0), (2, 20.0), (3, 30.0)]     # pre-correction
+    assert snap(2) == [(1, 10.0), (2, 99.0), (3, 30.0)]     # post-correction
+    assert snap(3) == [(2, 99.0), (3, 30.0)]                # post-delete
+    assert snap(3) == sorted((r.k, r.v) for r in wh.read().select("k", "v").collect())
+
+
+def test_time_travel_survives_compaction_and_vacuum_invalidates(spark, tmp_path):
+    """compact_partitions rewrites files but old versions stay readable
+    through the retained mirror; vacuum_versions drops old manifests and
+    their unreferenced retained files, after which time travel to them
+    fails loudly (the Delta VACUUM contract)."""
+    import pytest as _pytest
+
+    wh = WarehouseTable(
+        spark, str(tmp_path / "wh"), keys=["k", "ts"], ts_col="ts",
+        track_versions=True,
+    )
+    ddl = "k long, ts timestamp, v double"
+    for k in range(4):  # 4 appends → 4 files in one partition → v1..v4
+        wh.append(_ts_df(
+            spark, [(k, "2024-03-01T00:00:00", float(k))], ddl
+        ), verify=False)
+    import datetime
+    wh.compact_partitions(
+        target_file_rows=1000, before=datetime.date(2024, 3, 5)
+    )                                                        # v5: 1 file
+    assert wh.data_file_count() == 1
+    # v2 predates the compaction: its files were rewritten away, but the
+    # retained mirror still holds them
+    assert sorted(r.k for r in wh.read_as_of(2).collect()) == [0, 1]
+    assert {r.op for r in wh.versions().collect()} >= {"append", "compact_partitions"}
+
+    removed = wh.vacuum_versions(keep_last=1)
+    assert removed > 0                                      # mirror files freed
+    with _pytest.raises(ValueError, match="vacuum|does not exist"):
+        wh.read_as_of(2)
+    # the surviving version still reads fine
+    latest = max(r.version for r in wh.versions().collect())
+    assert sorted(r.k for r in wh.read_as_of(latest).collect()) == [0, 1, 2, 3]
+
+
+def test_time_travel_pins_pre_evolution_schema(spark, tmp_path):
+    """A version committed before a schema widening reads back WITHOUT
+    the later column — the manifest pins the schema of its time."""
+    wh = WarehouseTable(
+        spark, str(tmp_path / "wh"), keys=["k", "ts"], ts_col="ts",
+        track_versions=True,
+    )
+    wh.append(_ts_df(
+        spark, [(1, "2024-03-01T00:00:00", 1.0)], "k long, ts timestamp, v double"
+    ), verify=False)                                         # v1
+    wh.append(
+        _ts_df(spark, [(2, "2024-03-01T02:00:00", 2.0, "eu")],
+               "k long, ts timestamp, v double, region string"),
+        verify=False, evolve_schema=True,
+    )                                                        # v2
+    assert "region" not in wh.read_as_of(1).columns
+    assert "region" in wh.read_as_of(2).columns
+    assert wh.read_as_of(2).filter("k = 1").first().region is None
+
+
+def test_untracked_table_pays_no_version_cost(spark, tmp_path):
+    """Default tables write no _versions sidecar and read_as_of refuses."""
+    import pytest as _pytest
+
+    wh = WarehouseTable(spark, str(tmp_path / "wh"), keys=["k", "ts"], ts_col="ts")
+    wh.append(_ts_df(
+        spark, [(1, "2024-03-01T00:00:00", 1.0)], "k long, ts timestamp, v double"
+    ), verify=False)
+    assert not os.path.isdir(str(tmp_path / "wh" / "_versions"))
+    with _pytest.raises(ValueError, match="track_versions"):
+        wh.read_as_of(1)
