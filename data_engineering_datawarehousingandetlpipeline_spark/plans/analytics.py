@@ -2340,6 +2340,253 @@ ORDER BY o_year
 """
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: bilateral trade volume between two nations by year.
+
+    The two nation lookups are DIFFERENT dimension roles on the same
+    table (supplier's nation vs customer's nation) — both broadcast, so
+    the only shuffles are the fact-sized orderkey and custkey joins. The
+    pair filter ((A→B) OR (B→A)) stays a residual on the broadcast join,
+    never a union of two plans; the ship-year comes off the lineitem row
+    (no orders re-scan). Output is bounded: 2 directions × years.
+    """
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        # supplier scales with SF — statistics/AQE decide; nations broadcast
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(_revenue(), wide=True).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_VOLUME_SHIPPING = f"""
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {sql_dsum(SQL_REVENUE, wide=True)} AS revenue
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY ns.n_name, nc.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: distribution of customers by order count.
+
+    The join must be LEFT OUTER from customer (zero-order customers are
+    the point of the query — an inner join silently loses the biggest
+    histogram bucket) and the two aggregations stay separate: the first
+    is custkey-keyed (fact-sized shuffle), the second groups the
+    1-row-per-customer result by its count (trivially small). The
+    priority filter belongs INSIDE the join's right side, not a WHERE
+    after it — a post-join filter would turn the outer join inner.
+    """
+    ensure_runtime_confs(spark)
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    per_customer = (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # NULLs don't count
+    )
+    return (
+        per_customer.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: the cheapest supplier for every qualifying part.
+
+    The textbook form is a correlated MIN subquery per part (the oracle
+    states exactly that, tie broken to the lowest suppkey by a second
+    correlated MIN); the plan decorrelates it into ONE argmin aggregate —
+    ``min(struct(cost, suppkey))`` — so the per-part minimum and its
+    witness come out of a single shuffle instead of a re-scan per part.
+    Unit costs derive from lineitem (this corpus has no partsupp table);
+    the part filter prunes the FACT side via a broadcast semi-join
+    before the aggregate, so the costed row set is already part-filtered.
+    Cross-engine determinism: cost is rounded to 6 dp BEFORE the argmin,
+    so both engines tie-break identical values, never near-equal doubles.
+    """
+    ensure_runtime_confs(spark)
+    wanted = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_name")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(wanted.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    costs = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
+            "unit_cost"
+        )
+    )
+    best = (
+        costs.groupBy("l_partkey")
+        .agg(F.min(F.struct("unit_cost", "l_suppkey")).alias("b"))
+        .select(
+            "l_partkey",
+            F.col("b.unit_cost").alias("min_cost"),
+            F.col("b.l_suppkey").alias("best_suppkey"),
+        )
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("best_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "min_cost")
+        .orderBy("p_partkey")
+    )
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         round(MIN(l_extendedprice / l_quantity), 6) AS unit_cost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT p_partkey, p_name, s_name, c.unit_cost AS min_cost
+FROM part
+JOIN costs c ON c.l_partkey = p_partkey
+JOIN supplier ON s_suppkey = c.l_suppkey
+WHERE p_type = 'STANDARD' AND p_size <= 10
+  AND c.unit_cost = (
+    SELECT MIN(c2.unit_cost) FROM costs c2 WHERE c2.l_partkey = p_partkey
+  )
+  AND c.l_suppkey = (
+    SELECT MIN(c3.l_suppkey) FROM costs c3
+    WHERE c3.l_partkey = p_partkey
+      AND c3.unit_cost = (
+        SELECT MIN(c4.unit_cost) FROM costs c4 WHERE c4.l_partkey = p_partkey
+      )
+  )
+ORDER BY p_partkey
+"""
+
+
+def q_nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: product-line revenue by supplier nation and year.
+
+    (Adaptation note: reference Q9 subtracts ``ps_supplycost·qty``; this
+    corpus carries no partsupp table, so the measure is revenue — the
+    JOIN SHAPE is the point: a name-filtered part dimension pruning the
+    fact scan through a broadcast semi-join, then orderkey + suppkey
+    joins with the nation lookup broadcast, grouped to a bounded
+    (nation × year) output. Nothing here is a blow-up join: every join
+    is an equi-join on a key, and the only fact-sized shuffle is the
+    orderkey join.)
+    """
+    ensure_runtime_confs(spark)
+    widgets = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(widgets),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(_revenue(), wide=True).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+SQL_NATION_PRODUCT_PROFIT = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       {sql_dsum(SQL_REVENUE, wide=True)} AS profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
 QUERIES = [
     QuerySpec(
         "pricing_summary",
@@ -2612,6 +2859,38 @@ QUERIES = [
         SQL_NATION_MARKET_SHARE,
         "Q8-shaped share-of-total by year: numerator and denominator in "
         "the same aggregate",
+        tags=("join", "agg"),
+    ),
+    QuerySpec(
+        "volume_shipping",
+        q_volume_shipping,
+        SQL_VOLUME_SHIPPING,
+        "Q7-shaped bilateral nation-pair trade volume: one dimension in "
+        "two broadcast roles, pair disjunction as a join residual",
+        tags=("join", "agg"),
+    ),
+    QuerySpec(
+        "customer_order_distribution",
+        q_customer_order_distribution,
+        SQL_CUSTOMER_ORDER_DISTRIBUTION,
+        "Q13-shaped order-count histogram: LEFT OUTER keeps zero-order "
+        "customers, filter inside the join side",
+        tags=("join", "agg"),
+    ),
+    QuerySpec(
+        "min_cost_supplier",
+        q_min_cost_supplier,
+        SQL_MIN_COST_SUPPLIER,
+        "Q2-shaped cheapest-supplier-per-part: correlated MIN oracle "
+        "decorrelated to one min(struct) argmin aggregate",
+        tags=("join", "agg", "decorrelation"),
+    ),
+    QuerySpec(
+        "nation_product_profit",
+        q_nation_product_profit,
+        SQL_NATION_PRODUCT_PROFIT,
+        "Q9-shaped product-line profit by nation and year: name-filtered "
+        "part dim prunes the fact scan via broadcast semi-join",
         tags=("join", "agg"),
     ),
 ]

@@ -785,6 +785,58 @@ def test_nation_market_share_single_aggregate_no_self_join(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_volume_shipping_broadcasts_both_nation_roles(spark):
+    """Q7: the two nation ROLES (supplier's, customer's) must each arrive
+    as a broadcast join — never a shuffle for a 25-row dim — and the
+    (A→B) OR (B→A) pair filter must stay a residual on ONE plan, not
+    split into a union of two join trees."""
+    plan = _plan(spark, "volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2  # both nation lookups
+    assert "Union" not in plan                   # disjunction not split
+    assert plan.count("FileScan parquet") == 6   # each table exactly once
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_customer_order_distribution_keeps_outer_join(spark):
+    """Q13: zero-order customers are the point — the outer join must
+    survive into the physical plan (a post-join priority filter would
+    let Catalyst rewrite it inner and silently drop the zero bucket),
+    and the histogram is two aggregates, no window."""
+    plan = _plan(spark, "customer_order_distribution")
+    assert "LeftOuter" in plan
+    assert plan.count("partial_count") >= 1
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_min_cost_supplier_is_one_fact_scan_argmin(spark):
+    """Q2 decorrelation: the correlated MIN-per-part subquery must run as
+    ONE argmin aggregate over ONE part-filtered fact scan — the part
+    filter arriving as a broadcast semi-join BEFORE the aggregate, the
+    min-and-witness via min(struct), never a per-part re-scan or a
+    self-join of the costs."""
+    plan = _plan(spark, "min_cost_supplier")
+    assert plan.count("FileScan parquet [l_") == 1  # lineitem scanned once
+    assert "LeftSemi" in plan                        # part prune pre-agg
+    assert "partial_min" in plan                     # argmin aggregate
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nation_product_profit_prunes_fact_via_semi_join(spark):
+    """Q9 shape: the name-filtered part dimension must prune lineitem
+    through a broadcast LEFT SEMI before the orderkey join, and the
+    (nation × year) output comes from one aggregate pass."""
+    plan = _plan(spark, "nation_product_profit")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("partial_sum") >= 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 # --- wholesale registry audit -------------------------------------------
 # Per-query gates above pin specific plan SHAPES; this audit pins the
 # three absolute bans across EVERY lazily-constructible registered query,
