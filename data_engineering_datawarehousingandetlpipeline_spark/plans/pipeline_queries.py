@@ -1193,6 +1193,67 @@ ORDER BY event_id
 """
 
 
+def q_warehouse_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version change data feed, driver-verified.
+
+    Same staged lifecycle as ``warehouse_time_travel`` (append → correct
+    → erase), but the returned surface is ``changes_between(1, 3)`` —
+    the Delta ``table_changes()`` analogue: every user-1 row classifies
+    as an UPDATE carrying old and new values, every user-2 row as a
+    DELETE, everything untouched is absent. The oracle derives the same
+    feed straight from the source slice, so the comparison proves the
+    version diff reconstructs exactly the mutations that were applied —
+    the audit surface a correction pipeline replays to downstreams.
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        WarehouseTable,
+    )
+
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < 5
+    ).select("event_id", "user_id", "ts", "value")
+    # TEST-SCALE ONLY staging (the q_streaming_ingest convention).
+    workdir = tempfile.mkdtemp(prefix="change_feed_q_")
+    wh = WarehouseTable(
+        spark, os.path.join(workdir, "wh"), keys=["event_id"],
+        ts_col="ts", track_versions=True,
+    )
+    wh.append(events, verify=False)                                   # v1
+    wh.merge_replace(
+        events.filter(F.col("user_id") == 1).withColumn(
+            "value", F.col("value") * 2
+        )
+    )                                                                 # v2
+    wh.delete_where(F.col("user_id") == 2)                            # v3
+    return (
+        wh.changes_between(1, 3, compare_cols=["value"])
+        .select(
+            "event_id",
+            "op",
+            F.round("old_value", 6).alias("old_value"),
+            F.round("new_value", 6).alias("new_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_WAREHOUSE_CHANGE_FEED = """
+SELECT event_id, 'update' AS op,
+       round(value, 6) AS old_value,
+       round(value * 2, 6) AS new_value
+FROM events
+WHERE user_id = 1 AND value <> 0
+UNION ALL
+SELECT event_id, 'delete' AS op,
+       round(value, 6) AS old_value,
+       CAST(NULL AS DOUBLE) AS new_value
+FROM events
+WHERE user_id = 2
+ORDER BY event_id
+"""
+
+
 #: attribution horizon for the stream-stream join query (1 hour).
 ATTRIBUTION_HORIZON_S = 3600
 
@@ -1346,4 +1407,10 @@ QUERIES = [
               "erasure): read_as_of(1) via the retained-hardlink mirror, "
               "oracle = the plain source slice",
               tags=("warehouse", "dml")),
+    QuerySpec("warehouse_change_feed", q_warehouse_change_feed,
+              SQL_WAREHOUSE_CHANGE_FEED,
+              "version-to-version change data feed (table_changes "
+              "analogue): update/delete classification with old/new "
+              "values, oracle = the mutations derived from the source",
+              tags=("warehouse", "dml", "cdc")),
 ]

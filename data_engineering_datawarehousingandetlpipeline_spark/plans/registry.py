@@ -177,10 +177,14 @@ MUST_VERIFY: tuple[str, ...] = (
 #: dimension in two broadcast roles with the pair disjunction as a join
 #: residual, outer-join-preserving zero-bucket histogram, correlated-MIN
 #: oracle decorrelated to a min(struct) argmin over a semi-join-pruned
-#: fact scan, and name-filtered-dim fact pruning; each plan-gated). All
+#: fact scan, and name-filtered-dim fact pruning; each plan-gated), and
+#: warehouse_change_feed (version-to-version CDF — the Delta
+#: table_changes analogue composing read_as_of with the relational
+#: snapshot diff; insert/update/delete classification pytest-pinned,
+#: oracle derives the applied mutations from the source). All
 #: local-oracle-verified (sf0.001 pytest parity every CI run + sf0.01
 #: sweep); each MUST take a window slot in r9 (add to MUST_VERIFY when
-#: rotating) — 23 debuts total.
+#: rotating) — 24 debuts total.
 #:
 #: r9 OWED SET (window math for next round, decided now, not by slip):
 #: out-of-window at r8 are 62 queries = the 14 deferrals named above
@@ -188,11 +192,11 @@ MUST_VERIFY: tuple[str, ...] = (
 #: they take r9 slots first) + the 48 green-r7 window members that
 #: rotated out this round (everything in the r7 WINDOW_HEAD except
 #: scd2_event_enrich and asof_last_error, which re-verify in-window now).
-#: Owed at r9 = 62 candidates + the 23-query r9 debut queue above for
+#: Owed at r9 = 62 candidates + the 24-query r9 debut queue above for
 #: 50 slots.
 #: Resolution: the 14 exhausted deferrals and every debut/changed query
-#: are non-negotiable (37 slots), leaving 13 for the 48 multiply-green
-#: r7 rotations — defer 35 of them, picked at r9 planning time by
+#: are non-negotiable (38 slots), leaving 12 for the 48 multiply-green
+#: r7 rotations — defer 36 of them, picked at r9 planning time by
 #: deepest-green-history-first among queries with every-CI pytest
 #: coverage (start with the streaming/second-row family:
 #: streaming_window_stats, streaming_sessions, streaming_chunks,

@@ -796,6 +796,32 @@ class WarehouseTable:
             df = df.unionByName(other)
         return df
 
+    def changes_between(
+        self, from_version: int, to_version: int,
+        compare_cols: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Change data feed between two versions (Delta ``table_changes``).
+
+        Composes :meth:`read_as_of` with the relational snapshot diff
+        (operators/diff.table_diff): one co-partitioned full-outer join
+        on the key columns classifies every key as insert / delete /
+        update with old/new values. Delta serves this from the
+        transaction log's per-commit files; on plain parquet the honest
+        equivalent is the keyed diff of the two manifest reads — still
+        one fact-sized shuffle, O(|v1| + |v2|). ``compare_cols`` defaults
+        to every non-key, non-partition column.
+        """
+        from data_engineering_datawarehousingandetlpipeline_spark.operators.diff import (
+            table_diff,
+        )
+
+        old, new = self.read_as_of(from_version), self.read_as_of(to_version)
+        if compare_cols is None:
+            compare_cols = [
+                c for c in new.columns if c not in (*self.keys, "dt")
+            ]
+        return table_diff(old, new, self.keys, list(compare_cols))
+
     def vacuum_versions(self, keep_last: int) -> int:
         """Drop manifests older than the last ``keep_last`` and unlink
         retained files no kept version references (Delta ``VACUUM``).

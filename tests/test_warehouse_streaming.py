@@ -1228,3 +1228,37 @@ def test_untracked_table_pays_no_version_cost(spark, tmp_path):
     assert not os.path.isdir(str(tmp_path / "wh" / "_versions"))
     with _pytest.raises(ValueError, match="track_versions"):
         wh.read_as_of(1)
+
+
+def test_changes_between_classifies_inserts_updates_deletes(spark, tmp_path):
+    """The version CDF classifies all three op kinds and drops unchanged
+    keys: appended keys are inserts, replaced values updates, deleted
+    keys deletes — and a key untouched across the span is absent."""
+    wh = WarehouseTable(
+        spark, str(tmp_path / "wh"), keys=["k"], ts_col="ts",
+        track_versions=True,
+    )
+    ddl = "k long, ts timestamp, v double"
+    wh.append(_ts_df(spark, [
+        (1, "2024-03-01T00:00:00", 10.0),
+        (2, "2024-03-01T01:00:00", 20.0),
+        (3, "2024-03-02T00:00:00", 30.0),   # untouched throughout
+    ], ddl), verify=False)                                   # v1
+    wh.merge_upsert(_ts_df(spark, [
+        (4, "2024-03-02T02:00:00", 40.0),                    # new key
+    ], ddl))                                                 # v2
+    wh.merge_replace(_ts_df(spark, [
+        (2, "2024-03-01T01:00:00", 99.0),                    # value change
+    ], ddl))                                                 # v3
+    wh.delete_where(F.col("k") == 1)                         # v4
+
+    feed = {
+        r.k: (r.op, r.old_v, r.new_v)
+        for r in wh.changes_between(1, 4, compare_cols=["v"]).collect()
+    }
+    assert feed == {
+        1: ("delete", 10.0, None),
+        2: ("update", 20.0, 99.0),
+        4: ("insert", None, 40.0),
+    }
+    assert 3 not in feed  # unchanged key dropped
