@@ -1254,6 +1254,74 @@ ORDER BY event_id
 """
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment, driver-verified: each event on
+    the stream picks up its user's lifetime profile from a broadcast
+    batch dimension.
+
+    The everyday production streaming join (facts stream, dimensions
+    don't): stateless, watermark-free, shuffle-free — the profile
+    broadcasts into every micro-batch and rows leave the batch they
+    arrived in. LEFT OUTER so a user absent from the dimension would
+    survive with NULLs rather than silently dropping (pytest pins that
+    contract; in this corpus every user has a profile, which is what
+    lets the oracle state the plain batch join).
+    """
+    import uuid
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.joins import (
+        enrich_stream,
+    )
+
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    profile = events.groupBy("user_id").agg(
+        dsum("value").alias("lifetime_value"),
+        F.count("*").alias("n_user_events"),
+    )
+    staged = events.filter(F.col("user_id") < 20).select(
+        "event_id",
+        "user_id",
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("ts"),
+        "value",
+    )
+    # TEST-SCALE ONLY staging (q_streaming_ingest convention).
+    workdir = tempfile.mkdtemp(prefix="streaming_enrich_q_")
+    indir = os.path.join(workdir, "incoming")
+    staged.coalesce(1).write.mode("overwrite").json(indir)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, value double"
+    ).json(indir)
+    enriched = enrich_stream(stream, profile, ["user_id"]).select(
+        "event_id", "user_id", "value", "lifetime_value", "n_user_events"
+    )
+    name = f"enrich_{uuid.uuid4().hex}"
+    query = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).orderBy("event_id")
+
+
+SQL_STREAMING_ENRICH = f"""
+SELECT e.event_id, e.user_id, e.value,
+       p.lifetime_value, p.n_user_events
+FROM events e
+LEFT JOIN (
+  SELECT user_id,
+         {sql_dsum('value')} AS lifetime_value,
+         COUNT(*) AS n_user_events
+  FROM events GROUP BY user_id
+) p USING (user_id)
+WHERE e.user_id < 20
+ORDER BY event_id
+"""
+
+
 #: attribution horizon for the stream-stream join query (1 hour).
 ATTRIBUTION_HORIZON_S = 3600
 
@@ -1407,6 +1475,10 @@ QUERIES = [
               "erasure): read_as_of(1) via the retained-hardlink mirror, "
               "oracle = the plain source slice",
               tags=("warehouse", "dml")),
+    QuerySpec("streaming_enrich", q_streaming_enrich, SQL_STREAMING_ENRICH,
+              "stream-static broadcast dimension enrichment (stateless, "
+              "shuffle-free), oracle = the plain batch join",
+              tags=("streaming", "join")),
     QuerySpec("warehouse_change_feed", q_warehouse_change_feed,
               SQL_WAREHOUSE_CHANGE_FEED,
               "version-to-version change data feed (table_changes "

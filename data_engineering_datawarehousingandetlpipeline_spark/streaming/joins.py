@@ -34,6 +34,28 @@ from pyspark.sql import functions as F
 DEFAULT_HORIZON_SECONDS = 3600
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left_outer",
+) -> DataFrame:
+    """Stream-static dimension enrichment: the everyday streaming join.
+
+    The static side is a plain batch DataFrame — Spark re-evaluates it
+    per micro-batch (so a dim backed by a warehouse table picks up
+    slowly-changing updates between batches) and the broadcast hint
+    keeps the join stateless and shuffle-free: no watermark, no state
+    store, each event row leaves the batch it arrived in. LEFT OUTER by
+    default — an event whose key is missing from the dimension must
+    survive with NULLs, not vanish (the silent-row-loss failure mode of
+    an inner enrichment against a lagging dim). For dims too big to
+    broadcast, drop the hint and pre-bucket both sides instead; the
+    semantics here don't change.
+    """
+    return stream.join(F.broadcast(dim), keys, how)
+
+
 def attribution_join(
     clicks: DataFrame,
     purchases: DataFrame,

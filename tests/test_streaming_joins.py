@@ -121,3 +121,40 @@ def test_left_outer_emits_unmatched_only_past_watermark(spark, tmp_path):
     assert rows[2] == 1            # matched pair
     assert rows[3] is None         # unmatched, emitted after watermark
     assert 91 not in rows          # open tail stays in state
+
+
+def test_enrich_stream_broadcasts_dim_into_every_batch(spark, tmp_path):
+    """Stream-static enrichment: the dimension applies in EVERY
+    micro-batch (not just the first), unknown keys survive with NULLs
+    (left outer), and no state accumulates between batches."""
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.joins import (
+        enrich_stream,
+    )
+
+    indir = tmp_path / "ev"
+    indir.mkdir()
+    _write(indir / "b1.json", [_ev(1, 1, "2024-03-01T10:00:00Z", "view")])
+    _write(indir / "b2.json", [
+        _ev(2, 2, "2024-03-01T11:00:00Z", "view"),
+        _ev(3, 77, "2024-03-01T12:00:00Z", "view"),   # not in the dim
+    ])
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    stream = _source(spark, indir)
+    q = (
+        enrich_stream(stream, dim, ["user_id"])
+        .select("event_id", "user_id", "tier")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.event_id: r.tier for r in spark.table("enriched").collect()}
+    assert got == {1: "gold", 2: "silver", 3: None}
+    # stateless: no stateful operator appears in the final progress
+    last = q.lastProgress
+    assert not last["stateOperators"]
