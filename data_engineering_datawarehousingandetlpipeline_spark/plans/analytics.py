@@ -2587,6 +2587,114 @@ ORDER BY nation, o_year DESC
 """
 
 
+#: Q11 concentration threshold: parts holding more than this fraction of
+#: total revenue (0.06 % — the TPC-H Q11 fraction scaled to this corpus).
+CONCENTRATION_FRACTION = 0.0006
+
+
+def q_part_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: parts concentrating an outsized revenue share.
+
+    Textbook: ``HAVING SUM(rev) > f · (SELECT SUM(rev) FROM ...)`` — a
+    scalar subquery re-aggregating the same table. Decorrelated: the
+    per-part aggregate is computed ONCE and pinned (it feeds the global
+    total AND the threshold filter; unpinned, Spark would scan lineitem
+    twice), the total is a decimal-anchored re-sum of the per-part sums
+    (order-independent, so both engines hold bit-identical doubles and
+    the ``>`` threshold and the reported ``share`` agree exactly), and
+    the 1-row total broadcasts back. At 100 TB: one map-side-combined
+    partkey shuffle; everything after is dimension-sized.
+    """
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pr = (
+        lineitem.groupBy("l_partkey")
+        .agg(dsum(_revenue(), wide=True).alias("part_revenue"))
+        .localCheckpoint(eager=False)
+    )
+    total = pr.agg(dsum("part_revenue", wide=True).alias("__total"))
+    return (
+        pr.join(
+            F.broadcast(total),
+            F.col("part_revenue")
+            > F.lit(CONCENTRATION_FRACTION) * F.col("__total"),
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "part_revenue",
+            F.round(F.col("part_revenue") / F.col("__total"), 6).alias("share"),
+        )
+        .orderBy(F.col("part_revenue").desc(), "p_partkey")
+    )
+
+
+SQL_PART_CONCENTRATION = f"""
+WITH pr AS (
+  SELECT l_partkey, {sql_dsum(SQL_REVENUE, wide=True)} AS part_revenue
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_partkey, p_name, part_revenue,
+       round(part_revenue /
+             (SELECT {sql_dsum('part_revenue', wide=True)} FROM pr), 6) AS share
+FROM part JOIN pr ON l_partkey = p_partkey
+WHERE part_revenue > {CONCENTRATION_FRACTION}
+      * (SELECT {sql_dsum('part_revenue', wide=True)} FROM pr)
+ORDER BY part_revenue DESC, p_partkey
+"""
+
+
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: supplier variety per part attribute, excluding a
+    blacklist.
+
+    Textbook: ``COUNT(DISTINCT suppkey) ... WHERE suppkey NOT IN (SELECT
+    ... complaints)`` over the part-supplier association (this corpus's
+    association table is lineitem). Decorrelated: the blacklist is a
+    broadcast LEFT ANTI before anything else touches the rows — pruning
+    the fact scan's output at the map side, where a NOT IN subquery
+    naively re-evaluates per row. (Anti-join equals NOT IN here because
+    the blacklist key is non-nullable; a nullable NOT IN is the one
+    SQL construct whose three-valued logic an anti-join does NOT
+    replicate — worth stating because it is the classic silent-rewrite
+    trap.) The distinct count shuffles (brand, size)-keyed with partial
+    aggregation; part joins on the natural key with AQE choosing the
+    strategy.
+    """
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    blacklist = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        lineitem.join(F.broadcast(blacklist), "l_suppkey", "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+SQL_PART_SUPPLIER_VARIETY = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
 QUERIES = [
     QuerySpec(
         "pricing_summary",
@@ -2892,5 +3000,21 @@ QUERIES = [
         "Q9-shaped product-line profit by nation and year: name-filtered "
         "part dim prunes the fact scan via broadcast semi-join",
         tags=("join", "agg"),
+    ),
+    QuerySpec(
+        "part_concentration",
+        q_part_concentration,
+        SQL_PART_CONCENTRATION,
+        "Q11-shaped HAVING-over-global-total: pinned per-part aggregate "
+        "feeds both the broadcast total and the threshold filter",
+        tags=("join", "agg", "decorrelation"),
+    ),
+    QuerySpec(
+        "part_supplier_variety",
+        q_part_supplier_variety,
+        SQL_PART_SUPPLIER_VARIETY,
+        "Q16-shaped blacklisted distinct count: NOT IN oracle served by a "
+        "broadcast LEFT ANTI pruning the fact scan map-side",
+        tags=("join", "agg", "decorrelation"),
     ),
 ]

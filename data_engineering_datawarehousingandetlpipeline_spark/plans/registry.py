@@ -184,10 +184,15 @@ MUST_VERIFY: tuple[str, ...] = (
 #: oracle derives the applied mutations from the source), and
 #: streaming_enrich (stream-static broadcast dimension enrichment —
 #: stateless, shuffle-free, left-outer NULL survival pytest-pinned;
-#: oracle = the plain batch join). All
+#: oracle = the plain batch join), plus two more decorrelation shapes:
+#: part_concentration (Q11 HAVING-over-global-total — pinned per-part
+#: aggregate feeds both the broadcast total and the threshold) and
+#: part_supplier_variety (Q16 NOT IN blacklist — broadcast LEFT ANTI
+#: pruning before the distinct count, non-nullable-key caveat
+#: documented). All
 #: local-oracle-verified (sf0.001 pytest parity every CI run + sf0.01
 #: sweep); each MUST take a window slot in r9 (add to MUST_VERIFY when
-#: rotating) — 25 debuts total.
+#: rotating) — 27 debuts total.
 #:
 #: r9 OWED SET (window math for next round, decided now, not by slip):
 #: out-of-window at r8 are 62 queries = the 14 deferrals named above
@@ -195,11 +200,11 @@ MUST_VERIFY: tuple[str, ...] = (
 #: they take r9 slots first) + the 48 green-r7 window members that
 #: rotated out this round (everything in the r7 WINDOW_HEAD except
 #: scd2_event_enrich and asof_last_error, which re-verify in-window now).
-#: Owed at r9 = 62 candidates + the 25-query r9 debut queue above for
+#: Owed at r9 = 62 candidates + the 27-query r9 debut queue above for
 #: 50 slots.
 #: Resolution: the 14 exhausted deferrals and every debut/changed query
-#: are non-negotiable (39 slots), leaving 11 for the 48 multiply-green
-#: r7 rotations — defer 37 of them, picked at r9 planning time by
+#: are non-negotiable (41 slots), leaving 9 for the 48 multiply-green
+#: r7 rotations — defer 39 of them, picked at r9 planning time by
 #: deepest-green-history-first among queries with every-CI pytest
 #: coverage (start with the streaming/second-row family:
 #: streaming_window_stats, streaming_sessions, streaming_chunks,

@@ -825,6 +825,30 @@ def test_min_cost_supplier_is_one_fact_scan_argmin(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_part_concentration_pins_aggregate_and_broadcasts_total(spark):
+    """Q11 decorrelation: the per-part aggregate must be computed once
+    (pinned — both the total and the threshold filter read Scan
+    ExistingRDD) with the 1-row global total arriving as a broadcast,
+    never a second lineitem scan."""
+    plan = _plan(spark, "part_concentration")
+    assert plan.count("Scan ExistingRDD") == 2  # pinned per-part aggregate
+    assert plan.count("FileScan parquet") == 1  # part dim only
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_part_supplier_variety_anti_joins_before_aggregate(spark):
+    """Q16 decorrelation: the NOT IN blacklist must arrive as a broadcast
+    LEFT ANTI pruning rows before the distinct-count aggregate — never a
+    per-row subquery or a nested loop."""
+    plan = _plan(spark, "part_supplier_variety")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count(distinct" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_nation_product_profit_prunes_fact_via_semi_join(spark):
     """Q9 shape: the name-filtered part dimension must prune lineitem
     through a broadcast LEFT SEMI before the orderkey join, and the
