@@ -2587,23 +2587,27 @@ ORDER BY nation, o_year DESC
 """
 
 
-#: Q11 concentration threshold: parts holding more than this fraction of
-#: total revenue (0.06 % — the TPC-H Q11 fraction scaled to this corpus).
-CONCENTRATION_FRACTION = 0.0006
+#: Q11 concentration threshold: parts whose revenue exceeds this multiple
+#: of the MEAN per-part revenue. Relative-to-mean (not a fixed fraction of
+#: the total) so the predicate is scale-invariant: a fixed fraction f of
+#: total goes empty as soon as the part dimension outgrows 1/f — measured
+#: here: f=0.0006 yields 326 rows at sf0.01 and ZERO at sf0.1.
+CONCENTRATION_MEAN_MULTIPLE = 1.5
 
 
 def q_part_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11-shaped: parts concentrating an outsized revenue share.
 
-    Textbook: ``HAVING SUM(rev) > f · (SELECT SUM(rev) FROM ...)`` — a
+    Textbook: ``HAVING SUM(rev) > m · (SELECT AVG(rev) FROM ...)`` — a
     scalar subquery re-aggregating the same table. Decorrelated: the
     per-part aggregate is computed ONCE and pinned (it feeds the global
-    total AND the threshold filter; unpinned, Spark would scan lineitem
-    twice), the total is a decimal-anchored re-sum of the per-part sums
-    (order-independent, so both engines hold bit-identical doubles and
-    the ``>`` threshold and the reported ``share`` agree exactly), and
-    the 1-row total broadcasts back. At 100 TB: one map-side-combined
-    partkey shuffle; everything after is dimension-sized.
+    mean AND the threshold filter; unpinned, Spark would scan lineitem
+    twice), the mean is a decimal-anchored re-sum over count of the
+    per-part sums (order-independent, so both engines hold bit-identical
+    doubles and the ``>`` threshold and reported ``x_mean`` agree
+    exactly), and the 1-row scalar broadcasts back. At 100 TB: one
+    map-side-combined partkey shuffle; everything after is
+    dimension-sized.
     """
     ensure_runtime_confs(spark)
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -2613,19 +2617,19 @@ def q_part_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(_revenue(), wide=True).alias("part_revenue"))
         .localCheckpoint(eager=False)
     )
-    total = pr.agg(dsum("part_revenue", wide=True).alias("__total"))
+    mean = pr.agg(davg("part_revenue", wide=True).alias("__mean"))
     return (
         pr.join(
-            F.broadcast(total),
+            F.broadcast(mean),
             F.col("part_revenue")
-            > F.lit(CONCENTRATION_FRACTION) * F.col("__total"),
+            > F.lit(CONCENTRATION_MEAN_MULTIPLE) * F.col("__mean"),
         )
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "p_partkey",
             "p_name",
             "part_revenue",
-            F.round(F.col("part_revenue") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("part_revenue") / F.col("__mean"), 6).alias("x_mean"),
         )
         .orderBy(F.col("part_revenue").desc(), "p_partkey")
     )
@@ -2638,10 +2642,12 @@ WITH pr AS (
 )
 SELECT p_partkey, p_name, part_revenue,
        round(part_revenue /
-             (SELECT {sql_dsum('part_revenue', wide=True)} FROM pr), 6) AS share
+             (SELECT {sql_dsum('part_revenue', wide=True)} / COUNT(part_revenue)
+              FROM pr), 6) AS x_mean
 FROM part JOIN pr ON l_partkey = p_partkey
-WHERE part_revenue > {CONCENTRATION_FRACTION}
-      * (SELECT {sql_dsum('part_revenue', wide=True)} FROM pr)
+WHERE part_revenue > {CONCENTRATION_MEAN_MULTIPLE}
+      * (SELECT {sql_dsum('part_revenue', wide=True)} / COUNT(part_revenue)
+         FROM pr)
 ORDER BY part_revenue DESC, p_partkey
 """
 
