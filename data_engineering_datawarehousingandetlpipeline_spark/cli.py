@@ -20,6 +20,10 @@ with the reference's three actions (``kafka_stream.py:390-439``):
                          compaction (optionally Z-ordered), retention, and
                          the file-stats analyze for data skipping, all
                          anchored (replayable) and audit-logged.
+- ``history``          — the audit surface: version log (DESCRIBE
+                         HISTORY analogue) + maintenance trail; ``--as-of
+                         N`` reads or exports a point-in-time snapshot,
+                         ``--vacuum-keep N`` frees old versions.
 
 Without Kafka jars the transport is a staging directory of JSON files —
 the same downstream pipeline either way (streaming/pipeline.py).
@@ -147,6 +151,40 @@ def _run_maintain(args) -> None:
     warehouse.maintenance_log().orderBy("run_id").show(50, truncate=False)
 
 
+def _run_history(args) -> None:
+    """``history`` action: the lakehouse audit surface in one command —
+    version log (Delta ``DESCRIBE HISTORY``), maintenance audit trail,
+    optional point-in-time export (``--as-of N --output dir``: the
+    RESTORE-to-a-copy shape), and optional ``--vacuum-keep N``."""
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        WarehouseTable,
+    )
+
+    cfg = load_config()
+    spark = get_spark(app_name="dwh-history")
+    warehouse = WarehouseTable(spark, cfg.warehouse_root, track_versions=True)
+    if not warehouse.exists():
+        raise SystemExit(f"no table at {cfg.warehouse_root}")
+    if args.as_of is not None:
+        snapshot = warehouse.read_as_of(args.as_of)
+        if args.output:
+            snapshot.write.mode("overwrite").parquet(args.output)
+            log.info("exported version %d to %s", args.as_of, args.output)
+        else:
+            snapshot.show(args.limit, truncate=False)
+        return
+    print("version log:")
+    warehouse.versions().orderBy("version").show(50, truncate=False)
+    print("maintenance audit:")
+    warehouse.maintenance_log().orderBy("run_id").show(50, truncate=False)
+    if args.vacuum_keep is not None:
+        freed = warehouse.vacuum_versions(keep_last=args.vacuum_keep)
+        log.info(
+            "vacuum kept last %d versions, freed %d retained files",
+            args.vacuum_keep, freed,
+        )
+
+
 def main(argv: list[str] | None = None) -> None:
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s"
@@ -154,7 +192,10 @@ def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(description="Spark ingestion utilities")
     parser.add_argument(
         "action",
-        choices=["produce", "consume", "bootstrap-hourly", "query", "maintain"],
+        choices=[
+            "produce", "consume", "bootstrap-hourly", "query", "maintain",
+            "history",
+        ],
     )
     parser.add_argument("name", nargs="?", help="query name (query action)")
     parser.add_argument("--staging-dir", default="./staging")
@@ -202,6 +243,14 @@ def main(argv: list[str] | None = None) -> None:
         "--analyze", default=None,
         help="maintain action: comma-separated columns to profile for skipping",
     )
+    parser.add_argument(
+        "--as-of", type=int, default=None, dest="as_of",
+        help="history action: read the table as of this version",
+    )
+    parser.add_argument(
+        "--vacuum-keep", type=int, default=None, dest="vacuum_keep",
+        help="history action: vacuum manifests older than the last N",
+    )
     args = parser.parse_args(argv)
 
     if args.action == "query":
@@ -209,6 +258,9 @@ def main(argv: list[str] | None = None) -> None:
         return
     if args.action == "maintain":
         _run_maintain(args)
+        return
+    if args.action == "history":
+        _run_history(args)
         return
 
     cfg = load_config()

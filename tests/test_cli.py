@@ -104,3 +104,42 @@ def test_maintain_action_compacts_retains_analyzes(spark, tmp_path, monkeypatch)
     # replay: same anchor, nothing newly eligible — still lossless
     main(["maintain", "--anchor", "2024-03-09", "--target-file-rows", "2"])
     assert warehouse.count() == rows
+
+
+def test_history_action_versions_export_and_vacuum(spark, tmp_path, monkeypatch, capsys):
+    """`history` prints the version log + audit trail, exports a
+    point-in-time snapshot with --as-of/--output, and --vacuum-keep
+    frees old versions."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        WarehouseTable,
+    )
+
+    root = str(tmp_path / "warehouse")
+    monkeypatch.setenv("WAREHOUSE_ROOT", root)
+    wh = WarehouseTable(
+        spark, root, keys=["k", "ts"], ts_col="ts", track_versions=True
+    )
+    df = spark.createDataFrame(
+        [(1, "2024-03-01T00:00:00", 1.0), (2, "2024-03-01T01:00:00", 2.0)],
+        "k long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    wh.append(df, verify=False)                       # v1
+    wh.delete_where(F.col("k") == 2)                  # v2
+
+    main(["history"])
+    out = capsys.readouterr().out
+    assert "version log:" in out and "delete_where" in out
+
+    exported = str(tmp_path / "v1_export")
+    main(["history", "--as-of", "1", "--output", exported])
+    assert spark.read.parquet(exported).count() == 2  # pre-delete snapshot
+
+    main(["history", "--vacuum-keep", "1"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        WarehouseTable(
+            spark, root, keys=["k", "ts"], ts_col="ts", track_versions=True
+        ).read_as_of(1)
