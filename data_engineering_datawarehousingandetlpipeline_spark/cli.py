@@ -23,7 +23,9 @@ with the reference's three actions (``kafka_stream.py:390-439``):
 - ``history``          — the audit surface: version log (DESCRIBE
                          HISTORY analogue) + maintenance trail; ``--as-of
                          N`` reads or exports a point-in-time snapshot,
-                         ``--vacuum-keep N`` frees old versions.
+                         ``--restore N`` rolls back zero-copy (committed
+                         as a new version), ``--vacuum-keep N`` frees old
+                         versions.
 
 Without Kafka jars the transport is a staging directory of JSON files —
 the same downstream pipeline either way (streaming/pipeline.py).
@@ -165,6 +167,13 @@ def _run_history(args) -> None:
     warehouse = WarehouseTable(spark, cfg.warehouse_root, track_versions=True)
     if not warehouse.exists():
         raise SystemExit(f"no table at {cfg.warehouse_root}")
+    if args.restore is not None:
+        n = warehouse.restore(args.restore)
+        log.info(
+            "restored to version %d (%d data files); committed as a new "
+            "version", args.restore, n,
+        )
+        return
     if args.as_of is not None:
         snapshot = warehouse.read_as_of(args.as_of)
         if args.output:
@@ -250,6 +259,11 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument(
         "--vacuum-keep", type=int, default=None, dest="vacuum_keep",
         help="history action: vacuum manifests older than the last N",
+    )
+    parser.add_argument(
+        "--restore", type=int, default=None,
+        help="history action: roll the table back to this version "
+        "(committed as a NEW version; zero-copy)",
     )
     args = parser.parse_args(argv)
 

@@ -822,6 +822,72 @@ class WarehouseTable:
             ]
         return table_diff(old, new, self.keys, list(compare_cols))
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to a committed version (Delta ``RESTORE``),
+        zero-copy.
+
+        The manifest knows exactly which files composed version N, and
+        the retained mirror still holds the ones later rewrites
+        destroyed — so restore is pure metadata work: retain everything
+        currently live (so versions AFTER the restore point stay
+        readable — you can restore forward again), remove live files the
+        target manifest doesn't list, hardlink back the ones it lists
+        that aren't live, and re-register the schema AS OF that version
+        (a restore across a widening narrows the read schema with it).
+        Commits a new version (op ``restore``) rather than rewriting
+        history — the Delta contract — and audit-logs. Returns the
+        number of data files in the restored state. Raises if the target
+        version was vacuumed.
+        """
+        if not self.track_versions:
+            raise ValueError(
+                "restore requires track_versions=True at table creation"
+            )
+        import shutil
+
+        m = self._manifest(version)
+        self._retain_days(None)  # later versions must survive the reshape
+        target = set(m["files"])
+        current = set(self._live_files())
+        missing = [
+            rel
+            for rel in target - current
+            if not os.path.exists(os.path.join(self._retained_dir(), rel))
+        ]
+        if missing:
+            raise ValueError(
+                f"version {version} is not restorable: {len(missing)} "
+                f"files vacuumed (e.g. {missing[0]})"
+            )
+        for rel in current - target:
+            os.remove(os.path.join(self.root, rel))
+        for rel in target - current:
+            src = os.path.join(self._retained_dir(), rel)
+            dst = os.path.join(self.root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device: degrade to a copy
+                shutil.copy2(src, dst)
+        # drop partition dirs the restore emptied entirely
+        for name in os.listdir(self.root):
+            if not name.startswith("dt="):
+                continue
+            path = os.path.join(self.root, name)
+            if os.path.isdir(path) and not any(
+                f.endswith(".parquet") and not f.startswith(".")
+                for f in os.listdir(path)
+            ):
+                shutil.rmtree(path)
+        if m["schema"] is not None:
+            self._register_schema(T.StructType.fromJson(m["schema"]))
+        self.spark.catalog.refreshByPath(self.root)
+        self._snapshot_version("restore", None)
+        self._log_maintenance(
+            [("restore", f"v{version}", None, len(target), None, None)]
+        )
+        return len(target)
+
     def vacuum_versions(self, keep_last: int) -> int:
         """Drop manifests older than the last ``keep_last`` and unlink
         retained files no kept version references (Delta ``VACUUM``).

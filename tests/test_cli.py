@@ -143,3 +143,29 @@ def test_history_action_versions_export_and_vacuum(spark, tmp_path, monkeypatch,
         WarehouseTable(
             spark, root, keys=["k", "ts"], ts_col="ts", track_versions=True
         ).read_as_of(1)
+
+
+def test_history_restore_rolls_back(spark, tmp_path, monkeypatch):
+    from pyspark.sql import functions as F
+
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        WarehouseTable,
+    )
+
+    root = str(tmp_path / "warehouse")
+    monkeypatch.setenv("WAREHOUSE_ROOT", root)
+    wh = WarehouseTable(
+        spark, root, keys=["k", "ts"], ts_col="ts", track_versions=True
+    )
+    df = spark.createDataFrame(
+        [(1, "2024-03-01T00:00:00", 1.0), (2, "2024-03-01T01:00:00", 2.0)],
+        "k long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    wh.append(df, verify=False)                       # v1
+    wh.delete_where(F.col("k") == 2)                  # v2
+    assert wh.count() == 1
+
+    main(["history", "--restore", "1"])
+    assert wh.count() == 2                            # rollback applied
+    ops = {r.version: r.op for r in wh.versions().collect()}
+    assert ops[3] == "restore"                        # committed, not rewritten

@@ -1262,3 +1262,50 @@ def test_changes_between_classifies_inserts_updates_deletes(spark, tmp_path):
         4: ("insert", None, 40.0),
     }
     assert 3 not in feed  # unchanged key dropped
+
+
+def test_restore_rolls_back_zero_copy_and_preserves_later_versions(spark, tmp_path):
+    """RESTORE to an old version reshapes the live tree from the retained
+    mirror (no data rewrite), re-registers that version's schema, commits
+    a NEW version (history is never rewritten) — and versions after the
+    restore point remain readable, so you can restore forward again."""
+    import pytest as _pytest
+
+    wh = WarehouseTable(
+        spark, str(tmp_path / "wh"), keys=["k", "ts"], ts_col="ts",
+        track_versions=True,
+    )
+    ddl = "k long, ts timestamp, v double"
+    wh.append(_ts_df(spark, [
+        (1, "2024-03-01T00:00:00", 10.0),
+        (2, "2024-03-02T00:00:00", 20.0),
+    ], ddl), verify=False)                                   # v1
+    wh.merge_replace(_ts_df(spark, [
+        (2, "2024-03-02T00:00:00", 99.0),
+    ], ddl))                                                 # v2
+    wh.append(
+        _ts_df(spark, [(3, "2024-03-03T00:00:00", 30.0, "eu")],
+               "k long, ts timestamp, v double, region string"),
+        verify=False, evolve_schema=True,
+    )                                                        # v3 (widened)
+
+    n_files = wh.restore(1)                                  # v4
+    assert n_files == wh.data_file_count()
+    assert sorted((r.k, r.v) for r in wh.read().collect()) == [
+        (1, 10.0), (2, 20.0),
+    ]
+    assert "region" not in wh.read().columns                 # schema narrowed
+    hist = {r.version: r.op for r in wh.versions().collect()}
+    assert hist[4] == "restore" and len(hist) == 4           # history intact
+
+    # the pre-restore state (v3) is still readable AND restorable forward
+    assert sorted(r.k for r in wh.read_as_of(3).collect()) == [1, 2, 3]
+    wh.restore(3)                                            # v5
+    assert sorted(r.k for r in wh.read().collect()) == [1, 2, 3]
+    assert "region" in wh.read().columns                     # schema re-widened
+    assert wh.read().filter("k = 2").first().v == 99.0       # v3's correction
+
+    # a vacuumed target refuses loudly
+    wh.vacuum_versions(keep_last=1)
+    with _pytest.raises(ValueError, match="vacuum|does not exist"):
+        wh.restore(1)
