@@ -1132,6 +1132,54 @@ ORDER BY event_id
 """
 
 
+def q_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows: hourly purchase stats every 15 minutes.
+
+    The overlapping-window surface (``F.window(ts, '1 hour', '15
+    minutes')``): each event lands in exactly window/slide = 4 windows,
+    which Spark executes as a 4-way Expand feeding ONE aggregate — never
+    a self-join of four shifted tumbling rollups, and at 100 TB the
+    fan-out factor is the fixed window/slide ratio, not data-dependent.
+    The oracle states the same assignment arithmetically: the 4 grid
+    starts covering each event via a constant-width CROSS JOIN on
+    k ∈ 0..3 (both engines' buckets are epoch-aligned; the session zone
+    is whole-hour offset so the 15-minute grids coincide).
+    """
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_purchases",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+SQL_SLIDING_WINDOW_STATS = f"""
+SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+         AS window_start,
+       time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+         + INTERVAL 1 HOUR AS window_end,
+       COUNT(*) AS n_purchases,
+       {sql_dsum('value')} AS total_value
+FROM events
+CROSS JOIN (VALUES (0), (1), (2), (3)) AS grid(k)
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+ORDER BY window_start
+"""
+
+
 def q_warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel + row-level DELETE, driver-verified end to end.
 
@@ -1475,6 +1523,11 @@ QUERIES = [
               "erasure): read_as_of(1) via the retained-hardlink mirror, "
               "oracle = the plain source slice",
               tags=("warehouse", "dml")),
+    QuerySpec("sliding_window_stats", q_sliding_window_stats,
+              SQL_SLIDING_WINDOW_STATS,
+              "sliding event-time windows (1 h every 15 min): 4-way "
+              "Expand into one aggregate, oracle = constant grid join",
+              tags=("window", "agg")),
     QuerySpec("streaming_enrich", q_streaming_enrich, SQL_STREAMING_ENRICH,
               "stream-static broadcast dimension enrichment (stateless, "
               "shuffle-free), oracle = the plain batch join",

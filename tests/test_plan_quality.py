@@ -825,6 +825,19 @@ def test_min_cost_supplier_is_one_fact_scan_argmin(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_sliding_windows_expand_into_one_aggregate(spark):
+    """Sliding windows must execute as ONE Expand (the fixed 4-way
+    window-assignment fan-out) feeding one aggregate — never a union or
+    self-join of shifted tumbling rollups, and one scan."""
+    plan = _plan(spark, "sliding_window_stats")
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "Union" not in plan
+    assert plan.count("partial_count") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_part_concentration_pins_aggregate_and_broadcasts_total(spark):
     """Q11 decorrelation: the per-part aggregate must be computed once
     (pinned — both the total and the threshold filter read Scan
