@@ -692,6 +692,37 @@ ORDER BY event_type
 """
 
 
+def q_json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same extraction through the VARIANT type (Spark 4): parse the
+    semi-structured column ONCE into the binary variant encoding, then
+    extract typed fields with ``try_variant_get``.
+
+    Why this path matters at 100 TB: ``get_json_object`` re-parses the
+    JSON text per extraction — k extractions cost k parses — while a
+    variant parses once and serves every field from the binary form
+    (and, on a lakehouse that stores VARIANT natively, shredded field
+    access skips the parse entirely). ``try_parse_json`` / ``try_*``
+    keep the lenient-coercion contract of the string path. The oracle is
+    the SAME SQL as ``json_props`` — the variant path must be a pure
+    representation change, never a semantics change.
+    """
+    events = _events(spark, sf_dir)
+    k = F.try_variant_get(
+        F.try_parse_json(F.col("props")), "$.k", "int"
+    )
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_composite_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: composite sort after ingest (fmi_client.py:170)."""
     return (
@@ -752,6 +783,10 @@ QUERIES = [
               tags=("window", "time")),
     QuerySpec("json_props", q_json_props, SQL_JSON_PROPS,
               "JSON prop extraction + agg (§2.11)", tags=("json", "agg")),
+    QuerySpec("json_props_variant", q_json_props_variant, SQL_JSON_PROPS,
+              "the same extraction through Spark 4's VARIANT type "
+              "(parse once, typed try_variant_get) — oracle identical "
+              "to json_props by design", tags=("json", "agg")),
     QuerySpec("composite_sort", q_composite_sort, SQL_COMPOSITE_SORT,
               "composite sort (O1)", tags=("sort",)),
 ]

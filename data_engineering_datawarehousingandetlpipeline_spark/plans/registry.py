@@ -189,12 +189,14 @@ MUST_VERIFY: tuple[str, ...] = (
 #: aggregate feeds both the broadcast total and the threshold) and
 #: part_supplier_variety (Q16 NOT IN blacklist — broadcast LEFT ANTI
 #: pruning before the distinct count, non-nullable-key caveat
-#: documented), and sliding_window_stats (overlapping F.window(1 h every
+#: documented), sliding_window_stats (overlapping F.window(1 h every
 #: 15 min) — ONE 4-way Expand into one aggregate, plan-gated; oracle =
-#: the constant k∈0..3 grid join). All
+#: the constant k∈0..3 grid join), and json_props_variant (the same
+#: extraction as json_props through Spark 4's VARIANT type — parse once,
+#: typed try_variant_get; oracle identical by design). All
 #: local-oracle-verified (sf0.001 pytest parity every CI run + sf0.01
 #: sweep); each MUST take a window slot in r9 (add to MUST_VERIFY when
-#: rotating) — 28 debuts total.
+#: rotating) — 29 debuts total.
 #:
 #: r9 OWED SET (window math for next round, decided now, not by slip):
 #: out-of-window at r8 are 62 queries = the 14 deferrals named above
@@ -202,11 +204,11 @@ MUST_VERIFY: tuple[str, ...] = (
 #: they take r9 slots first) + the 48 green-r7 window members that
 #: rotated out this round (everything in the r7 WINDOW_HEAD except
 #: scd2_event_enrich and asof_last_error, which re-verify in-window now).
-#: Owed at r9 = 62 candidates + the 28-query r9 debut queue above for
+#: Owed at r9 = 62 candidates + the 29-query r9 debut queue above for
 #: 50 slots.
 #: Resolution: the 14 exhausted deferrals and every debut/changed query
-#: are non-negotiable (42 slots), leaving 8 for the 48 multiply-green
-#: r7 rotations — defer 40 of them, picked at r9 planning time by
+#: are non-negotiable (43 slots), leaving 7 for the 48 multiply-green
+#: r7 rotations — defer 41 of them, picked at r9 planning time by
 #: deepest-green-history-first among queries with every-CI pytest
 #: coverage (start with the streaming/second-row family:
 #: streaming_window_stats, streaming_sessions, streaming_chunks,
