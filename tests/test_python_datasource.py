@@ -110,3 +110,34 @@ def test_stream_source_rate_limits_and_delivers_exactly_once(registered, tmp_pat
     ]
     assert len(batches) >= 3                           # 6 rows / 2 per batch
     assert max(p["numInputRows"] for p in batches) <= 2
+
+
+def test_stream_source_feeds_exactly_once_warehouse_ingestion(registered, tmp_path):
+    """Composition: the custom streaming format drives the SAME ingestion
+    pipeline as the file/Kafka sources — clean + idempotent MERGE into
+    the warehouse — proving the source is a drop-in transport."""
+    spark = registered
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        make_batch_sink,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        WarehouseTable,
+    )
+
+    wh = WarehouseTable(spark, str(tmp_path / "wh"))
+    src = (
+        spark.readStream.format("fmi_observations_stream")
+        .option("sample_path", FIXTURE)
+        .option("rows_per_batch", "2")
+        .load()
+    )
+    q = (
+        src.writeStream.foreachBatch(make_batch_sink(wh))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    assert wh.count() == 5  # fixture cleans to 5 hourly-deduped rows
