@@ -95,7 +95,16 @@ def main() -> None:
     assert {r.event_id: r.value for r in wh.read_as_of(3).collect()} == v3
     print("compaction rewrote partitions; v3 still readable via the mirror")
 
-    # --- 7. hygiene: vacuum old versions, time travel fails loudly ------
+    # --- 7. rollback: RESTORE to the pre-erasure state, then forward ----
+    pre_erasure = 4
+    wh.restore(pre_erasure)                       # zero-copy, new version
+    assert wh.read().filter("user_id = 10").count() == 2  # rows are back
+    latest = max(r.version for r in wh.versions().collect())
+    wh.restore(latest - 1)  # re-apply the erasure by restoring forward
+    assert wh.read().filter("user_id = 10").count() == 0
+    print("restore: rolled back to v4 and forward again — history intact")
+
+    # --- 8. hygiene: vacuum old versions, time travel fails loudly ------
     latest = max(r.version for r in wh.versions().collect())
     freed = wh.vacuum_versions(keep_last=1)
     print(f"vacuum kept v{latest}, freed {freed} retained files")
