@@ -141,3 +141,41 @@ def test_stream_source_feeds_exactly_once_warehouse_ingestion(registered, tmp_pa
     q.stop()
     q.awaitTermination()
     assert wh.count() == 5  # fixture cleans to 5 hourly-deduped rows
+
+
+def test_stream_source_restart_from_checkpoint_does_not_duplicate(
+    registered, tmp_path
+):
+    """A second run against the same checkpoint must land zero new rows
+    in the warehouse: the committed offset resumes, the cursor re-sync
+    clamp in partitions() keeps the fresh reader from rewinding, and the
+    MERGE sink absorbs any WAL-replayed batch."""
+    spark = registered
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        make_batch_sink,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        WarehouseTable,
+    )
+
+    wh = WarehouseTable(spark, str(tmp_path / "wh"))
+
+    def drain():
+        q = (
+            spark.readStream.format("fmi_observations_stream")
+            .option("sample_path", FIXTURE)
+            .option("rows_per_batch", "2")
+            .load()
+            .writeStream.foreachBatch(make_batch_sink(wh))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    drain()
+    assert wh.count() == 5
+    drain()  # restart: fresh reader, same checkpoint
+    assert wh.count() == 5  # nothing re-lands
