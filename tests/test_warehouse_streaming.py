@@ -1309,3 +1309,87 @@ def test_restore_rolls_back_zero_copy_and_preserves_later_versions(spark, tmp_pa
     wh.vacuum_versions(keep_last=1)
     with _pytest.raises(ValueError, match="vacuum|does not exist"):
         wh.restore(1)
+
+
+def test_version_machinery_model_checked_op_sequence(spark, tmp_path):
+    """Model check: a seeded pseudo-random sequence of mutating ops
+    (append / merge_replace / delete_where / compact_partitions /
+    restore) against a pure-Python model of the table. After every op,
+    the live read matches the model; at the end, EVERY still-vacuumed-in
+    version's read_as_of matches the model's snapshot for that version.
+    One deterministic sequence (seeded) so CI cost is bounded and
+    failures replay exactly."""
+    import datetime
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    wh = WarehouseTable(
+        spark, str(tmp_path / "wh"), keys=["k", "ts"], ts_col="ts",
+        track_versions=True,
+    )
+    ddl = "k long, ts timestamp, v double"
+    days = ["2024-03-01", "2024-03-02", "2024-03-03"]
+
+    model: dict[tuple, float] = {}          # (k, ts) -> v
+    snapshots: dict[int, dict] = {}         # version -> model copy
+    next_key = 0
+
+    def ts_of(k):
+        return f"{days[k % len(days)]}T{k % 24:02d}:00:00"
+
+    def commit_snapshot():
+        snapshots[max(
+            r.version for r in wh.versions().collect()
+        )] = dict(model)
+
+    for step in range(12):
+        op = rng.choice(["append", "replace", "delete", "compact", "restore"])
+        if op == "append" or not model:
+            rows = []
+            for _ in range(rng.randint(1, 3)):
+                rows.append((next_key, ts_of(next_key), float(next_key)))
+                model[(next_key, ts_of(next_key))] = float(next_key)
+                next_key += 1
+            wh.append(_ts_df(spark, rows, ddl), verify=False)
+            commit_snapshot()
+        elif op == "replace":
+            k, ts = rng.choice(sorted(model))
+            newv = model[(k, ts)] + 100.0
+            wh.merge_replace(_ts_df(spark, [(k, ts, newv)], ddl))
+            model[(k, ts)] = newv
+            commit_snapshot()
+        elif op == "delete":
+            k, ts = rng.choice(sorted(model))
+            wh.delete_where(F.col("k") == k)
+            for key in [key for key in model if key[0] == k]:
+                del model[key]
+            commit_snapshot()
+        elif op == "compact":
+            n = wh.compact_partitions(
+                target_file_rows=10_000, before=datetime.date(2024, 3, 10)
+            )
+            if n:   # only commits a version if something rewrote
+                commit_snapshot()
+        else:  # restore to a random committed version
+            target = rng.choice(sorted(snapshots))
+            wh.restore(target)
+            model = dict(snapshots[target])
+            commit_snapshot()
+
+        live = {
+            (r.k, r.ts.isoformat()): r.v
+            for r in wh.read().select("k", "ts", "v").collect()
+        }
+        assert live == {
+            (k, ts): v for (k, ts), v in model.items()
+        }, f"live/model divergence after step {step} ({op})"
+
+    # every committed version still reads back as its exact snapshot
+    for version, snap in snapshots.items():
+        got = {
+            (r.k, r.ts.isoformat()): r.v
+            for r in wh.read_as_of(version).select("k", "ts", "v").collect()
+        }
+        assert got == {(k, ts): v for (k, ts), v in snap.items()}, (
+            f"version {version} drifted"
+        )
