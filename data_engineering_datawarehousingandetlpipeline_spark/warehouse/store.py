@@ -176,6 +176,87 @@ class WarehouseTable:
     def count(self) -> int:
         return self.read().count() if self.exists() else 0
 
+    # --------------------------------------------------- CHECK constraints
+
+    def _constraints_file(self) -> str:
+        return os.path.join(self.root, "_schema", "constraints.json")
+
+    def constraints(self) -> dict[str, str]:
+        """Registered CHECK constraints (name → SQL predicate)."""
+        try:
+            with open(self._constraints_file()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def add_constraint(self, name: str, predicate_sql: str) -> None:
+        """Register an enforced CHECK constraint (Delta ``ALTER TABLE ...
+        ADD CONSTRAINT``): every future write validates its batch against
+        all registered predicates in ONE conditional-aggregate pass and
+        REFUSES on violation — the quality gate moves from "audit after"
+        (operators/expectations.py) to "reject at the door".
+
+        Like Delta, registration first proves the EXISTING data
+        satisfies the predicate (one scan); like SQL CHECK, a NULL
+        predicate result is not a violation — only FALSE rejects.
+        Constraints live in the ``_schema`` sidecar beside the registered
+        schema, so they survive re-opening the table.
+        """
+        if self.exists():
+            bad = self._violations(self.read(), {name: predicate_sql})
+            if bad:
+                raise ValueError(
+                    f"cannot add constraint {name!r}: existing data "
+                    f"violates it ({bad[name]} rows)"
+                )
+        cons = self.constraints()
+        cons[name] = predicate_sql
+        os.makedirs(os.path.dirname(self._constraints_file()), exist_ok=True)
+        tmp = self._constraints_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(cons, fh)
+        os.replace(tmp, self._constraints_file())
+        self._log_maintenance(
+            [("add_constraint", name, None, None, None, None)]
+        )
+
+    def drop_constraint(self, name: str) -> None:
+        cons = self.constraints()
+        cons.pop(name, None)
+        tmp = self._constraints_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(cons, fh)
+        os.replace(tmp, self._constraints_file())
+        self._log_maintenance(
+            [("drop_constraint", name, None, None, None, None)]
+        )
+
+    def _violations(
+        self, df: DataFrame, cons: dict[str, str]
+    ) -> dict[str, int]:
+        """Violation counts per constraint, ONE pass (conditional sums).
+        SQL CHECK semantics: only a strictly-FALSE predicate violates."""
+        aggs = [
+            F.sum(
+                F.when(F.expr(sql) == F.lit(False), 1).otherwise(0)
+            ).alias(name)
+            for name, sql in cons.items()
+        ]
+        row = df.agg(*aggs).first()
+        return {n: int(row[n]) for n in cons if row[n]}
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        cons = self.constraints()
+        if not cons:
+            return
+        bad = self._violations(df, cons)
+        if bad:
+            worst = max(bad, key=bad.get)
+            raise ValueError(
+                f"batch rejected: CHECK constraint violations {bad} "
+                f"(e.g. {worst!r}: {self.constraints()[worst]})"
+            )
+
     # ------------------------------------------------------------ writes
 
     def _with_dt(self, df: DataFrame) -> DataFrame:
@@ -201,6 +282,10 @@ class WarehouseTable:
         aligned, evolved, added = self._align_schema(
             self._with_dt(df), evolve_schema
         )
+        # reject-at-the-door (CHECK) — AFTER alignment, so an old-schema
+        # producer's missing columns arrive as NULLs and follow SQL
+        # CHECK-on-NULL semantics (pass) instead of failing to resolve
+        self._enforce_constraints(aligned)
         n = aligned.count()
         (
             aligned
@@ -283,6 +368,7 @@ class WarehouseTable:
         incoming = df.drop("dt").dropDuplicates(self.keys)
         if not self.exists():
             return self.append(incoming, verify=False)
+        self._enforce_constraints(incoming)  # reject-at-the-door (CHECK)
         existing = self._partition_slice(incoming).drop("dt")
         survivors = existing.join(
             incoming.select(*self.keys), self.keys, "left_anti"

@@ -1393,3 +1393,51 @@ def test_version_machinery_model_checked_op_sequence(spark, tmp_path):
         assert got == {(k, ts): v for (k, ts), v in snap.items()}, (
             f"version {version} drifted"
         )
+
+
+def test_check_constraints_enforced_on_write(spark, tmp_path):
+    """Delta-shaped CHECK constraints: registration proves existing data
+    complies (and refuses otherwise); violating appends and corrections
+    are rejected whole with the table unchanged; NULL predicate results
+    pass (SQL CHECK tri-state); constraints survive a fresh handle and
+    can be dropped."""
+    import pytest as _pytest
+
+    wh = WarehouseTable(spark, str(tmp_path / "wh"), keys=["k", "ts"], ts_col="ts")
+    ddl = "k long, ts timestamp, v double"
+    wh.append(_ts_df(spark, [
+        (1, "2024-03-01T00:00:00", 10.0),
+        (2, "2024-03-01T01:00:00", 20.0),
+    ], ddl), verify=False)
+
+    # cannot register a constraint the existing data violates
+    with _pytest.raises(ValueError, match="existing data"):
+        wh.add_constraint("v_small", "v < 15")
+    wh.add_constraint("v_positive", "v >= 0")
+    wh.add_constraint("k_known", "k < 1000")
+
+    # violating append: rejected whole, nothing lands
+    with _pytest.raises(ValueError, match="v_positive"):
+        wh.append(_ts_df(spark, [
+            (3, "2024-03-01T02:00:00", 5.0),
+            (4, "2024-03-01T03:00:00", -1.0),     # violator
+        ], ddl), verify=False)
+    assert wh.count() == 2
+
+    # violating correction feed: rejected too
+    with _pytest.raises(ValueError, match="v_positive"):
+        wh.merge_replace(_ts_df(spark, [(1, "2024-03-01T00:00:00", -9.0)], ddl))
+    assert wh.read().filter("k = 1").first().v == 10.0
+
+    # NULL predicate result is NOT a violation (SQL CHECK tri-state)
+    wh.append(_ts_df(spark, [(5, "2024-03-01T04:00:00", None)], ddl), verify=False)
+    assert wh.count() == 3
+
+    # constraints persist across handles; dropping re-opens the door
+    fresh = WarehouseTable(spark, str(tmp_path / "wh"), keys=["k", "ts"], ts_col="ts")
+    assert set(fresh.constraints()) == {"v_positive", "k_known"}
+    fresh.drop_constraint("v_positive")
+    fresh.append(_ts_df(spark, [(6, "2024-03-01T05:00:00", -2.0)], ddl), verify=False)
+    assert fresh.count() == 4
+    ops = [r.op for r in fresh.maintenance_log().collect()]
+    assert "add_constraint" in ops and "drop_constraint" in ops
