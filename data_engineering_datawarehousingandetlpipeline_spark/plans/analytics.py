@@ -2701,6 +2701,72 @@ ORDER BY supplier_cnt DESC, p_brand, p_size
 """
 
 
+def q_referral_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup via a native recursive CTE (Spark 4 ``UnionLoop``).
+
+    The reference has no hierarchical data, but every warehouse grows one
+    (org charts, referral trees, bill-of-materials) and the reference's
+    BigQuery delegate answers them with ``WITH RECURSIVE``
+    (`visualization/app.py:40-51` is plain SQL passthrough — any SQL the
+    warehouse dialect supports is in-scope query surface). This query
+    derives a deterministic referral forest over ``customer`` —
+    ``parent(c) = c div 10``, customers 0-9 are the roots — walks it with
+    Spark 4's native recursive CTE, and rolls each tree up to (member
+    count, max depth, decimal-anchored balance total).
+
+    Scale shape: the anchor member is one pushed-down scan (``c_custkey
+    <= 9``); each of the O(log10 N) loop iterations is ONE equi-join of
+    the frontier against the column-pruned customer scan (the formatted
+    plan shows ``Project [c_custkey, c_acctbal]`` under the recursion —
+    pruning reaches inside the loop), and every customer enters the
+    frontier exactly once, so total probe work is O(N) rows across all
+    iterations, never quadratic. The final aggregate shuffles 10 groups.
+    At 100 TB the iteration count stays logarithmic in the key domain and
+    each step is an ordinary shuffle join AQE can re-plan — this is
+    exactly how an iterative `large-star` style expansion behaves, but
+    expressed declaratively so Catalyst owns the loop body.
+    """
+    ensure_runtime_confs(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "referral_rollup_customer"
+    )
+    return spark.sql(
+        f"""
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS custkey, c_custkey AS root,
+                 0 AS depth, c_acctbal AS bal
+          FROM referral_rollup_customer WHERE c_custkey <= 9
+          UNION ALL
+          SELECT c.c_custkey, ch.root, ch.depth + 1, c.c_acctbal
+          FROM referral_rollup_customer c
+          JOIN chain ch ON c.c_custkey DIV 10 = ch.custkey
+          WHERE c.c_custkey >= 10
+        )
+        SELECT root, COUNT(*) AS n_members, MAX(depth) AS max_depth,
+               {sql_dsum("bal")} AS total_balance
+        FROM chain GROUP BY root ORDER BY root
+        """
+    )
+
+
+#: DuckDB states the identical recursion (``//`` is DuckDB's integer
+#: division, matching Spark's ``DIV``); the anchored decimal sum makes
+#: the double totals bit-identical in any execution order.
+SQL_REFERRAL_ROLLUP = f"""
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS custkey, c_custkey AS root, 0 AS depth, c_acctbal AS bal
+  FROM customer WHERE c_custkey <= 9
+  UNION ALL
+  SELECT c.c_custkey, ch.root, ch.depth + 1, c.c_acctbal
+  FROM customer c JOIN chain ch ON c.c_custkey // 10 = ch.custkey
+  WHERE c.c_custkey >= 10
+)
+SELECT root, COUNT(*) AS n_members, MAX(depth) AS max_depth,
+       {sql_dsum('bal')} AS total_balance
+FROM chain GROUP BY root ORDER BY root
+"""
+
+
 QUERIES = [
     QuerySpec(
         "pricing_summary",
@@ -3022,5 +3088,13 @@ QUERIES = [
         "Q16-shaped blacklisted distinct count: NOT IN oracle served by a "
         "broadcast LEFT ANTI pruning the fact scan map-side",
         tags=("join", "agg", "decorrelation"),
+    ),
+    QuerySpec(
+        "referral_rollup",
+        q_referral_rollup,
+        SQL_REFERRAL_ROLLUP,
+        "Hierarchy rollup via Spark 4's native recursive CTE: O(log N) "
+        "UnionLoop iterations, each one column-pruned equi-join",
+        tags=("recursive", "join", "agg"),
     ),
 ]

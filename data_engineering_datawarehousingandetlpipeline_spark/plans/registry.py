@@ -193,10 +193,13 @@ MUST_VERIFY: tuple[str, ...] = (
 #: 15 min) — ONE 4-way Expand into one aggregate, plan-gated; oracle =
 #: the constant k∈0..3 grid join), and json_props_variant (the same
 #: extraction as json_props through Spark 4's VARIANT type — parse once,
-#: typed try_variant_get; oracle identical by design). All
+#: typed try_variant_get; oracle identical by design), and
+#: referral_rollup (hierarchy rollup via Spark 4's native recursive CTE
+#: — UnionLoop with column pruning reaching inside the loop body; oracle
+#: = DuckDB's native WITH RECURSIVE over the identical forest). All
 #: local-oracle-verified (sf0.001 pytest parity every CI run + sf0.01
 #: sweep); each MUST take a window slot in r9 (add to MUST_VERIFY when
-#: rotating) — 29 debuts total.
+#: rotating) — 30 debuts total.
 #:
 #: r9 OWED SET (window math for next round, decided now, not by slip):
 #: out-of-window at r8 are 62 queries = the 14 deferrals named above
@@ -204,21 +207,23 @@ MUST_VERIFY: tuple[str, ...] = (
 #: they take r9 slots first) + the 48 green-r7 window members that
 #: rotated out this round (everything in the r7 WINDOW_HEAD except
 #: scd2_event_enrich and asof_last_error, which re-verify in-window now).
-#: Owed at r9 = 62 candidates + the 29-query r9 debut queue above for
+#: Owed at r9 = 62 candidates + the 30-query r9 debut queue above for
 #: 50 slots.
 #: Resolution: the 14 exhausted deferrals and every debut/changed query
-#: are non-negotiable (43 slots), leaving 7 for the 48 multiply-green
-#: r7 rotations — defer 41 of them, picked at r9 planning time by
+#: are non-negotiable (44 slots), leaving 6 for the 48 multiply-green
+#: r7 rotations — defer 42 of them, picked at r9 planning time by
 #: deepest-green-history-first among queries with every-CI pytest
 #: coverage (start with the streaming/second-row family:
 #: streaming_window_stats, streaming_sessions, streaming_chunks,
 #: streaming_ingest, sessionization, session_stats, doc_ngram_topk,
 #: retention_cohorts, doc_span_dedup, emb_quantize_stats,
 #: doc_group_sample, emb_cluster_profile — each restart/contract-tested
-#: every pytest run — then extend by git-blame age). At 122 registry
-#: queries over a 50-slot window the steady-state cycle is ~2.5 rounds;
+#: every pytest run — then extend by git-blame age). At 142 registry
+#: queries over a 50-slot window the steady-state cycle is ~2.85 rounds;
 #: the ≤-3-round staleness policy still holds with the deferral choice
-#: rotating. Never defer a debut or a changed query.
+#: rotating, but the registry is now within ~8 queries of the 150-query
+#: capacity that policy implies — future additions must earn their slot.
+#: Never defer a debut or a changed query.
 
 
 def all_queries() -> dict[str, QuerySpec]:

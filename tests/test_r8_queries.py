@@ -553,3 +553,40 @@ def test_incremental_analyze_profiles_only_new_files(spark, tmp_path):
     # changing the profiled column set incrementally is refused
     with pytest.raises(ValueError, match="column mismatch"):
         S.analyze_file_stats(wh, ["k"], incremental=True)
+
+
+def test_referral_rollup_recursion_is_exact_and_column_pruned(spark):
+    """The recursive CTE walks the derived referral forest completely.
+
+    Semantics: every customer appears in exactly one tree (parent(c) =
+    c div 10 always terminates at a root 0-9), so the member counts must
+    sum to the table count; depth is the digit count minus one. Plan: the
+    recursion must execute as Spark 4's native UnionLoop with column
+    pruning reaching inside the loop body (only the two referenced
+    customer columns may survive under the recursive member), proving the
+    optimizer — not the query author — owns the loop.
+    """
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.analytics import (
+        q_referral_rollup,
+    )
+
+    df = q_referral_rollup(spark, "/root/testdata/sf0.001")
+    rows = {r["root"]: r for r in df.collect()}
+    total = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
+    assert sorted(rows) == list(range(10))
+    assert sum(r["n_members"] for r in rows.values()) == total
+    # 150 customers: keys 0-9 depth 0, 10-99 depth 1, 100-149 depth 2
+    assert rows[1]["max_depth"] == 2  # 1 -> 1x -> 1xx
+    assert rows[2]["max_depth"] == 1  # 2 -> 2x (no 2xx at sf0.001)
+    assert rows[0]["n_members"] == 1  # custkey 0 is a lone root
+
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "UnionLoop" in plan
+    import re
+
+    # column pruning inside the loop: the recursive-side customer scan
+    # projects exactly the join key and the balance, not all 5 columns
+    proj = re.search(r"Arguments: \[c_custkey#\d+L, c_acctbal#\d+\]", plan)
+    assert proj, "recursive-side scan is not pruned to (c_custkey, c_acctbal)"
