@@ -34,6 +34,15 @@ changes):
   ``_versions/retained`` mirror first — zero bytes copied, old versions
   stay readable until an explicit vacuum, exactly Delta's
   leave-superseded-files-until-VACUUM contract.
+- ``stream_source`` — the table as a STREAMING source (Delta's
+  ``readStream`` on a table): downstream streams tail appends
+  exactly-once from their own checkpoints, with the append-only contract
+  enforced from the version log when tracking is on.
+- optimistic concurrency — version manifests commit via atomic
+  exclusive-create (``_claim_version``), so racing writers surface as
+  :class:`ConcurrentWriteError` instead of a silently lost manifest —
+  Delta's commit-conflict protocol, scoped honestly to what plain
+  parquet can guarantee.
 - schema evolution — Delta's contract on plain parquet: the registered
   schema lives in a ``_schema`` sidecar (the metadata-log analogue), reads
   bind to it (O(1) in file count — no footer sampling, pre-widening files
@@ -57,6 +66,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_engineering_datawarehousingandetlpipeline_spark.schema import KEY_COLUMNS
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Two writers raced on the same table version (see ``_claim_version``)."""
 
 
 class WarehouseTable:
@@ -103,6 +116,64 @@ class WarehouseTable:
             # semantics) without a mergeSchema footer scan of the table.
             return self.spark.read.schema(stored).parquet(self.root)
         return self.spark.read.parquet(self.root)
+
+    #: mutating ops a file-based streaming source tolerates: appends add
+    #: new files only, and partition expiry only REMOVES files — neither
+    #: makes the source re-deliver a row. Every other op rewrites live
+    #: rows into new file names, which a file stream would emit again.
+    _STREAM_SAFE_OPS = ("append", "expire_partitions")
+
+    def stream_source(self, enforce_append_only: bool = True, **options) -> DataFrame:
+        """Read the table as a streaming source (Delta's ``readStream`` on
+        a table, emulated the way :meth:`merge_upsert` emulates MERGE).
+
+        Each append lands as new parquet files under the ``dt=``
+        partitions, so Spark's file streaming source delivers exactly the
+        appended rows per micro-batch, with the checkpoint providing
+        exactly-once across restarts. This is the fan-out half of the
+        lakehouse pattern: one ingestion pipeline appends, any number of
+        downstream streams (each with its own checkpoint) tail the table
+        independently — the reference's single Kafka consumer
+        (kafka_stream.py:287-361) cannot be tailed twice without a second
+        consumer group; a table source gives every reader its own cursor
+        for free.
+
+        **Append-only contract**: rewriting ops (merge_replace,
+        delete_where, compact, compact_partitions, restore) write live
+        rows into NEW files, which a file-based source would re-deliver.
+        With ``track_versions=True`` the version log makes that
+        detectable, and ``enforce_append_only`` (default) raises loudly
+        if the table's history contains a rewriting op — pass ``False``
+        only when a downstream idempotent MERGE absorbs the replays
+        (exactly the :meth:`merge_upsert` sink this store provides).
+        Untracked tables cannot be checked; the contract is then on the
+        caller, as documented here.
+
+        ``options`` pass through to the reader (``maxFilesPerTrigger``
+        for micro-batch sizing, etc.). Requires a registered schema —
+        streaming sources cannot infer one, and the registry is written
+        by the first append.
+        """
+        stored = self.table_schema()
+        if stored is None:
+            raise ValueError(
+                "stream_source needs a registered schema; append once first "
+                "(streaming file sources cannot infer schemas)"
+            )
+        if enforce_append_only and self.track_versions:
+            ops = {m["op"] for m in map(self._manifest, range(1, (self._latest_version() or 0) + 1))}
+            rewrites = sorted(ops - set(self._STREAM_SAFE_OPS))
+            if rewrites:
+                raise ValueError(
+                    f"table history contains rewriting ops {rewrites}; a file "
+                    "stream source would re-deliver their rows. Use an "
+                    "idempotent merge_upsert sink and pass "
+                    "enforce_append_only=False to accept replays."
+                )
+        reader = self.spark.readStream.schema(stored)
+        for key, value in options.items():
+            reader = reader.option(key, value)
+        return reader.parquet(self.root)
 
     # ------------------------------------------------------ schema registry
 
@@ -369,23 +440,26 @@ class WarehouseTable:
         if not self.exists():
             return self.append(incoming, verify=False)
         self._enforce_constraints(incoming)  # reject-at-the-door (CHECK)
+        # Pin the batch once: the rows-written count and BOTH plan
+        # branches below (anti-join probe + union) read the materialized
+        # blocks, so the dedup runs exactly once. The count is over
+        # checkpointed data — a block walk, not a recompute. (This used
+        # to be an observe() metric on the union's incoming branch, but
+        # Observation.get blocks the driver until a listener event that
+        # never arrives when a multi-branch observed plan executes on a
+        # foreachBatch micro-batch thread — measured deadlock, caught by
+        # examples/medallion_fanout.py's gold consumer. Counts over
+        # pinned blocks are execution-context-agnostic.)
+        incoming = incoming.localCheckpoint(eager=True)
+        n = incoming.count()
         existing = self._partition_slice(incoming).drop("dt")
+        # materialize before the overwrite: survivors reads the very
+        # files the write replaces (read-modify-write hazard); incoming
+        # is already pinned above, so the union writes from blocks only.
         survivors = existing.join(
             incoming.select(*self.keys), self.keys, "left_anti"
-        )
-        # materialize before the overwrite: survivors reads the very
-        # files the write replaces (read-modify-write hazard). The
-        # rows-written return contract rides the SAME materialization as
-        # an observe() metric on the incoming branch of the union — no
-        # second pass over the batch (the eager count this replaces was
-        # batch-sized, not table-sized, but it still re-ran the dedup).
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        merged = survivors.unionByName(
-            incoming.observe(obs, F.count(F.lit(1)).alias("n"))
         ).localCheckpoint(eager=True)
-        n = int(obs.get["n"])
+        merged = survivors.unionByName(incoming)
         touched = (
             self._touched_dates(incoming) if self.track_versions else None
         )
@@ -435,20 +509,19 @@ class WarehouseTable:
                 [("delete_where", None, None, None, 0, None)]
             )
             return 0
-        slice_df = self.read().filter(F.col("dt").isin(days))
-        # one pass computes the deleted count and the survivors
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        survivors = (
-            slice_df.observe(
-                obs,
-                F.sum(predicate.cast("bigint")).alias("n_deleted"),
-            )
-            .filter(~predicate)
-            .localCheckpoint(eager=True)  # read-modify-write guard
+        # Pin the touched partitions once (read-modify-write guard — the
+        # overwrite below replaces the very files this slice reads); the
+        # deleted count and the survivors both walk the pinned blocks, so
+        # the table files are read exactly once. (An observe() metric
+        # used to fuse the count into the write pass, but Observation.get
+        # deadlocks on a foreachBatch micro-batch thread — see
+        # merge_replace — and two block walks over a bounded slice cost
+        # less than that correctness risk.)
+        slice_df = self.read().filter(F.col("dt").isin(days)).localCheckpoint(
+            eager=True
         )
-        n_deleted = int(obs.get["n_deleted"] or 0)
+        survivors = slice_df.filter(~predicate)
+        n_deleted = slice_df.count() - survivors.count()
         self._retain_days(days)  # keep the pre-delete files readable
         mode_key = "spark.sql.sources.partitionOverwriteMode"
         previous = self.spark.conf.get(mode_key, "static")
@@ -779,11 +852,46 @@ class WarehouseTable:
             "schema": stored.jsonValue() if stored is not None else None,
         }
         os.makedirs(self._versions_dir(), exist_ok=True)
+        self._claim_version(manifest)
+
+    def _claim_version(self, manifest: dict) -> None:
+        """Atomically claim the manifest's version slot (optimistic
+        concurrency, the Delta commit-conflict analogue).
+
+        Delta commits a transaction by atomically creating
+        ``_delta_log/<version>.json`` — if the name exists, another writer
+        won the version and the loser must re-resolve. The same protocol
+        here: the manifest is written to a temp name and **hard-linked**
+        into place (``os.link`` fails with EEXIST if the slot is taken —
+        atomic on POSIX, unlike ``os.replace`` which would silently
+        last-write-win and LOSE the other writer's manifest). On conflict
+        the caller's data files are already on disk, so this raises
+        loudly rather than pretending isolation plain parquet cannot
+        provide: the table needs re-verification, and genuinely
+        concurrent writers need a real transactional format (the
+        documented Delta/Iceberg swap) or the writers serialized. Racing
+        silently — what un-versioned parquet tables do — is the failure
+        mode this guard exists to surface.
+        """
         path = self._manifest_path(manifest["version"])
-        tmp = path + ".tmp"
+        tmp = path + f".tmp.{os.getpid()}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.replace(tmp, path)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {manifest['version']} was committed by another "
+                f"writer while this {manifest['op']!r} ran; the data files "
+                "of both writes are on disk but only one manifest won. "
+                "Re-verify the table (or serialize writers / use a "
+                "transactional table format for true isolation)."
+            ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
 
     def _retain_days(self, days) -> None:
         """Hardlink the data files of the given partitions into the

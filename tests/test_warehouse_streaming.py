@@ -1441,3 +1441,142 @@ def test_check_constraints_enforced_on_write(spark, tmp_path):
     assert fresh.count() == 4
     ops = [r.op for r in fresh.maintenance_log().collect()]
     assert "add_constraint" in ops and "drop_constraint" in ops
+
+
+def test_stream_source_tails_appends_exactly_once(spark, tmp_path):
+    """The warehouse is a streaming SOURCE, not just a sink: downstream
+    streams tail appended rows incrementally, each checkpoint its own
+    cursor, and a restart delivers nothing twice."""
+    wh = WarehouseTable(spark, str(tmp_path / "wh"))
+    base = clean_batch(read_observations_json(spark, FIXTURE))
+    wh.append(base.filter(F.col("station_id") != "100005"))
+
+    out: list = []
+
+    def drain(ckpt):
+        q = (
+            wh.stream_source(maxFilesPerTrigger=1)
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda bdf, _id: out.extend(
+                (r["station_id"], r["timestamp"]) for r in bdf.collect()
+            ))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    ckpt = str(tmp_path / "ckpt")
+    drain(ckpt)
+    first = sorted(out)
+    assert first == sorted(
+        (r["station_id"], r["timestamp"]) for r in wh.read().collect()
+    )
+
+    # second append: the SAME checkpoint sees only the new rows
+    out.clear()
+    wh.append(base.filter(F.col("station_id") == "100005"))
+    drain(ckpt)
+    assert [s for s, _ in out] == ["100005"]
+
+    # replay from the same checkpoint with no new data: nothing re-emitted
+    out.clear()
+    drain(ckpt)
+    assert out == []
+
+    # a second, independent consumer gets the full table from ITS cursor
+    out.clear()
+    drain(str(tmp_path / "ckpt2"))
+    assert len(out) == wh.count()
+
+
+def test_stream_source_guards_the_append_only_contract(spark, tmp_path):
+    wh = WarehouseTable(spark, str(tmp_path / "wh"), track_versions=True)
+
+    with pytest.raises(ValueError, match="registered schema"):
+        wh.stream_source()  # nothing appended yet
+
+    df = clean_batch(read_observations_json(spark, FIXTURE))
+    wh.append(df)
+    wh.stream_source()  # append-only history: fine
+
+    wh.merge_replace(df.withColumn("temperature", F.col("temperature") + 1))
+    with pytest.raises(ValueError, match="merge_replace"):
+        wh.stream_source()
+    # the documented idempotent-sink escape hatch still works
+    assert wh.stream_source(enforce_append_only=False) is not None
+
+
+def test_version_commit_detects_concurrent_writer(spark, tmp_path):
+    """Optimistic concurrency on the version log: when two writers race
+    to the same version slot, the loser raises instead of silently
+    overwriting the winner's manifest (Delta's commit-conflict protocol,
+    scoped honestly — plain parquet cannot roll the loser's data back)."""
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        ConcurrentWriteError,
+    )
+
+    wh = WarehouseTable(spark, str(tmp_path / "wh"), track_versions=True)
+    df = clean_batch(read_observations_json(spark, FIXTURE))
+    wh.append(df)  # v1
+
+    # this writer computes its next version (2), then a rival lands v2
+    # in the race window before the commit
+    next_version = (wh._latest_version() or 0) + 1
+    assert next_version == 2
+    rival = wh._manifest_path(2)
+    with open(rival, "w") as fh:
+        json.dump({"version": 2, "op": "append", "files": [], "schema": None}, fh)
+
+    with pytest.raises(ConcurrentWriteError, match="version 2"):
+        wh._claim_version(
+            {"version": next_version, "op": "append", "files": ["x"], "schema": None}
+        )
+
+    # the winner's manifest is intact — not last-write-win clobbered
+    assert wh._manifest(2)["files"] == []
+    # no orphaned temp manifests left behind by the losing commit
+    leftovers = [f for f in os.listdir(wh._versions_dir()) if ".tmp" in f]
+    assert leftovers == []
+
+
+def test_merge_replace_and_delete_complete_on_a_microbatch_thread(spark, tmp_path):
+    """Regression: driver-blocking Observation.get never completed when
+    merge_replace's multi-branch observed plan ran on a foreachBatch
+    micro-batch thread (caught by examples/medallion_fanout.py's gold
+    consumer — the pipeline hung forever, no error). The mutation ops
+    must work from ANY execution context, so their row-count contracts
+    now ride checkpointed block counts instead of observation metrics."""
+    wh = WarehouseTable(spark, str(tmp_path / "wh"))
+    df = clean_batch(read_observations_json(spark, FIXTURE))
+    wh.append(df)  # table must EXIST so merge_replace takes the full path
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "b.json").write_text(
+        '{"station_id": "100001", "timestamp": "2024-03-01T00:00:00Z", '
+        '"temperature": "99.0"}\n'
+    )
+    results: list = []
+
+    def sink(batch, _id):
+        cleaned = clean_batch(batch)
+        results.append(("replaced", wh.merge_replace(cleaned)))
+        results.append(
+            ("deleted", wh.delete_where(F.col("station_id") == "100005"))
+        )
+
+    q = (
+        read_json_file_stream(spark, str(indir))
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .start()
+    )
+    assert q.awaitTermination(300), "foreachBatch mutation hung (deadlock class)"
+    assert q.exception() is None
+    assert ("replaced", 1) in results and ("deleted", 1) in results
+    temps = {
+        r["station_id"]: r["temperature"] for r in wh.read().collect()
+    }
+    assert temps["100001"] == 99.0     # replaced through the stream
+    assert "100005" not in temps        # deleted through the stream
