@@ -38,11 +38,12 @@ changes):
   ``readStream`` on a table): downstream streams tail appends
   exactly-once from their own checkpoints, with the append-only contract
   enforced from the version log when tracking is on.
-- optimistic concurrency — version manifests commit via atomic
+- writer concurrency — version manifests commit via atomic
   exclusive-create (``_claim_version``), so racing writers surface as
-  :class:`ConcurrentWriteError` instead of a silently lost manifest —
-  Delta's commit-conflict protocol, scoped honestly to what plain
-  parquet can guarantee.
+  :class:`ConcurrentWriteError` instead of a silently lost manifest
+  (Delta's commit-conflict protocol); ``exclusive_writer`` adds the
+  prevention half, an advisory Hive-style mkdir lock with stale-lock
+  breaking. Both scoped honestly to what plain parquet can guarantee.
 - schema evolution — Delta's contract on plain parquet: the registered
   schema lives in a ``_schema`` sidecar (the metadata-log analogue), reads
   bind to it (O(1) in file count — no footer sampling, pre-widening files
@@ -59,7 +60,10 @@ from __future__ import annotations
 
 import json
 import os
+import socket
+import time
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -891,6 +895,79 @@ class WarehouseTable:
             try:
                 os.unlink(tmp)
             except FileNotFoundError:
+                pass
+
+    @contextmanager
+    def exclusive_writer(self, stale_after_s: float = 3600.0):
+        """Advisory writer lock: the PREVENTION half of write concurrency
+        (:meth:`_claim_version` is the detection half).
+
+        ``with table.exclusive_writer(): ...`` serializes multi-process
+        writers sharing a filesystem the way Hive's table locks do:
+        acquisition atomically ``mkdir``s ``_lock/`` (POSIX-atomic, like
+        the manifest hard-link) and records the owner (pid, host, time)
+        for diagnostics. A second writer raises
+        :class:`ConcurrentWriteError` immediately — non-blocking by
+        design, so a scheduler retry policy stays in charge of waiting.
+
+        A crashed writer leaves its lock behind; a lock older than
+        ``stale_after_s`` is broken and re-acquired (the age check uses
+        the owner file's mtime, refreshed at acquisition only — size the
+        threshold above the longest expected write). This is advisory:
+        nothing stops a writer that doesn't take the lock, which is the
+        same contract Hive/HDFS advisory locks give — true enforcement
+        needs a transactional table format, as documented throughout.
+        """
+        lock_dir = os.path.join(self.root, "_lock")
+        owner = os.path.join(lock_dir, "owner.json")
+        os.makedirs(self.root, exist_ok=True)
+        try:
+            os.mkdir(lock_dir)
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(owner).st_mtime
+                with open(owner) as fh:
+                    holder = json.load(fh)
+            except (FileNotFoundError, json.JSONDecodeError):
+                # torn acquisition (mkdir done, owner not yet written):
+                # treat as held with unknown owner; age from the dir
+                age = time.time() - os.stat(lock_dir).st_mtime
+                holder = {}
+            if age <= stale_after_s:
+                raise ConcurrentWriteError(
+                    f"table is locked by {holder or 'another writer'} "
+                    f"({age:.0f}s ago); retry later or raise "
+                    "stale_after_s if that writer is known dead"
+                ) from None
+            # stale: the owner crashed — break the lock and take it
+            try:
+                os.unlink(owner)
+            except FileNotFoundError:
+                pass
+            os.rmdir(lock_dir)
+            try:
+                os.mkdir(lock_dir)
+            except FileExistsError:
+                raise ConcurrentWriteError(
+                    "lost the race to re-acquire a stale lock; another "
+                    "writer broke and took it first — retry later"
+                ) from None
+        with open(owner, "w") as fh:
+            json.dump(
+                {"pid": os.getpid(), "host": socket.gethostname(),
+                 "acquired_at": time.time()},
+                fh,
+            )
+        try:
+            yield self
+        finally:
+            try:
+                os.unlink(owner)
+            except FileNotFoundError:
+                pass
+            try:
+                os.rmdir(lock_dir)
+            except (FileNotFoundError, OSError):
                 pass
 
     def _retain_days(self, days) -> None:

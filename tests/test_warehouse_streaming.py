@@ -1580,3 +1580,50 @@ def test_merge_replace_and_delete_complete_on_a_microbatch_thread(spark, tmp_pat
     }
     assert temps["100001"] == 99.0     # replaced through the stream
     assert "100005" not in temps        # deleted through the stream
+
+
+def test_exclusive_writer_serializes_and_breaks_stale_locks(spark, tmp_path):
+    """The advisory writer lock: a second writer fails fast while the
+    lock is held, re-acquisition works after release, and a crashed
+    writer's stale lock is broken instead of wedging the table forever."""
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        ConcurrentWriteError,
+    )
+
+    root = str(tmp_path / "wh")
+    writer_a = WarehouseTable(spark, root)
+    writer_b = WarehouseTable(spark, root)  # a second process in spirit
+    df = clean_batch(read_observations_json(spark, FIXTURE))
+
+    with writer_a.exclusive_writer():
+        writer_a.append(df)
+        with pytest.raises(ConcurrentWriteError, match="locked by"):
+            with writer_b.exclusive_writer():
+                pass
+    assert not os.path.exists(os.path.join(root, "_lock"))
+
+    # released: the other writer acquires and mutates normally
+    with writer_b.exclusive_writer():
+        assert writer_b.delete_where(F.col("station_id") == "100005") == 1
+
+    # crashed writer: lock dir left behind, owner mtime far in the past
+    lock = os.path.join(root, "_lock")
+    os.mkdir(lock)
+    owner = os.path.join(lock, "owner.json")
+    with open(owner, "w") as fh:
+        json.dump({"pid": 1}, fh)
+    old = 1_000_000_000
+    os.utime(owner, (old, old))
+    with writer_a.exclusive_writer():  # stale → broken → acquired
+        pass
+    assert not os.path.exists(lock)
+
+    # a FRESH foreign lock is respected even after the stale dance
+    os.mkdir(lock)
+    with open(owner, "w") as fh:
+        json.dump({"pid": 2}, fh)
+    with pytest.raises(ConcurrentWriteError, match="locked by"):
+        with writer_a.exclusive_writer():
+            pass
+    # the sidecar never leaks into scans
+    assert "_lock" not in {f.rsplit("/", 1)[-1] for f in writer_a.read().inputFiles()}
