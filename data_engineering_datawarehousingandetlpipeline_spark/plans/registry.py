@@ -201,6 +201,45 @@ MUST_VERIFY: tuple[str, ...] = (
 #: sweep); each MUST take a window slot in r9 (add to MUST_VERIFY when
 #: rotating) — 30 debuts total.
 #:
+#: The debut queue above, machine-readable. CI cross-checks this against
+#: the CORRECTNESS_r0*.json history (every never-driver-verified registry
+#: query must be here or in WINDOW_HEAD — tests/test_window_planning.py),
+#: and tools/window_planner.py consumes it to COMPUTE the next round's
+#: window instead of re-deriving the math by hand (the r7 advisor caught
+#: an off-by-one in exactly that hand math).
+DEBUT_QUEUE: tuple[str, ...] = (
+    "customer_order_distribution",
+    "customer_snapshot_diff",
+    "disjunctive_band_revenue",
+    "event_rolling_anomaly",
+    "event_value_percentiles",
+    "idle_rich_customers",
+    "incremental_star_rollup",
+    "json_props_variant",
+    "large_volume_orders",
+    "lineitem_contract",
+    "min_cost_supplier",
+    "nation_market_share",
+    "nation_product_profit",
+    "native_session_window",
+    "part_concentration",
+    "part_supplier_variety",
+    "promo_revenue_share",
+    "referral_rollup",
+    "shipping_priority",
+    "sliding_window_stats",
+    "small_qty_revenue",
+    "streaming_attribution",
+    "streaming_contract",
+    "streaming_enrich",
+    "top_supplier",
+    "volume_shipping",
+    "waiting_suppliers",
+    "warehouse_change_feed",
+    "warehouse_skipping_scan",
+    "warehouse_time_travel",
+)
+
 #: r9 OWED SET (window math for next round, decided now, not by slip):
 #: out-of-window at r8 are 62 queries = the 14 deferrals named above
 #: (last green r6 — at the bent ≤-3-round limit, CANNOT defer again,
