@@ -2767,6 +2767,199 @@ FROM chain GROUP BY root ORDER BY root
 """
 
 
+def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: forecast revenue increase from removing a discount
+    band.
+
+    The simplest shape in the suite and the purest pushdown test: zero
+    joins, zero groups. Every predicate — ship-year range, discount band,
+    quantity cap — must reach the parquet scan as ``PushedFilters`` so
+    row groups skip on their min/max statistics before decompression, and
+    the aggregate is a map-side partial merged into ONE row. At 100 TB
+    this query is IO-bound on exactly the row groups whose statistics
+    ranges intersect the predicate box; the file-level skipping manifest
+    (`warehouse/skipping.py`) composes with the same predicates to prune
+    whole files first. Only 4 of lineitem's 11 columns reach the reader.
+    With this query all 22 TPC-H query SHAPES have a registered
+    adaptation (Q1-Q22; partsupp-dependent ones reshaped onto lineitem
+    as documented per query).
+    """
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), wide=True).alias(
+            "revenue_increase"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_DISCOUNTED_REVENUE = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', wide=True)} AS revenue_increase,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: order-priority mix of late shipments by line
+    status.
+
+    (Adaptation note: this corpus's lineitem has no
+    shipmode/commitdate/receiptdate — `l_linestatus` stands in for the
+    mode grouping and "late" is a ship date ≥ 60 days after the order
+    date. The SHAPE is the point: both priority counters ride ONE
+    aggregate pass as conditional sums — the naive translation runs two
+    filtered scans — and the lateness predicate compares columns from
+    BOTH join sides, so it can only run as a join residual; pushing it
+    to either scan would be wrong. What CAN push does: the ship-year
+    window reaches the lineitem scan, orders is pruned to 3 columns.)
+    At 100 TB the single orderkey-keyed fact-fact shuffle dominates and
+    the output is 2 rows.
+    """
+    ensure_runtime_confs(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+SQL_LATE_SHIPMENT_PRIORITY = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_priority_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_priority_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+#: Q20 volume-share threshold: a supplier qualifies on a part when it
+#: shipped MORE than this fraction of the part's total windowed volume.
+#: Share-of-part (not an absolute quantity) so the predicate is
+#: scale-invariant: replicating the corpus 4× with id-shifted suppliers
+#: leaves each part's share distribution, and so the qualifying set's
+#: density, unchanged.
+EXCESS_VOLUME_FRACTION = 0.5
+
+
+def q_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: suppliers holding an outsized share of a part's
+    shipped volume.
+
+    Textbook Q20 is the deepest nesting in the suite — ``IN (… GROUP BY …
+    HAVING SUM(qty) > f · (SELECT SUM(qty) … correlated on the part))`` —
+    and the oracle states exactly that correlated form. (Adaptation:
+    no partsupp table here, so the association with a volume measure is
+    the shipped lineitem quantity itself; the part filter is the PROMO
+    type.) The plan decorrelates it the way the Q11/Q15 rewrites do:
+
+    - the PROMO part filter prunes the FACT scan via a broadcast
+      semi-join before anything aggregates;
+    - ONE windowed scan aggregates quantity per (partkey, suppkey) and is
+      pinned (``localCheckpoint(eager=False)``) because it feeds BOTH the
+      per-part total and the threshold compare — unpinned, Spark would
+      scan lineitem twice;
+    - the per-part total is an aggregate OF THAT AGGREGATE (decimal
+      re-sum of the per-supplier sums — exact and order-independent, so
+      the ``>`` compare agrees bit-for-bit with DuckDB's correlated
+      scalar), joined back partkey-keyed — part-dimension-sized, AQE
+      broadcasts it;
+    - the threshold multiply-compare is map-side (0.5 is a power of two:
+      the product is exact), and qualifying rows group per supplier with
+      the 100-row supplier dim joined last.
+
+    At 100 TB the only fact-sized work is the semi-join-pruned scan and
+    one (partkey, suppkey) shuffle; everything after is bounded by
+    |parts| × avg suppliers-per-part.
+    """
+    ensure_runtime_confs(spark)
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        )
+    )
+    per_ps = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity").alias("supp_qty"))
+        .localCheckpoint(eager=False)
+    )
+    totals = per_ps.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        dsum("supp_qty").alias("part_qty")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_ps.join(totals, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(
+            F.col("supp_qty") > F.lit(EXCESS_VOLUME_FRACTION) * F.col("part_qty")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominated_parts"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_dominated_parts")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_EXCESS_VOLUME_SUPPLIERS = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, {sql_dsum('l_quantity')} AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_suppkey, s_name, COUNT(*) AS n_dominated_parts
+FROM supplier JOIN ps ON s_suppkey = l_suppkey
+WHERE supp_qty > {EXCESS_VOLUME_FRACTION} * (
+  SELECT {sql_dsum('p2.supp_qty')} FROM ps p2 WHERE p2.l_partkey = ps.l_partkey
+)
+GROUP BY s_suppkey, s_name
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = [
     QuerySpec(
         "pricing_summary",
@@ -3087,6 +3280,30 @@ QUERIES = [
         SQL_PART_SUPPLIER_VARIETY,
         "Q16-shaped blacklisted distinct count: NOT IN oracle served by a "
         "broadcast LEFT ANTI pruning the fact scan map-side",
+        tags=("join", "agg", "decorrelation"),
+    ),
+    QuerySpec(
+        "discounted_revenue",
+        q_discounted_revenue,
+        SQL_DISCOUNTED_REVENUE,
+        "Q6-shaped single-scan conditional aggregate: every predicate "
+        "pushed to the parquet reader, one partial-merged output row",
+        tags=("agg", "pushdown"),
+    ),
+    QuerySpec(
+        "late_shipment_priority",
+        q_late_shipment_priority,
+        SQL_LATE_SHIPMENT_PRIORITY,
+        "Q12-shaped late-shipment priority mix: both counters in one "
+        "aggregate pass, lateness as a two-sided join residual",
+        tags=("join", "agg"),
+    ),
+    QuerySpec(
+        "excess_volume_suppliers",
+        q_excess_volume_suppliers,
+        SQL_EXCESS_VOLUME_SUPPLIERS,
+        "Q20-shaped nested-IN + correlated HAVING oracle, decorrelated "
+        "to a pinned per-(part,supplier) aggregate re-aggregated per part",
         tags=("join", "agg", "decorrelation"),
     ),
     QuerySpec(

@@ -874,6 +874,63 @@ def test_nation_product_profit_prunes_fact_via_semi_join(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_discounted_revenue_pushes_every_predicate(spark):
+    """Q6: the pure-pushdown shape — all three predicates (date window,
+    discount band, quantity cap) must reach the parquet reader, only the
+    4 touched columns are read, and there is no join and no group key:
+    one partial row per partition merges through a single exchange.
+    (Formatted mode: the simple string truncates this 8-entry
+    PushedFilters list.)"""
+    df = all_queries()["discounted_revenue"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThanOrEqual(l_discount,0.07)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+    assert "LessThan(l_shipdate," in plan
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_tax" not in read_schema
+    assert plan.count("Location: InMemoryFileIndex") == 1  # one file scan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_late_shipment_priority_lateness_is_join_residual(spark):
+    """Q12: the lateness predicate compares columns from BOTH sides, so
+    it must execute as the join's residual condition — pushing it to
+    either scan would be wrong — while the one-sided ship window DOES
+    reach the lineitem scan; both priority counters ride ONE aggregate
+    pass (never two filtered scans)."""
+    plan = _plan(spark, "late_shipment_priority")
+    assert "join condition" in plan.lower() or "INTERVAL" in plan
+    assert "GreaterThanOrEqual(l_shipdate," in plan  # window pushed
+    assert plan.count("FileScan parquet") == 2  # lineitem + orders, once
+    assert "partial_sum(CASE WHEN" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_excess_volume_suppliers_reuses_pinned_aggregate(spark):
+    """Q20 decorrelation: the per-(part, supplier) aggregate must be
+    computed once and pinned — BOTH the per-part total and the threshold
+    side read Scan ExistingRDD — with the part-dimension-sized total
+    arriving as a broadcast; the only parquet scan left in the lazy plan
+    is the 100-row supplier dim (lineitem was consumed by the pin), and
+    there is no inequality join anywhere: the threshold rides the
+    partkey equi-join as a residual."""
+    plan = _plan(spark, "excess_volume_suppliers")
+    assert plan.count("Scan ExistingRDD") == 2  # pinned per-(p,s) aggregate
+    assert plan.count("FileScan parquet") == 1  # supplier dim only
+    assert plan.count("BroadcastHashJoin") == 2  # total + supplier lookups
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 # --- wholesale registry audit -------------------------------------------
 # Per-query gates above pin specific plan SHAPES; this audit pins the
 # three absolute bans across EVERY lazily-constructible registered query,
