@@ -2767,6 +2767,119 @@ FROM chain GROUP BY root ORDER BY root
 """
 
 
+#: PageRank fixed-point parameters. The damping split is written as two
+#: separate literals (0.85 / 0.15), NEVER computed as ``1 - d``: Python's
+#: ``1 - 0.85`` is 0.15000000000000002 while SQL's ``0.15`` parses to the
+#: nearest double of 0.15 — a 1-ulp literal mismatch that would drift the
+#: engines apart. Identical literal text on both sides = identical doubles.
+PAGERANK_ITERATIONS = 6
+PAGERANK_DAMPING = 0.85
+PAGERANK_BASE = 0.15
+
+
+def q_referral_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the referral forest: iterative fixed-point as a
+    driver-orchestrated DataFrame loop.
+
+    The recursive CTE (`referral_rollup`) covers hierarchy WALKS; this
+    covers the other iterative family a warehouse grows into — fixed-point
+    algorithms (PageRank/label propagation/HITS) where every iteration
+    re-aggregates the whole node set and SQL's recursive member cannot
+    (the standard forbids grouped aggregation inside recursion). The
+    Spark-idiomatic shape is a bounded driver loop over DataFrames:
+
+    - each iteration is ONE equi-join (edges ⋈ ranks on src) + ONE
+      dst-keyed partial-aggregated shuffle — the sparse matrix-vector
+      multiply, embarrassingly parallel at any graph size;
+    - every iteration ends in ``localCheckpoint(eager=False)``: without
+      it the lazy plan DOUBLES per iteration (classic iterative-Spark
+      lineage blow-up) and stage-retry recomputes the whole chain — the
+      same pin discipline as the shared-aggregate rule, applied to loops;
+    - the graph is the deterministic referral forest (``parent = custkey
+      div 10``, non-roots have out-degree exactly 1, roots are dangling —
+      simplified PageRank without dangling-mass redistribution, stated so
+      the oracle computes the identical recurrence);
+    - each iteration's incoming mass is decimal-anchored (``dsum`` wide),
+      so after 6 iterations both engines still hold bit-identical
+      doubles: cross-engine fixed-point parity is proven by value hash,
+      not tolerance.
+
+    The oracle unrolls the SAME ``PAGERANK_ITERATIONS`` iterations as
+    chained CTEs — plain ANSI SQL, bit-identical by construction. At
+    100 TB: per-iteration cost is one fact-sized shuffle; the driver only
+    schedules (never touches rows), and convergence-based stopping would
+    read one aggregated delta per iteration, still O(1) driver data.
+    """
+    ensure_runtime_confs(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    nodes = customer.select(F.col("c_custkey").alias("id"))
+    edges = (
+        customer.filter(F.col("c_custkey") >= 10)
+        .select(
+            F.col("c_custkey").alias("src"),
+            F.expr("c_custkey DIV 10").alias("dst"),
+        )
+        .localCheckpoint(eager=False)  # reused every iteration: pin once
+    )
+    n_total = nodes.agg(F.count("*").alias("__n"))
+    ranks = (
+        nodes.join(F.broadcast(n_total), F.lit(True))
+        .select("id", (F.lit(1.0) / F.col("__n")).alias("pagerank"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(PAGERANK_ITERATIONS):
+        contrib = (
+            edges.join(ranks, F.col("src") == F.col("id"))
+            .groupBy(F.col("dst").alias("cid"))
+            .agg(dsum("pagerank", wide=True).alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, F.col("id") == F.col("cid"), "left_outer")
+            .join(F.broadcast(n_total), F.lit(True))
+            .select(
+                "id",
+                (
+                    F.lit(PAGERANK_BASE) / F.col("__n")
+                    + F.lit(PAGERANK_DAMPING)
+                    * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("pagerank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("id").alias("custkey"), "pagerank").orderBy(
+        "custkey"
+    )
+
+
+def _pagerank_oracle() -> str:
+    """The identical recurrence, unrolled into chained CTEs (r0..rK)."""
+    n = "(SELECT COUNT(*) FROM customer)"
+    base = f"CAST({PAGERANK_BASE} AS DOUBLE) / {n}"
+    damp = f"CAST({PAGERANK_DAMPING} AS DOUBLE)"
+    ctes = [
+        "nodes AS (SELECT c_custkey AS id FROM customer)",
+        "edges AS (SELECT c_custkey AS src, c_custkey // 10 AS dst\n"
+        "          FROM customer WHERE c_custkey >= 10)",
+        f"r0 AS (SELECT id, CAST(1 AS DOUBLE) / {n} AS pagerank FROM nodes)",
+    ]
+    for i in range(1, PAGERANK_ITERATIONS + 1):
+        ctes.append(
+            f"r{i} AS (SELECT n.id, {base} + {damp} * "
+            "COALESCE(s.m, CAST(0 AS DOUBLE)) AS pagerank\n"
+            f"  FROM nodes n LEFT JOIN (\n"
+            f"    SELECT e.dst, {sql_dsum('r.pagerank', wide=True)} AS m\n"
+            f"    FROM edges e JOIN r{i - 1} r ON e.src = r.id GROUP BY e.dst\n"
+            "  ) s ON s.dst = n.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id AS custkey, pagerank "
+        f"FROM r{PAGERANK_ITERATIONS} ORDER BY custkey"
+    )
+
+
+SQL_REFERRAL_PAGERANK = _pagerank_oracle()
+
+
 def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-shaped: forecast revenue increase from removing a discount
     band.
@@ -3305,6 +3418,15 @@ QUERIES = [
         "Q20-shaped nested-IN + correlated HAVING oracle, decorrelated "
         "to a pinned per-(part,supplier) aggregate re-aggregated per part",
         tags=("join", "agg", "decorrelation"),
+    ),
+    QuerySpec(
+        "referral_pagerank",
+        q_referral_pagerank,
+        SQL_REFERRAL_PAGERANK,
+        "iterative fixed-point (PageRank) as a checkpoint-truncated "
+        "DataFrame loop; oracle unrolls the same iterations as chained "
+        "CTEs — cross-engine parity to the bit after 6 rounds",
+        tags=("iterative", "join", "agg"),
     ),
     QuerySpec(
         "referral_rollup",

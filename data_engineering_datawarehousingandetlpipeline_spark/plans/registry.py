@@ -203,9 +203,14 @@ MUST_VERIFY: tuple[str, ...] = (
 #: both priority counters in one pass, and the deepest nesting in the
 #: suite: nested-IN + correlated HAVING decorrelated to a pinned
 #: aggregate-of-aggregate; with these, ALL 22 TPC-H query shapes have
-#: registered adaptations). All local-oracle-verified (sf0.001 pytest
-#: parity every CI run + sf0.01 sweep); each MUST take a window slot in
-#: r9 (add to MUST_VERIFY when rotating) — 33 debuts total.
+#: registered adaptations), and referral_pagerank (iterative fixed-point
+#: opened as a family beside the recursive CTE: a checkpoint-truncated
+#: driver loop of equi-join + dst-keyed aggregate per iteration, with the
+#: oracle unrolling the SAME 6 iterations as chained CTEs — decimal
+#: anchoring per iteration keeps the engines bit-identical at the fixed
+#: point). All local-oracle-verified (sf0.001 pytest parity every CI run
+#: + sf0.01 sweep); each MUST take a window slot in r9 (add to
+#: MUST_VERIFY when rotating) — 34 debuts total.
 #:
 #: The debut queue above, machine-readable. CI cross-checks this against
 #: the CORRECTNESS_r0*.json history (every never-driver-verified registry
@@ -234,6 +239,7 @@ DEBUT_QUEUE: tuple[str, ...] = (
     "part_concentration",
     "part_supplier_variety",
     "promo_revenue_share",
+    "referral_pagerank",
     "referral_rollup",
     "shipping_priority",
     "sliding_window_stats",
@@ -255,25 +261,26 @@ DEBUT_QUEUE: tuple[str, ...] = (
 #: they take r9 slots first) + the 48 green-r7 window members that
 #: rotated out this round (everything in the r7 WINDOW_HEAD except
 #: scd2_event_enrich and asof_last_error, which re-verify in-window now).
-#: Owed at r9 = 62 candidates + the 33-query r9 debut queue above for
+#: Owed at r9 = 62 candidates + the 34-query r9 debut queue above for
 #: 50 slots.
 #: Resolution: the 14 exhausted deferrals and every debut/changed query
-#: are non-negotiable (47 slots), leaving 3 for the 48 multiply-green
-#: r7 rotations — defer 45 of them, picked at r9 planning time by
+#: are non-negotiable (48 slots), leaving 2 for the 48 multiply-green
+#: r7 rotations — defer 46 of them, picked at r9 planning time by
 #: deepest-green-history-first among queries with every-CI pytest
 #: coverage (start with the streaming/second-row family:
 #: streaming_window_stats, streaming_sessions, streaming_chunks,
 #: streaming_ingest, sessionization, session_stats, doc_ngram_topk,
 #: retention_cohorts, doc_span_dedup, emb_quantize_stats,
 #: doc_group_sample, emb_cluster_profile — each restart/contract-tested
-#: every pytest run — then extend by git-blame age). At 145 registry
+#: every pytest run — then extend by git-blame age). At 146 registry
 #: queries over a 50-slot window the steady-state cycle is ~2.9 rounds;
 #: the ≤-3-round staleness policy still holds with the deferral choice
-#: rotating, but the registry is now within ~5 queries of the 150-query
+#: rotating, but the registry is now within ~4 queries of the 150-query
 #: capacity that policy implies — future additions must earn their slot
-#: (the Q6/Q12/Q20 batch was taken to close out the full 22-shape TPC-H
-#: sweep; the registry is now feature-complete against that yardstick
-#: and further slots should go to operator families, not more shapes).
+#: (the Q6/Q12/Q20 batch closed out the full 22-shape TPC-H sweep and
+#: referral_pagerank opened the iterative-fixed-point family; the
+#: registry is feature-complete against both yardsticks and any further
+#: slot should open a genuinely new operator family).
 #: Never defer a debut or a changed query.
 
 

@@ -590,3 +590,84 @@ def test_referral_rollup_recursion_is_exact_and_column_pruned(spark):
     # projects exactly the join key and the balance, not all 5 columns
     proj = re.search(r"Arguments: \[c_custkey#\d+L, c_acctbal#\d+\]", plan)
     assert proj, "recursive-side scan is not pruned to (c_custkey, c_acctbal)"
+
+
+def test_referral_pagerank_matches_python_fixed_point(spark):
+    """Both engines agreeing (oracle parity) proves consistency, not
+    correctness — this pins the recurrence itself against a pure-Python
+    fixed point, replicating the per-iteration decimal(27,8) HALF_UP
+    anchoring so the comparison is exact, no tolerance."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.analytics import (
+        PAGERANK_BASE,
+        PAGERANK_DAMPING,
+        PAGERANK_ITERATIONS,
+        q_referral_pagerank,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    got = {
+        r["custkey"]: r["pagerank"]
+        for r in q_referral_pagerank(spark, SF_DIR).collect()
+    }
+    ids = [
+        r["c_custkey"]
+        for r in load_table(spark, SF_DIR, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    n = len(ids)
+    children: dict[int, list[int]] = {}
+    for c in ids:
+        if c >= 10:
+            children.setdefault(c // 10, []).append(c)
+    q8 = Decimal("1e-8")
+    ranks = {c: 1.0 / n for c in ids}
+    for _ in range(PAGERANK_ITERATIONS):
+        ranks = {
+            c: PAGERANK_BASE / n
+            + PAGERANK_DAMPING
+            * float(
+                sum(
+                    (
+                        Decimal(ranks[s]).quantize(q8, ROUND_HALF_UP)
+                        for s in children.get(c, [])
+                    ),
+                    Decimal(0),
+                )
+            )
+            for c in ids
+        }
+    assert set(got) == set(ranks)
+    mismatches = {c: (got[c], ranks[c]) for c in ids if got[c] != ranks[c]}
+    assert not mismatches, dict(list(mismatches.items())[:5])
+    # roots accumulate their subtrees' mass: every root WITH children
+    # outranks the uniform floor, every childless node sits exactly on it
+    # (root 0 is childless — custkey DIV 10 = 0 only below the root band)
+    floor = PAGERANK_BASE / n
+    leaves = set(ids) - set(children)
+    assert all(got[c] == floor for c in leaves)
+    assert all(got[c] > floor for c in ids if 1 <= c <= 9)
+
+
+def test_referral_pagerank_lineage_is_checkpoint_truncated(spark):
+    """The iterative-Spark discipline: after K iterations the lazy plan
+    must be the LAST checkpoint's scan, not a 2^K-node join tree — an
+    unpinned loop doubles the plan per iteration and recomputes the whole
+    chain on any stage retry."""
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.analytics import (
+        q_referral_pagerank,
+    )
+
+    df = q_referral_pagerank(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "Scan ExistingRDD" in plan  # lineage ends at the pinned ranks
+    assert "FileScan parquet" not in plan  # no re-derivation from source
+    assert plan.count("Join") == 0  # the join tree is behind the pin
