@@ -917,6 +917,19 @@ class WarehouseTable:
         nothing stops a writer that doesn't take the lock, which is the
         same contract Hive/HDFS advisory locks give — true enforcement
         needs a transactional table format, as documented throughout.
+
+        Known narrow race, stated honestly: TWO writers breaking the SAME
+        stale lock can interleave unlink/rmdir/mkdir such that both
+        believe they acquired (the second breaker can remove the first's
+        just-written owner file). The window is microseconds and requires
+        simultaneous stale-breaking; if it ever happens, the overlapping
+        writes are still caught at commit by :meth:`_claim_version`'s
+        atomic manifest hard-link — break-race prevention without a
+        kernel lock primitive would need exactly the transactional log
+        this class documents as the swap path. (``flock`` would close it
+        on a local filesystem but is unreliable on the network mounts a
+        multi-writer warehouse actually sits on — mkdir is the portable
+        choice, same trade Hive made.)
         """
         lock_dir = os.path.join(self.root, "_lock")
         owner = os.path.join(lock_dir, "owner.json")
