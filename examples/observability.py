@@ -69,13 +69,87 @@ def run_checks(spark, sf_dir: str = SF_DIR) -> dict[str, int]:
     assert all(v > 0 for v in ops.values())
     print(f"correction-feed audit: {ops}")
 
+    batches = run_telemetry(spark)
+
     return {
         "profile_cols": len(profile),
         "percentile_groups": len(pct),
         "anomalies": len(anomalies),
         "silent_users": len(silent),
         "diff_rows": len(diff),
+        "telemetry_batches": batches,
     }
+
+
+def run_telemetry(spark) -> int:
+    """The dashboards-over-telemetry half: drive a two-batch stream with
+    the session-scoped ProgressRecorder attached and query the captured
+    per-batch engine metrics (rows, rate, state size, watermark) back
+    through the engine itself."""
+    import json
+    import os
+    import tempfile
+    import time
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.monitor import (
+        attach,
+        detach,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.stateful import (
+        windowed_stats,
+    )
+
+    indir = tempfile.mkdtemp(prefix="obs_telemetry_")
+    stamps = iter((1_900_000_000, 1_900_000_060))
+    for name, rows in (
+        ("b1.json", [
+            {"station_id": "A", "timestamp": "2024-03-01T10:00:00Z", "temperature": 1.0},
+            {"station_id": "A", "timestamp": "2024-03-01T10:10:00Z", "temperature": 3.0},
+        ]),
+        ("b2.json", [
+            {"station_id": "B", "timestamp": "2024-03-01T12:30:00Z", "temperature": 6.0},
+        ]),
+    ):
+        path = os.path.join(indir, name)
+        with open(path, "w") as fh:
+            fh.writelines(json.dumps(r) + "\n" for r in rows)
+        s = next(stamps)
+        os.utime(path, (s, s))
+
+    rec = attach(spark)
+    try:
+        source = (
+            spark.readStream
+            .schema("station_id string, timestamp timestamp, temperature double")
+            .option("maxFilesPerTrigger", "1")
+            .json(indir)
+        )
+        q = (
+            windowed_stats(source).writeStream.outputMode("append")
+            .format("memory").queryName("obs_demo")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            mine = [r for r in rec.rows() if r[0] == "obs_demo"]
+            if len(mine) >= 2:
+                break
+            time.sleep(0.2)
+        metrics = rec.metrics_df(spark).filter("query_name = 'obs_demo'")
+        report = metrics.selectExpr(
+            "batch_id", "input_rows", "batch_ms", "state_rows", "watermark"
+        ).orderBy("batch_id").collect()
+        assert sum(r.input_rows for r in report) == 3
+        for r in report:
+            print(
+                f"  batch={r.batch_id} rows={r.input_rows} "
+                f"ms={r.batch_ms} state={r.state_rows} wm={r.watermark}"
+            )
+        print(f"telemetry: {len(report)} micro-batches recorded")
+        return len(report)
+    finally:
+        detach(spark, rec)
 
 
 if __name__ == "__main__":
