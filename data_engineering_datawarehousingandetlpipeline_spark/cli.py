@@ -302,7 +302,26 @@ def main(argv: list[str] | None = None) -> None:
         if args.once:
             # drain whatever is staged and stop deterministically — stopping
             # a just-started continuous query could process zero batches.
-            run_available(source, warehouse, cfg.checkpoint_dir)
+            # The telemetry recorder replaces the reference's per-flush
+            # LOGGER.info counts (kafka_stream.py:325-333) with the
+            # engine's own per-batch metrics.
+            from data_engineering_datawarehousingandetlpipeline_spark.streaming.monitor import (
+                attach,
+                detach,
+            )
+
+            rec = attach(spark)
+            try:
+                run_available(source, warehouse, cfg.checkpoint_dir)
+                deadline = time.time() + 10
+                while time.time() < deadline and not rec.rows():
+                    time.sleep(0.2)
+                for r in rec.rows():
+                    log.info(
+                        "batch=%s rows=%s ms=%s state=%s", r[2], r[4], r[6], r[7]
+                    )
+            finally:
+                detach(spark, rec)
             return
         query = start_ingestion(
             source, warehouse, cfg.checkpoint_dir,
