@@ -49,12 +49,15 @@ def table_diff(
         *[F.col(c).alias(f"new_{c}") for c in compare_cols],
     )
     joined = o.join(n, list(keys), "full_outer")
+    # seeded with False so a keys-only diff (no compared payload) still
+    # classifies inserts/deletes instead of crashing the reduce
     changed = reduce(
         lambda a, b: a | b,
         [
             ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
             for c in compare_cols
         ],
+        F.lit(False),
     )
     op = (
         F.when(F.col("__in_old").isNull(), F.lit("insert"))
