@@ -53,8 +53,11 @@ def check_contract(
     per check, plus a ``unique_<keys>`` row when ``unique_key`` is given
     (violations = duplicate-row count beyond the first of each key).
     """
+    # coalesce: SUM over ZERO rows is NULL — an empty feed (e.g. an empty
+    # streaming micro-batch) must report 0 violations / passed, not NULLs
     aggs = [
-        F.sum((cond).cast("bigint")).alias(name) for name, cond in checks
+        F.coalesce(F.sum((cond).cast("bigint")), F.lit(0)).alias(name)
+        for name, cond in checks
     ]
     names = [name for name, _ in checks]
     if unique_key:

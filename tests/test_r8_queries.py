@@ -671,3 +671,23 @@ def test_referral_pagerank_lineage_is_checkpoint_truncated(spark):
     assert "Scan ExistingRDD" in plan  # lineage ends at the pinned ranks
     assert "FileScan parquet" not in plan  # no re-derivation from source
     assert plan.count("Join") == 0  # the join tree is behind the pin
+
+
+def test_check_contract_empty_feed_passes_with_zero_counts(spark):
+    """SUM over zero rows is NULL in SQL — an empty feed (an empty
+    streaming micro-batch is the production case) must report
+    n_violations=0 / passed=True for every check, never NULLs."""
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.expectations import (
+        accepted_range,
+        check_contract,
+        not_null,
+    )
+
+    empty = spark.createDataFrame([], "x long, y double")
+    rows = check_contract(
+        empty,
+        [not_null("x"), accepted_range("y", 0.0, 1.0)],
+        unique_key=["x"],
+    ).collect()
+    assert len(rows) == 3
+    assert all(r.n_violations == 0 and r.passed for r in rows), rows
