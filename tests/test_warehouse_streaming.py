@@ -1627,3 +1627,48 @@ def test_exclusive_writer_serializes_and_breaks_stale_locks(spark, tmp_path):
             pass
     # the sidecar never leaks into scans
     assert "_lock" not in {f.rsplit("/", 1)[-1] for f in writer_a.read().inputFiles()}
+
+
+def test_contract_monitor_empty_batch_reports_all_passed(spark, tmp_path):
+    """An EMPTY micro-batch (zero-row shard — an idle poll in production)
+    must land a report partition whose every check row says
+    n_violations=0 / passed=True, never NULLs (SUM over zero rows is
+    NULL; operators/expectations coalesces it away)."""
+    from pyspark.sql import types as T
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+        expectations as X,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_contract_monitor,
+    )
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    (indir / "empty.json").write_text("")  # a zero-row shard
+    os.utime(indir / "empty.json", (1_700_000_000, 1_700_000_000))
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), True),
+        T.StructField("v", T.DoubleType(), True),
+    ])
+    source = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(indir))
+    )
+    out = tmp_path / "reports"
+    query = start_contract_monitor(
+        source,
+        str(out),
+        str(tmp_path / "ckpt"),
+        checks=[X.not_null("k"), X.accepted_range("v", 0.0, 100.0)],
+        unique_key=["k"],
+        available_now=True,
+    )
+    query.awaitTermination()
+
+    rows = spark.read.option("basePath", str(out)).parquet(str(out)).collect()
+    assert len(rows) == 3  # 2 row checks + the uniqueness check
+    for r in rows:
+        assert r.n_violations == 0 and r.passed, r
