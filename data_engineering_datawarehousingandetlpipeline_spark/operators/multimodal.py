@@ -123,6 +123,82 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     )
 
 
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META_SCHEMA, True),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize plumbing: payload → decoded → scaled → re-encoded payload.
+
+    Output keeps the media schema (plus the new ``width``/``height``) so
+    resized media flows straight back into :func:`extract_features` /
+    :func:`sample_frames` — the resize → featurize composition a training
+    pipeline runs. The payload column passes THROUGH Python here by
+    necessity (a real resize rewrites the bytes); ``meta`` is rebuilt
+    JVM-side after the transform with the new ``size_bytes``, and the
+    stub re-encode is deterministic (sha256 of payload ‖ target box, so
+    replays and tests are stable and the output payload differs from the
+    input exactly when the bytes would). With ``decode_stub=False`` the
+    loop body is where libjpeg/ffmpeg scale-and-encode plugs in.
+    """
+
+    def rescale(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media codecs are not available in this image; "
+                    "run with decode_stub=True or provide a codec build"
+                )
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["content"]):
+                src = bytes(payload or b"")
+                resized = hashlib.sha256(
+                    src + f"|{target_width}x{target_height}".encode()
+                ).digest()
+                rows.append(
+                    (media_id, target_width, target_height, resized)
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "content"]
+            )
+
+    resized = spread(df.select("media_id", "content")).mapInPandas(
+        rescale,
+        T.StructType(_RESIZED_SCHEMA.fields[:-1]),  # meta rebuilt below
+    )
+    # carry the original metadata forward JVM-side (media_id equi-join on
+    # the pruned 2-column projection; payload bytes never join twice) and
+    # refresh size_bytes for the re-encoded content
+    orig_meta = df.select("media_id", F.col("meta").alias("__m"))
+    return (
+        resized.join(orig_meta, "media_id")
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "content",
+            F.struct(
+                F.col("__m.media_type").alias("media_type"),
+                F.col("__m.format").alias("format"),
+                F.octet_length("content").cast("long").alias("size_bytes"),
+                F.col("__m.source_uri").alias("source_uri"),
+            ).alias("meta"),
+        )
+    )
+
+
 def sample_frames(
     df: DataFrame, every_nth: int = 4, decode_stub: bool = True
 ) -> DataFrame:

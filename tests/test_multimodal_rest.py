@@ -110,3 +110,41 @@ def test_rest_default_fetcher_raises(spark):
 
     with pytest.raises(NotImplementedError):
         rest.fetch_observations(spark, ["A"])
+
+
+def test_resize_media_rewrites_payload_and_composes(media):
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    out = resize_media(media, 224, 224)
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "width", "height", "content", "meta",
+    ]
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    originals = {r["media_id"]: bytes(r["content"] or b"") for r in media.collect()}
+    for mid, r in rows.items():
+        assert (r["width"], r["height"]) == (224, 224)
+        assert bytes(r["content"]) != originals[mid]  # re-encoded bytes
+        # meta carried forward with size_bytes refreshed to the new payload
+        assert r["meta"]["media_type"] == "image" and r["meta"]["format"] == "raw"
+        assert r["meta"]["size_bytes"] == len(bytes(r["content"]))
+    # deterministic stub: same inputs, same resized bytes
+    again = {r["media_id"]: bytes(r["content"]) for r in resize_media(media, 224, 224).collect()}
+    assert again == {m: bytes(r["content"]) for m, r in rows.items()}
+    # a different target box re-encodes differently
+    other = {r["media_id"]: bytes(r["content"]) for r in resize_media(media, 64, 64).collect()}
+    assert all(other[m] != again[m] for m in again)
+    # and the output flows straight back into the featurizer (composition)
+    feats = extract_features(out).collect()
+    assert len(feats) == 3
+
+
+def test_resize_media_without_stub_raises(media):
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        resize_media(media, 224, 224, decode_stub=False).collect()
