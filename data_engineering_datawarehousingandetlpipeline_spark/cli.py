@@ -312,9 +312,16 @@ def main(argv: list[str] | None = None) -> None:
 
             rec = attach(spark)
             try:
-                run_available(source, warehouse, cfg.checkpoint_dir)
+                drained = run_available(source, warehouse, cfg.checkpoint_dir)
+                # zero batches drained → the listener will never fire; an
+                # empty --once run must return immediately, not stall the
+                # full poll window waiting for an event that can't arrive
                 deadline = time.time() + 10
-                while time.time() < deadline and not rec.rows():
+                while (
+                    drained
+                    and time.time() < deadline
+                    and len(rec.rows()) < drained
+                ):
                     time.sleep(0.2)
                 for r in rec.rows():
                     log.info(

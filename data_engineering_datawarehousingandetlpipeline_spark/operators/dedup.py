@@ -7,7 +7,9 @@ Four strategies, in increasing recall / cost order:
 - **n-gram Jaccard**: exact set similarity over word shingles via an
   inverted-index self-join (shingle → docs), which is the scalable form —
   no O(n²) cross join; cost is Σ postings² per shingle, controlled by
-  dropping ultra-frequent shingles.
+  dropping ultra-frequent shingles (``jaccard_pairs(max_doc_freq=...)``
+  — at scale one hot shingle otherwise makes the self-join fan-out
+  quadratic in its posting-list length).
 - **MinHash + LSH**: 128 affine permutations of one md5 token hash per
   document, banded (16 × 8) so that only documents agreeing on a whole
   band become candidate pairs; exact Jaccard (``array_intersect`` on the
@@ -105,6 +107,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.2,
     shingle_width: int = 2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs above ``threshold``.
 
@@ -113,14 +116,46 @@ def jaccard_pairs(
     ``jaccard = common / (|A| + |B| − common)``. The join shuffles on the
     shingle (a scalable key); the pair aggregation shuffles on (a, b).
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    ``max_doc_freq`` is the scale-critical cost control: the self-join
+    emits Σ df² candidate rows over the per-shingle document frequencies,
+    so ONE hot shingle shared by k documents fans out k² pairs — quadratic
+    in its posting list, unbounded at 100 TB ("terms of service" appears
+    everywhere). With the cap set, shingles whose document frequency
+    exceeds it are dropped from the index BEFORE the join, and the
+    similarity becomes n-gram Jaccard **over the capped vocabulary**: set
+    sizes are recomputed over surviving shingles, so two identical
+    documents still score 1.0 even when they contain hot shingles, and a
+    document whose every shingle is hot simply leaves the index (it can
+    match nothing). Candidate volume is then bounded by
+    Σ min(df, cap)² ≤ postings × cap. The default ``None`` keeps the
+    uncapped exact semantics — small-corpus-only; production corpora
+    should set the cap (or use the MinHash rung, the declared 100 TB
+    path). Pruning costs one extra exchange on the shingle and one on the
+    doc id (both keys the plan already shuffles on).
     """
     shingled = spread(df).select(
         F.col(id_col).alias("doc"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_width)).alias("shingles"),
     )
-    postings = shingled.select(
-        "doc", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
-    )
+    if max_doc_freq is not None:
+        # document frequency per shingle (shingles are distinct per doc, so
+        # count(*) IS the doc frequency), then set sizes recomputed over the
+        # surviving index — both as whole-partition windows, not groupBy +
+        # join-back, so each is exactly one exchange.
+        exploded = shingled.select("doc", F.explode("shingles").alias("shingle"))
+        postings = (
+            exploded.withColumn(
+                "df_count", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("df_count") <= max_doc_freq)
+            .withColumn("n", F.count("*").over(Window.partitionBy("doc")))
+            .select("doc", "n", "shingle")
+        )
+    else:
+        postings = shingled.select(
+            "doc", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
+        )
     # Qualified-alias self-join (same shape as minhash_near_dup_pairs):
     # projections of one parent make the shared `shingle` column ambiguous
     # to the analyzer, which logs a "trivially true equals predicate" repair

@@ -148,10 +148,19 @@ def resize_media(
     pipeline runs. The payload column passes THROUGH Python here by
     necessity (a real resize rewrites the bytes); ``meta`` is rebuilt
     JVM-side after the transform with the new ``size_bytes``, and the
-    stub re-encode is deterministic (sha256 of payload ‖ target box, so
-    replays and tests are stable and the output payload differs from the
-    input exactly when the bytes would). With ``decode_stub=False`` the
-    loop body is where libjpeg/ffmpeg scale-and-encode plugs in.
+    stub re-encode is deterministic: the ASCII sha256 hex digest of
+    payload ‖ target box (so replays and tests are stable, the output
+    payload differs from the input exactly when the bytes would, and —
+    being valid UTF-8 — downstream oracle engines whose hash functions
+    are string-only can reproduce the chain byte-for-byte). With
+    ``decode_stub=False`` the loop body is where libjpeg/ffmpeg
+    scale-and-encode plugs in.
+
+    Precondition: ``media_id`` is unique per input row (the media schema's
+    contract). The metadata carry-forward join re-asserts it defensively
+    with a ``dropDuplicates`` on the meta projection, so a malformed input
+    with repeated ids degrades to one arbitrary-but-deterministic meta row
+    per id instead of fanning the join out quadratically.
     """
 
     def rescale(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -166,7 +175,7 @@ def resize_media(
                 src = bytes(payload or b"")
                 resized = hashlib.sha256(
                     src + f"|{target_width}x{target_height}".encode()
-                ).digest()
+                ).hexdigest().encode()
                 rows.append(
                     (media_id, target_width, target_height, resized)
                 )
@@ -180,8 +189,11 @@ def resize_media(
     )
     # carry the original metadata forward JVM-side (media_id equi-join on
     # the pruned 2-column projection; payload bytes never join twice) and
-    # refresh size_bytes for the re-encoded content
-    orig_meta = df.select("media_id", F.col("meta").alias("__m"))
+    # refresh size_bytes for the re-encoded content. dropDuplicates
+    # enforces the media_id-uniqueness precondition at the join boundary.
+    orig_meta = df.select("media_id", F.col("meta").alias("__m")).dropDuplicates(
+        ["media_id"]
+    )
     return (
         resized.join(orig_meta, "media_id")
         .select(

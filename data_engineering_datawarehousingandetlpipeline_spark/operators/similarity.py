@@ -838,6 +838,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     corpus_rows: int | None = None,
     target_bucket_size: int = 64,
+    auto_count_limit: int = 1_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via OR-amplified LSH buckets.
 
@@ -851,14 +852,19 @@ def embedding_near_dup_pairs(
     ``n_planes`` wins (pin it for replayable runs); otherwise it is derived
     via :func:`planes_for_corpus` from ``corpus_rows`` if given, else from
     a one-time ``df.count()``. The count is an extra corpus scan, so
-    deployments at warehouse scale should pass ``corpus_rows`` (any recent
+    deployments at warehouse scale MUST pass ``corpus_rows`` (any recent
     row-count estimate is fine — occupancy only needs the right order of
-    magnitude) — but a mis-SIZED index is the worse failure: a fixed small
-    plane count at 100 TB puts millions of vectors in every bucket and the
-    within-bucket join goes quadratic. Candidates are deduped across tables
-    BEFORE verification, then joined back to the vectors and filtered by
-    exact rounded cosine — verify work is O(distinct candidates).
-    Output (id_a, id_b, cos_sim), id_a < id_b.
+    magnitude): the bare form is a convenience for small/interactive
+    corpora and RAISES once the counted corpus exceeds
+    ``auto_count_limit`` rows, because an accidental extra scan of a
+    warehouse-sized table is real money and should fail loudly, not warn
+    quietly (the scan is already spent by then, but every subsequent run
+    would re-pay it). A mis-SIZED index is the worse failure either way: a
+    fixed small plane count at 100 TB puts millions of vectors in every
+    bucket and the within-bucket join goes quadratic. Candidates are
+    deduped across tables BEFORE verification, then joined back to the
+    vectors and filtered by exact rounded cosine — verify work is
+    O(distinct candidates). Output (id_a, id_b, cos_sim), id_a < id_b.
     """
     if n_planes is None:
         if corpus_rows is None:
@@ -872,6 +878,14 @@ def embedding_near_dup_pairs(
                 stacklevel=2,
             )
             corpus_rows = df.count()
+            if corpus_rows > auto_count_limit:
+                raise ValueError(
+                    f"embedding_near_dup_pairs: auto-counted corpus has "
+                    f"{corpus_rows} rows (> auto_count_limit="
+                    f"{auto_count_limit}). At this scale the sizing scan "
+                    "must not be implicit — pass corpus_rows (any recent "
+                    "estimate) or an explicit n_planes."
+                )
         n_planes = planes_for_corpus(corpus_rows, target_bucket_size)
     table_planes = [
         [hyperplane(t * n_planes + b, dim) for b in range(n_planes)]

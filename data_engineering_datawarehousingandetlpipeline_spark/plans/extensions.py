@@ -301,6 +301,18 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: doc-frequency cap for the exact-Jaccard rung (jaccard_pairs
+#: max_doc_freq): a shingle in more than this many documents is dropped
+#: from the inverted index before the self-join, bounding candidate
+#: volume by Σ min(df, cap)² instead of Σ df². On the synthetic corpus it
+#: prunes the dense tail at every scale factor (sf0.01: 11 533 → 11 179
+#: candidate pairs — so the driver's hash compare exercises the capped
+#: semantics in BOTH engines; sf0.1: 1.13 M → 18.4 k), which is exactly
+#: the knob's job on a pathologically dense vocabulary. MinHash remains
+#: the declared 100 TB path; this keeps the exact rung join-bounded.
+NGRAM_MAX_DOC_FREQ = 5
+
+
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trigram shingles: the 31-word synthetic vocabulary makes bigram
     # postings lists pathologically dense (~20× the join volume); trigrams
@@ -309,6 +321,7 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir),
         threshold=NGRAM_JACCARD_THRESHOLD,
         shingle_width=3,
+        max_doc_freq=NGRAM_MAX_DOC_FREQ,
     ).orderBy("doc_a", "doc_b")
 
 
@@ -321,10 +334,18 @@ WITH t AS (
               THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
               ELSE [array_to_string(toks, ' ')] END) AS sh
   FROM t
-), sizes AS (
-  SELECT doc, len(sh) AS n FROM s
-), postings AS (
+), exploded AS (
   SELECT doc, unnest(sh) AS shingle FROM s
+), postings AS (
+  -- identical doc-frequency cap as jaccard_pairs(max_doc_freq=...):
+  -- shingles in more than {NGRAM_MAX_DOC_FREQ} docs leave the index
+  SELECT doc, shingle FROM (
+    SELECT doc, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df_count
+    FROM exploded
+  ) WHERE df_count <= {NGRAM_MAX_DOC_FREQ}
+), sizes AS (
+  -- set sizes over the SURVIVING index (capped-vocabulary Jaccard)
+  SELECT doc, COUNT(*) AS n FROM postings GROUP BY doc
 ), common AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
   FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.doc < b.doc
@@ -1740,6 +1761,54 @@ ORDER BY media_id, frame_index
 """
 
 
+#: resize target box for the end-to-end media chain (r8 verdict, marching
+#: order 6): resize_media rewrites every payload to the deterministic stub
+#: re-encode — the ASCII sha256 hex digest of payload ‖ "|64x64" — and
+#: extract_features then decodes THAT payload, so the oracle reproduces
+#: the whole chain as sha256(sha256(text || '|64x64')).
+MEDIA_RESIZE_BOX = (64, 64)
+
+
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize → featurize, the composition a training pipeline runs.
+
+    One linear chain: the resized payload (rewritten bytes, meta carried
+    forward JVM-side inside resize_media) flows straight into the
+    Arrow-batched featurizer; no branch re-executes the resize.
+    """
+    w, h = MEDIA_RESIZE_BOX
+    resized = mm.resize_media(_media(spark, sf_dir), w, h)
+    feats = mm.extract_features(resized)
+    return (
+        feats.select(
+            "media_id",
+            "width",
+            "height",
+            "n_frames",
+            F.round(F.element_at("feature", 1).cast("double"), 6).alias("feat0"),
+        )
+        .orderBy("media_id")
+    )
+
+
+SQL_MEDIA_PIPELINE = f"""
+WITH r AS (
+  SELECT doc_id AS media_id,
+         sha256(text || '|{MEDIA_RESIZE_BOX[0]}x{MEDIA_RESIZE_BOX[1]}') AS resized
+  FROM documents
+), h AS (
+  SELECT media_id, sha256(resized) AS hx FROM r
+)
+SELECT media_id,
+       CAST(64 + CAST('0x' || substr(hx, 1, 2) AS INT) % 192 AS INT) AS width,
+       CAST(64 + CAST('0x' || substr(hx, 3, 2) AS INT) % 192 AS INT) AS height,
+       CAST(1 + CAST('0x' || substr(hx, 5, 2) AS INT) % 16 AS INT) AS n_frames,
+       round(CAST('0x' || substr(hx, 7, 2) AS INT) / 255.0, 6) AS feat0
+FROM h
+ORDER BY media_id
+"""
+
+
 # --------------------------------------------------------------- embeddings
 
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3066,6 +3135,10 @@ QUERIES = [
               "stub 8-dim media feature vectors, exploded", tags=("multimodal",)),
     QuerySpec("media_frame_sample", q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE,
               "every-4th frame-sampling plumbing", tags=("multimodal",)),
+    QuerySpec("media_pipeline", q_media_pipeline, SQL_MEDIA_PIPELINE,
+              "end-to-end resize→featurize media chain (payload rewrite "
+              "then Arrow-batched decode of the resized bytes)",
+              tags=("multimodal",)),
     QuerySpec("emb_cosine_topk", q_emb_cosine_topk, SQL_EMB_COSINE_TOPK,
               "brute-force cosine top-k neighbors", bench=True, tags=("similarity",)),
     QuerySpec("emb_ann_topk", q_emb_ann_topk, SQL_EMB_ANN_TOPK,

@@ -29,7 +29,10 @@ Design constraints, honored deliberately:
 At scale the buffer is bounded by batches observed, not data size — one
 row per (query, micro-batch); a long-lived monitor should
 :meth:`drain_rows` into its metrics table periodically, which also
-truncates the buffer.
+truncates the buffer. A recorder nobody drains must still degrade
+gracefully: pass ``max_rows`` to cap the buffer with drop-oldest
+eviction (``dropped_rows`` counts what was lost), so a forgotten
+listener on a long-lived session plateaus instead of leaking.
 """
 
 from __future__ import annotations
@@ -50,11 +53,22 @@ METRICS_DDL = (
 
 
 class ProgressRecorder(StreamingQueryListener):
-    """Buffer every micro-batch's progress event as one metrics row."""
+    """Buffer every micro-batch's progress event as one metrics row.
 
-    def __init__(self) -> None:
+    ``max_rows`` (optional) bounds the buffer: once full, the OLDEST rows
+    are evicted and ``dropped_rows`` counts them — recent telemetry is
+    what alerting reads, and a neglected recorder must plateau rather
+    than grow one row per micro-batch forever. ``None`` keeps the
+    unbounded behavior for drain-disciplined callers.
+    """
+
+    def __init__(self, max_rows: int | None = None) -> None:
+        if max_rows is not None and max_rows < 1:
+            raise ValueError(f"max_rows must be >= 1, got {max_rows}")
         self._lock = threading.Lock()
         self._rows: list[tuple] = []
+        self._max_rows = max_rows
+        self.dropped_rows = 0  # oldest rows evicted past max_rows
 
     # -- engine callbacks (event-bus thread: parse, buffer, return) ------
 
@@ -82,6 +96,10 @@ class ProgressRecorder(StreamingQueryListener):
         )
         with self._lock:
             self._rows.append(row)
+            if self._max_rows is not None and len(self._rows) > self._max_rows:
+                excess = len(self._rows) - self._max_rows
+                del self._rows[:excess]
+                self.dropped_rows += excess
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
@@ -107,9 +125,9 @@ class ProgressRecorder(StreamingQueryListener):
         return spark.createDataFrame(self.rows(), METRICS_DDL)
 
 
-def attach(spark: SparkSession) -> ProgressRecorder:
+def attach(spark: SparkSession, max_rows: int | None = None) -> ProgressRecorder:
     """Register a fresh recorder on the session's listener bus."""
-    rec = ProgressRecorder()
+    rec = ProgressRecorder(max_rows=max_rows)
     spark.streams.addListener(rec)
     return rec
 

@@ -101,12 +101,19 @@ def start_ingestion(
 
 def run_available(
     source: DataFrame, warehouse: WarehouseTable, checkpoint_dir: str
-) -> None:
-    """Drain the source synchronously (tests / scheduled batch runs)."""
+) -> int:
+    """Drain the source synchronously (tests / scheduled batch runs).
+
+    Returns the number of micro-batches the drain executed (0 when the
+    staging dir held nothing to process), so callers that wait on
+    listener-bus telemetry afterwards can skip the wait entirely for an
+    empty drain — no progress event will ever arrive for zero batches.
+    """
     query = start_ingestion(
         source, warehouse, checkpoint_dir, available_now=True
     )
     query.awaitTermination()
+    return len(query.recentProgress)
 
 
 def start_chunking(

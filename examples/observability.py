@@ -131,11 +131,20 @@ def run_telemetry(spark) -> int:
         )
         q.awaitTermination()
         deadline = time.time() + 30
+        mine: list[tuple] = []
         while time.time() < deadline:
             mine = [r for r in rec.rows() if r[0] == "obs_demo"]
             if len(mine) >= 2:
                 break
             time.sleep(0.2)
+        else:
+            # fail loudly as a listener timeout — falling through to the
+            # row-count assertion would report a confusing wrong-sum error
+            # for what is actually missing telemetry delivery
+            raise TimeoutError(
+                f"listener bus delivered {len(mine)}/2 expected progress "
+                "events for obs_demo within 30 s"
+            )
         metrics = rec.metrics_df(spark).filter("query_name = 'obs_demo'")
         report = metrics.selectExpr(
             "batch_id", "input_rows", "batch_ms", "state_rows", "watermark"

@@ -7,6 +7,8 @@ change that tanks recall would otherwise stay "correct".
 
 from __future__ import annotations
 
+import pytest
+
 from data_engineering_datawarehousingandetlpipeline_spark.plans import all_queries
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -136,10 +138,17 @@ def test_near_dup_planes_derive_from_corpus_size(spark):
     assert bucket_legs(large) > bucket_legs(small)
 
     # no hint at all: a one-time count() sizes the index the same way the
-    # equivalent explicit hint would
-    counted = sim.embedding_near_dup_pairs(embs)
+    # equivalent explicit hint would — and warns about the extra scan
+    with pytest.warns(UserWarning, match="eager df.count"):
+        counted = sim.embedding_near_dup_pairs(embs)
     hinted = sim.embedding_near_dup_pairs(embs, corpus_rows=embs.count())
     assert bucket_legs(counted) == bucket_legs(hinted)
+
+    # past the auto-count limit the bare form fails LOUDLY instead of
+    # silently re-scanning a warehouse-sized corpus on every invocation
+    with pytest.warns(UserWarning, match="eager df.count"):
+        with pytest.raises(ValueError, match="auto_count_limit"):
+            sim.embedding_near_dup_pairs(embs, auto_count_limit=10)
 
 
 def test_ivfpq_recall_at_5(spark):

@@ -60,6 +60,67 @@ def test_minhash_pairs_have_no_false_positives_and_high_recall(spark):
     assert len(out) >= 0.95 * len(truth), (len(out), len(truth))
 
 
+def test_jaccard_doc_freq_cap_bounds_hot_shingle_fanout(spark):
+    """One ultra-hot shingle must not fan the self-join out quadratically.
+
+    40 docs all share the token "hot" (plus one unique token each), and 3
+    docs additionally share the rare token "rare". Uncapped, the hot
+    posting list alone emits C(40,2) = 780 candidate pairs, every one
+    passing the 0.2 threshold (J = 1/3). With max_doc_freq below the hot
+    frequency, "hot" leaves the index BEFORE the join: candidates are
+    bounded by the surviving posting lists (only "rare", df = 3), and set
+    sizes are recomputed over the capped vocabulary — the rare-pair
+    Jaccard is 1.0, not 1/3.
+    """
+    n = 40
+    docs = [(i, f"hot uniq{i}") for i in range(n)]
+    docs += [(n + i, "hot rare") for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = dd.jaccard_pairs(df, threshold=0.2, shingle_width=1).collect()
+    assert len(uncapped) == (n + 3) * (n + 2) // 2  # every pair shares "hot"
+
+    capped = dd.jaccard_pairs(
+        df, threshold=0.2, shingle_width=1, max_doc_freq=10
+    ).collect()
+    expected = {(n, n + 1), (n, n + 2), (n + 1, n + 2)}
+    assert {(r.doc_a, r.doc_b) for r in capped} == expected
+    for r in capped:
+        assert r.jaccard == 1.0  # capped-vocab sets are both exactly {"rare"}
+
+
+def test_jaccard_cap_matches_brute_force_on_capped_vocab(spark):
+    """Capped Jaccard == brute-force Jaccard over the doc-freq-filtered
+    vocabulary, on a random duplicate-heavy corpus (pair set AND values)."""
+    docs = _random_corpus(seed=13)
+    cap = 4
+    text = dict(docs)
+    freq: dict[str, int] = {}
+    for t in text.values():
+        for tok in set(t.split()):
+            freq[tok] = freq.get(tok, 0) + 1
+    keep = {tok for tok, c in freq.items() if c <= cap}
+    capped_sets = {i: set(t.split()) & keep for i, t in text.items()}
+    truth = {}
+    for a, b in itertools.combinations(sorted(text), 2):
+        union = capped_sets[a] | capped_sets[b]
+        if not union:
+            continue
+        j = len(capped_sets[a] & capped_sets[b]) / len(union)
+        if j >= 0.2:
+            truth[(a, b)] = j
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.jaccard_pairs(
+            df, threshold=0.2, shingle_width=1, max_doc_freq=cap
+        ).collect()
+    }
+    assert set(out) == set(truth)
+    for pair, j in out.items():
+        assert abs(j - truth[pair]) < 1e-12
+
+
 def _brute_simhash(text: str, bits: int = 32) -> int:
     votes = [0] * bits
     for tok in dict.fromkeys(text.split()):

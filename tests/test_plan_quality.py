@@ -941,7 +941,12 @@ def test_excess_volume_suppliers_reuses_pinned_aggregate(spark):
 
 #: Arrow-batched Python is sanctioned ONLY at the multimodal codec
 #: boundary (operators/multimodal.py mapInPandas)
-_ARROW_OK = ("media_features", "media_feature_vectors", "media_frame_sample")
+_ARROW_OK = (
+    "media_features",
+    "media_feature_vectors",
+    "media_frame_sample",
+    "media_pipeline",
+)
 
 #: excluded: construction is eager (tempdir staging / availableNow drains)
 _AUDIT_NAMES = sorted(
@@ -958,3 +963,38 @@ def test_registry_query_never_degenerates(spark, name):
     assert "BatchEvalPython" not in plan, name  # row-at-a-time Python
     if name not in _ARROW_OK:
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_jaccard_doc_freq_cap_prunes_postings_before_the_join(spark):
+    """The max_doc_freq cap (r8 verdict, marching order 2) must land as a
+    Filter on the per-shingle document-frequency window UPSTREAM of the
+    postings self-join on BOTH sides — capping after the join would leave
+    the hot-shingle k² fan-out in the plan and only mask it in the output."""
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.extensions import (
+        NGRAM_MAX_DOC_FREQ,
+    )
+
+    plan = _plan(spark, "doc_ngram_jaccard")
+    # frequency window computed and filtered per join side (self-join = 2)
+    assert plan.count("df_count") >= 4, plan.count("df_count")
+    assert f"df_count#" in plan and f"<= {NGRAM_MAX_DOC_FREQ})" in plan
+    # set sizes recomputed over the SURVIVING index, not taken from the
+    # pre-cap array length: a doc-keyed count window per side
+    assert plan.count("windowspecdefinition(doc#") == 2
+    # the join itself stays shingle-keyed equi (the never-degenerate audit
+    # and the pair-operator gate cover the degenerate forms)
+    assert "CartesianProduct" not in plan
+
+
+def test_media_pipeline_is_two_arrow_stages_payload_scanned_once(spark):
+    """resize → featurize must chain as exactly two Arrow-batched
+    MapInPandas stages, and the metadata carry-forward join inside
+    resize_media must prune to the id column — the heavy payload bytes are
+    scanned from parquet exactly once and never join twice."""
+    plan = _plan(spark, "media_pipeline")
+    assert plan.count("MapInPandas") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    payload_scans = [ln for ln in scans if "text" in ln]
+    assert len(payload_scans) == 1, scans

@@ -123,3 +123,41 @@ def test_drain_rows_truncates_and_detach_stops_recording(spark, tmp_path):
     _drain(windowed_stats(source), "mon_after_detach")
     time.sleep(1.0)  # give stray events a chance to (wrongly) arrive
     assert all(r[0] != "mon_after_detach" for r in rec.rows())
+
+
+def test_max_rows_cap_drops_oldest_and_counts(spark):
+    """A neglected recorder with max_rows set must plateau at the cap,
+    evicting OLDEST rows first and counting what it lost — no Spark query
+    needed: the eviction is pure buffer discipline on the callback path."""
+    from types import SimpleNamespace
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.monitor import (
+        ProgressRecorder,
+    )
+
+    rec = ProgressRecorder(max_rows=3)
+    for batch_id in range(7):
+        progress = json.dumps(
+            {"name": "q", "id": "id", "batchId": batch_id, "numInputRows": 1}
+        )
+        rec.onQueryProgress(
+            SimpleNamespace(progress=SimpleNamespace(json=progress))
+        )
+    rows = rec.rows()
+    assert len(rows) == 3
+    assert [r[2] for r in rows] == [4, 5, 6]  # newest kept, oldest evicted
+    assert rec.dropped_rows == 4
+    # drain resets the buffer but not the loss counter (it is cumulative)
+    assert len(rec.drain_rows()) == 3
+    assert rec.rows() == [] and rec.dropped_rows == 4
+
+
+def test_max_rows_rejects_nonpositive():
+    import pytest as _pytest
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.monitor import (
+        ProgressRecorder,
+    )
+
+    with _pytest.raises(ValueError, match="max_rows"):
+        ProgressRecorder(max_rows=0)
