@@ -998,3 +998,23 @@ def test_media_pipeline_is_two_arrow_stages_payload_scanned_once(spark):
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     payload_scans = [ln for ln in scans if "text" in ln]
     assert len(payload_scans) == 1, scans
+
+
+def test_tpch_tier_is_registered_and_cites_its_shape():
+    """bench.py's second tier (TPCH_SHAPES) must name 22 distinct
+    registered queries, in Q order, each citing its TPC-H shape number in
+    its docstring — so the tier can't silently drift from the family it
+    claims to time."""
+    import inspect
+    import re
+
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import (
+        TPCH_SHAPES,
+    )
+
+    qs = all_queries()
+    assert len(TPCH_SHAPES) == 22 == len(set(TPCH_SHAPES))
+    for i, name in enumerate(TPCH_SHAPES, start=1):
+        assert name in qs, name
+        doc = (inspect.getdoc(qs[name].fn) or "") + " " + qs[name].description
+        assert re.search(rf"Q{i}\b", doc), (name, f"Q{i} not cited")
