@@ -131,24 +131,41 @@ def jaccard_pairs(
     Σ min(df, cap)² ≤ postings × cap. The default ``None`` keeps the
     uncapped exact semantics — small-corpus-only; production corpora
     should set the cap (or use the MinHash rung, the declared 100 TB
-    path). Pruning costs one extra exchange on the shingle and one on the
-    doc id (both keys the plan already shuffles on).
+    path).
+
+    Pruning shape, chosen for the exact skew this cap targets: the doc
+    frequencies come from a partial-aggregated ``groupBy`` (a hot
+    shingle contributes one partial count per map task — never a
+    materialized group), the over-cap shingles — at most
+    postings / cap distinct values, zipfian-few in practice — are
+    BROADCAST, and postings are pruned by a broadcast LEFT ANTI join, so
+    a hot shingle's posting list never passes through any shingle-keyed
+    exchange (a window-over-shingle would buffer the pathological group
+    in one task, re-creating the straggler the cap exists to kill). The
+    exploded postings are pinned (``localCheckpoint(eager=False)``) so
+    the frequency pass and both self-join sides share one shingling of
+    the corpus instead of three.
     """
     shingled = spread(df).select(
         F.col(id_col).alias("doc"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_width)).alias("shingles"),
     )
     if max_doc_freq is not None:
-        # document frequency per shingle (shingles are distinct per doc, so
-        # count(*) IS the doc frequency), then set sizes recomputed over the
-        # surviving index — both as whole-partition windows, not groupBy +
-        # join-back, so each is exactly one exchange.
-        exploded = shingled.select("doc", F.explode("shingles").alias("shingle"))
+        exploded = shingled.select(
+            "doc", F.explode("shingles").alias("shingle")
+        ).localCheckpoint(eager=False)
+        # shingles are distinct per doc, so count(*) IS the doc frequency
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count("*").alias("df_count"))
+            .filter(F.col("df_count") > max_doc_freq)
+            .select("shingle")
+        )
         postings = (
-            exploded.withColumn(
-                "df_count", F.count("*").over(Window.partitionBy("shingle"))
-            )
-            .filter(F.col("df_count") <= max_doc_freq)
+            exploded.join(F.broadcast(hot), "shingle", "left_anti")
+            # set sizes over the SURVIVING index (capped-vocabulary
+            # Jaccard); doc-keyed window groups are bounded by document
+            # length, never by corpus skew
             .withColumn("n", F.count("*").over(Window.partitionBy("doc")))
             .select("doc", "n", "shingle")
         )

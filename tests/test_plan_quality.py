@@ -966,21 +966,31 @@ def test_registry_query_never_degenerates(spark, name):
 
 
 def test_jaccard_doc_freq_cap_prunes_postings_before_the_join(spark):
-    """The max_doc_freq cap (r8 verdict, marching order 2) must land as a
-    Filter on the per-shingle document-frequency window UPSTREAM of the
-    postings self-join on BOTH sides — capping after the join would leave
-    the hot-shingle k² fan-out in the plan and only mask it in the output."""
+    """The max_doc_freq cap (r8 verdict, marching order 2) must prune
+    UPSTREAM of the postings self-join, in the skew-immune shape: doc
+    frequencies from a partial-aggregated groupBy (a hot shingle is one
+    partial count per map task, never a buffered group), the over-cap set
+    broadcast, postings pruned by a broadcast LEFT ANTI — so a hot
+    shingle's posting list never rides a shingle-keyed exchange. Capping
+    after the join (or via a window over the shingle) would re-create the
+    hot-group straggler the cap exists to kill."""
     from data_engineering_datawarehousingandetlpipeline_spark.plans.extensions import (
         NGRAM_MAX_DOC_FREQ,
     )
 
     plan = _plan(spark, "doc_ngram_jaccard")
-    # frequency window computed and filtered per join side (self-join = 2)
-    assert plan.count("df_count") >= 4, plan.count("df_count")
-    assert f"df_count#" in plan and f"<= {NGRAM_MAX_DOC_FREQ})" in plan
-    # set sizes recomputed over the SURVIVING index, not taken from the
-    # pre-cap array length: a doc-keyed count window per side
+    # the over-cap filter on the aggregated doc frequency, per join side
+    assert plan.count("df_count") >= 2
+    assert f"> {NGRAM_MAX_DOC_FREQ})" in plan
+    # pruning is a broadcast anti-join, never a shingle-keyed window
+    assert "LeftAnti, BuildRight" in plan
+    assert "windowspecdefinition(shingle" not in plan
+    # set sizes recomputed over the SURVIVING index: a doc-keyed count
+    # window per side (doc groups bounded by document length, not skew)
     assert plan.count("windowspecdefinition(doc#") == 2
+    # the exploded postings are pinned and shared (frequency pass + both
+    # self-join sides reuse one shingling of the corpus)
+    assert "Scan ExistingRDD" in plan
     # the join itself stays shingle-keyed equi (the never-degenerate audit
     # and the pair-operator gate cover the degenerate forms)
     assert "CartesianProduct" not in plan
