@@ -41,9 +41,27 @@ def davg(expr: Column | str, wide: bool = False) -> Column:
 
 
 def sql_dsum(expr: str, wide: bool = False) -> str:
-    """Oracle-side twin of :func:`dsum` (ANSI SQL text for DuckDB)."""
+    """Oracle-side twin of :func:`dsum` (ANSI SQL text for DuckDB).
+
+    The final DECIMAL → DOUBLE conversion routes through STRING: DuckDB's
+    direct decimal-to-double cast divides the int128 payload by 10^scale
+    in floating point, which is NOT correctly rounded and lands 1 ulp off
+    the true value for some magnitudes (first observed at sf0.1:
+    pricing_summary's R/F sum_disc_price read ...3560996 where the exact
+    decimal rounds to ...3561). Spark's BigDecimal.doubleValue() IS
+    correctly rounded, so the buggy cast breaks bit-identity exactly when
+    the corpus grows — the failure mode decimal anchoring exists to kill.
+    A string renders the decimal exactly and string→double parsing is
+    correctly rounded in both engines, restoring bit-identity at every
+    scale. The type spells STRING (not VARCHAR) because this text is also
+    executed by Spark's SQL parser where a query shares it (the native
+    recursive-CTE path in referral_rollup), and Spark rejects bare
+    VARCHAR; DuckDB accepts STRING as a VARCHAR alias.
+    """
     anchor = ANCHOR_TYPE_WIDE if wide else ANCHOR_TYPE
-    return f"CAST(SUM(CAST(({expr}) AS {anchor.upper()})) AS DOUBLE)"
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS {anchor.upper()})) AS STRING) AS DOUBLE)"
+    )
 
 
 def sql_davg(expr: str, wide: bool = False) -> str:

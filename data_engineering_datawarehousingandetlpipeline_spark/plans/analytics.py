@@ -1014,7 +1014,10 @@ WITH states AS (
          MIN(value) AS mn_full, MAX(value) AS mx_full
   FROM events GROUP BY event_type
 )
-SELECT m.event_type, m.n_events, CAST(m.s2 AS DOUBLE) AS total_value,
+SELECT m.event_type, m.n_events,
+       -- VARCHAR-routed: DuckDB's direct decimal→double cast is not
+       -- correctly rounded (see functions/numeric.sql_dsum)
+       CAST(CAST(m.s2 AS STRING) AS DOUBLE) AS total_value,
        m.min_value, m.max_value,
        (m.n_events = f.n_full AND m.s2 = f.s_full
         AND m.min_value = f.mn_full AND m.max_value = f.mx_full)
@@ -1245,7 +1248,8 @@ WITH joined AS (
   SELECT region_name, COUNT(*) AS n_full, SUM(CAST(rev AS DECIMAL(27,8))) AS s_full
   FROM joined GROUP BY region_name
 )
-SELECT m.region_name, m.n_items, CAST(m.s2 AS DOUBLE) AS revenue,
+SELECT m.region_name, m.n_items,
+       CAST(CAST(m.s2 AS STRING) AS DOUBLE) AS revenue,
        (m.n_items = f.n_full AND m.s2 = f.s_full) AS merge_consistent
 FROM merged m JOIN full_agg f USING (region_name)
 ORDER BY m.region_name

@@ -66,7 +66,7 @@ SQL_PIVOT_DAILY = (
     # CAST: duckdb's date_trunc('day') yields DATE; Spark's yields TIMESTAMP
     "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts, "
     + ", ".join(
-        "CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS \"{t}\"".format(t=t)
+        "CAST(CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,4)) END) AS STRING) AS DOUBLE) AS \"{t}\"".format(t=t)
         for t in EVENT_TYPES
     )
     + " FROM events GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP) ORDER BY day_ts"
@@ -99,7 +99,7 @@ def q_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENT_UNPIVOT = f"""
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts, event_type,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
 FROM events
 WHERE event_type IN ({", ".join(f"'{t}'" for t in EVENT_TYPES)})
 GROUP BY day_ts, event_type
@@ -271,7 +271,7 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_STREAMING_INGEST = """
-SELECT CAST(user_id AS VARCHAR) AS station_id,
+SELECT CAST(user_id AS STRING) AS station_id,
        hour_ts AS "timestamp",
        value
 FROM (
@@ -699,7 +699,7 @@ def q_user_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_USER_ROLLING_STATS = """
 SELECT user_id, ts, event_id, value,
-       round(CAST(SUM(CAST(value AS DECIMAL(27,8))) OVER w3 AS DOUBLE)
+       round(CAST(CAST(SUM(CAST(value AS DECIMAL(27,8))) OVER w3 AS STRING) AS DOUBLE)
              / COUNT(*) OVER w3, 6) AS moving_avg3,
        COUNT(*) OVER wc AS cum_events
 FROM events
