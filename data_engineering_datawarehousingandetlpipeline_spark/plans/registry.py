@@ -203,6 +203,19 @@ DEBUT_QUEUE: tuple[str, ...] = (
 #: ~150-query capacity of the 3-round rotation policy — any further
 #: addition must open a genuinely new operator family AND retire this
 #: math. Never defer a debut or a changed query.
+#:
+#: r10 KNOWN WORK ITEMS (decided r9, see COVERAGE.md "sf0.1 oracle
+#: sweep"): (1) incremental_distinct's sketch_merge_exact claim is FALSE
+#: at sf0.1 (HLL sparse→dense promotion differs between union and
+#: direct aggregation) — replace the merged==direct equality with
+#: both-estimates-within-tolerance, mirrored in the oracle; the query is
+#: in the r10 exhausted set, so the fix consumes its already-owed slot.
+#: (2) r9 changed ORACLE TEXT ONLY for every sql_dsum/sql_davg consumer
+#: (the STRING-routed decimal→double conversion) — Spark plans
+#: unchanged, every query verified by the r9 full sweeps at
+#: sf0.001/sf0.01 + the new sf0.1 tier, so these do NOT count as
+#: changed queries for r10 window math (referral_rollup, whose Spark SQL
+#: shares the text, re-verified in the r9 window).
 
 
 #: The 22 TPC-H plan-shape adaptations (Q1..Q22, in Q order) — bench.py's
