@@ -747,12 +747,22 @@ def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     group, new days contribute their own, and the report unions states.
     The query executes that layout (per-(type, day) ``hll_sketch_agg`` →
     ``hll_union_agg``) and emits two cross-engine-verifiable booleans:
-    ``sketch_merge_exact`` — the merged estimate equals a single-pass
-    sketch over the raw stream (Datasketches HLL union is exactly
-    associative, so incremental maintenance loses NOTHING vs rebuild) —
-    and ``sketch_within_tolerance`` against the exact distinct count.
-    The oracle emits the exact counts + TRUE, so the driver hash proves
-    both properties (the ``approx_sketches`` contract).
+    ``merged_within_tolerance`` — the union-of-day-states estimate is
+    within :data:`HLL_REL_TOLERANCE` of the exact distinct count — and
+    ``direct_within_tolerance`` — ditto for a single-pass sketch over
+    the raw stream. The oracle emits the exact counts + TRUE for both,
+    so the driver hash proves both bounds (the ``approx_sketches``
+    contract).
+
+    The r9 sf0.1 sweep proved the earlier merged==direct equality claim
+    FALSE in general: Datasketches HLL promotes sparse→dense at
+    different points along the union route vs the direct-aggregation
+    route, so the two estimates can differ by a few counts at higher
+    cardinality even though both stay inside the error bound. The honest
+    mergeability contract — what incremental maintenance actually
+    guarantees — is that the merged estimate is as good as a rebuild,
+    i.e. BOTH land within tolerance of exact, which is what this query
+    now asserts (r9 verdict, marching order 1).
 
     Shape: one scan builds the day states (shuffle carries sketch bytes,
     ~1 KB per (type, day)), the union re-aggregates states; the
@@ -774,21 +784,22 @@ def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("__direct_est"),
         F.countDistinct("user_id").alias("n_exact_users"),
     )
+    def _within(est_col: str) -> F.Column:
+        return (
+            F.abs(
+                F.col(est_col).cast("double")
+                - F.col("n_exact_users").cast("double")
+            )
+            <= F.col("n_exact_users").cast("double") * HLL_REL_TOLERANCE
+        )
+
     return (
         merged.join(F.broadcast(direct), "event_type")
         .select(
             "event_type",
             "n_exact_users",
-            (F.col("__merged_est") == F.col("__direct_est")).alias(
-                "sketch_merge_exact"
-            ),
-            (
-                F.abs(
-                    F.col("__merged_est").cast("double")
-                    - F.col("n_exact_users").cast("double")
-                )
-                <= F.col("n_exact_users").cast("double") * HLL_REL_TOLERANCE
-            ).alias("sketch_within_tolerance"),
+            _within("__merged_est").alias("merged_within_tolerance"),
+            _within("__direct_est").alias("direct_within_tolerance"),
         )
         .orderBy("event_type")
     )
@@ -797,8 +808,8 @@ def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_INCREMENTAL_DISTINCT = """
 SELECT event_type,
        COUNT(DISTINCT user_id) AS n_exact_users,
-       TRUE AS sketch_merge_exact,
-       TRUE AS sketch_within_tolerance
+       TRUE AS merged_within_tolerance,
+       TRUE AS direct_within_tolerance
 FROM events
 GROUP BY event_type
 ORDER BY event_type

@@ -37,79 +37,78 @@ class QuerySpec:
 #: been driver-verified, MUST be in this list; multiply-green unchanged
 #: queries rotate out to make room and rotate back in later rounds.
 #:
-#: Round-9 window, executing the r8 owed-set math as pre-committed and
+#: Round-10 window, executing the r9 owed-set math as pre-committed and
 #: cross-checked by tools/window_planner.py (run with
-#: ``--changed doc_ngram_jaccard``): 34 never-driver-verified debuts from
-#: the r8 DEBUT_QUEUE take slots first (a debut is never deferred) + 1
-#: changed-this-round query (doc_ngram_jaccard — jaccard_pairs grew the
-#: max_doc_freq posting cap the r8 verdict required, applied identically
-#: in the oracle CTE) + the 14 exhausted r8 deferrals (dup_audit,
-#: dup_audit_hourly + the 12 deepest-history reference queries, last
-#: green r6 — at the ≤-3-round staleness limit, CANNOT slip again)
-#: = 49 non-negotiable slots. The 1 remaining flex slot goes
+#: ``--changed incremental_distinct``): the media_pipeline debut takes a
+#: slot first (a debut is never deferred) + 1 changed-this-round query
+#: (incremental_distinct — the r9 verdict's marching order 1: the false
+#: merged==direct HLL equality replaced by the honest
+#: both-estimates-within-tolerance mergeability contract, mirrored in
+#: the oracle) + the 46 remaining exhausted green-r7 rotations that sat
+#: out r8 AND r9 (at the ≤-3-round staleness limit, CANNOT slip again)
+#: = 48 non-negotiable slots. The 2 remaining flex slots go
 #: deepest-green-first with name tiebreak per the planner:
-#: approx_sketches (green r7). Everything else green r7/r8 defers — 96
-#: queries, all with every-CI sf0.001 oracle parity
-#: (tests/test_oracle_parity.py). Never defer a debut or a changed query.
+#: asof_last_error, click_days_no_purchase (both green r8). Everything
+#: else green r8/r9 defers — 97 queries, all with every-CI sf0.001
+#: oracle parity (tests/test_oracle_parity.py). Never defer a debut or
+#: a changed query.
 WINDOW_HEAD: tuple[str, ...] = (
-    # 34 r8-late debuts (the full r8 DEBUT_QUEUE) — never driver-verified;
-    # slots first, per policy. 18 of these were spot-verified green by the
-    # r8 judge's own sf0.01 sweep; all 34 need their first driver row.
-    "customer_order_distribution",
-    "customer_snapshot_diff",
-    "discounted_revenue",
-    "disjunctive_band_revenue",
-    "event_rolling_anomaly",
-    "event_value_percentiles",
-    "excess_volume_suppliers",
-    "idle_rich_customers",
-    "incremental_star_rollup",
-    "json_props_variant",
-    "large_volume_orders",
-    "late_shipment_priority",
-    "lineitem_contract",
-    "min_cost_supplier",
-    "nation_market_share",
-    "nation_product_profit",
-    "native_session_window",
-    "part_concentration",
-    "part_supplier_variety",
-    "promo_revenue_share",
-    "referral_pagerank",
-    "referral_rollup",
-    "shipping_priority",
-    "sliding_window_stats",
-    "small_qty_revenue",
-    "streaming_attribution",
-    "streaming_contract",
-    "streaming_enrich",
-    "top_supplier",
-    "volume_shipping",
-    "waiting_suppliers",
-    "warehouse_change_feed",
-    "warehouse_skipping_scan",
-    "warehouse_time_travel",
-    # changed this round (r8 verdict, marching order 2): jaccard_pairs
-    # grew max_doc_freq; the registered query passes NGRAM_MAX_DOC_FREQ
-    # and the oracle CTE applies the identical cap
-    "doc_ngram_jaccard",
-    # the 14 exhausted r8 deferrals (last green r6; due now, cannot slip)
-    "composite_sort",
-    "distinct_counts",
-    "dup_audit",
-    "dup_audit_hourly",
-    "filtered_count",
-    "hourly_rollup",
-    "json_props",
-    "long_term_users",
-    "max_ts_per_user",
-    "missingness",
-    "outliers",
-    "schema_projection",
-    "validate_counts",
-    "watermark_filter",
-    # 1 flex slot: deepest-green-first among the green-r7 rotations
-    "approx_sketches",
+    # the r9 DEBUT_QUEUE (never driver-verified; slots first, per policy)
+    "media_pipeline",
+    # changed this round (r9 verdict, marching order 1): the
+    # sketch_merge_exact equality → merged/direct both-within-tolerance
+    # contract, oracle mirrored
+    "incremental_distinct",
+    # the 46 exhausted green-r7 rotations (sat out r8+r9; due now)
+    "day_window",
+    "doc_bm25_topk",
+    "doc_bpe_tokens",
+    "doc_chunks",
+    "doc_decontaminate",
+    "doc_group_sample",
+    "doc_hash_sample",
+    "doc_lang_profile",
+    "doc_minhash_neardup",
+    "doc_ngram_topk",
+    "doc_norm_dedup",
+    "doc_pack_bins",
+    "doc_perplexity",
+    "doc_quality",
+    "doc_repetition",
+    "doc_simhash_pairs",
+    "doc_source_stats",
+    "doc_span_dedup",
+    "doc_split_assign",
+    "doc_tfidf_terms",
+    "doc_token_stats",
+    "emb_ann_topk",
+    "emb_cluster_profile",
+    "emb_ivf_topk",
+    "emb_near_dup",
+    "emb_quantize_stats",
+    "emb_semantic_dedup",
+    "event_gapfill",
+    "event_unpivot",
+    "incremental_rollup",
+    "lineitem_profile",
+    "media_feature_vectors",
+    "media_frame_sample",
+    "nearby_clicks",
+    "retention_cohorts",
+    "retrieval_rrf",
+    "scd2_snapshots",
+    "scd2_user_state",
+    "session_stats",
+    "sessionization",
+    "streaming_chunks",
+    "streaming_ingest",
+    "streaming_minhash_dedup",
+    "streaming_scd2",
+    "streaming_sessions",
+    "streaming_window_stats",
+    # 2 flex slots: deepest-green-first among the green-r8 rotations
+    "asof_last_error",
+    "click_days_no_purchase",
 )
 
 #: Names that MUST sit inside the driver's 50-entry window this round:
@@ -120,102 +119,83 @@ WINDOW_HEAD: tuple[str, ...] = (
 #: and tests/test_plan_quality.py so a rotation can never silently strand
 #: a debut (r6 verdict, marching order 5).
 MUST_VERIFY: tuple[str, ...] = (
-    # never driver-verified: the 34 r8-late debuts (the entire r8
-    # DEBUT_QUEUE, now in-window)
-    "customer_order_distribution",
-    "customer_snapshot_diff",
-    "discounted_revenue",
-    "disjunctive_band_revenue",
-    "event_rolling_anomaly",
-    "event_value_percentiles",
-    "excess_volume_suppliers",
-    "idle_rich_customers",
-    "incremental_star_rollup",
-    "json_props_variant",
-    "large_volume_orders",
-    "late_shipment_priority",
-    "lineitem_contract",
-    "min_cost_supplier",
-    "nation_market_share",
-    "nation_product_profit",
-    "native_session_window",
-    "part_concentration",
-    "part_supplier_variety",
-    "promo_revenue_share",
-    "referral_pagerank",
-    "referral_rollup",
-    "shipping_priority",
-    "sliding_window_stats",
-    "small_qty_revenue",
-    "streaming_attribution",
-    "streaming_contract",
-    "streaming_enrich",
-    "top_supplier",
-    "volume_shipping",
-    "waiting_suppliers",
-    "warehouse_change_feed",
-    "warehouse_skipping_scan",
-    "warehouse_time_travel",
-    # changed this round (jaccard_pairs max_doc_freq cap, both engines)
-    "doc_ngram_jaccard",
-    # exhausted deferrals — last green r6, cannot slip again
-    "composite_sort",
-    "distinct_counts",
-    "dup_audit",
-    "dup_audit_hourly",
-    "filtered_count",
-    "hourly_rollup",
-    "json_props",
-    "long_term_users",
-    "max_ts_per_user",
-    "missingness",
-    "outliers",
-    "schema_projection",
-    "validate_counts",
-    "watermark_filter",
+    # never driver-verified: the r9 DEBUT_QUEUE, now in-window
+    "media_pipeline",
+    # changed this round (merged/direct both-within-tolerance contract,
+    # both engines)
+    "incremental_distinct",
+    # exhausted deferrals — last green r7, cannot slip again
+    "day_window",
+    "doc_bm25_topk",
+    "doc_bpe_tokens",
+    "doc_chunks",
+    "doc_decontaminate",
+    "doc_group_sample",
+    "doc_hash_sample",
+    "doc_lang_profile",
+    "doc_minhash_neardup",
+    "doc_ngram_topk",
+    "doc_norm_dedup",
+    "doc_pack_bins",
+    "doc_perplexity",
+    "doc_quality",
+    "doc_repetition",
+    "doc_simhash_pairs",
+    "doc_source_stats",
+    "doc_span_dedup",
+    "doc_split_assign",
+    "doc_tfidf_terms",
+    "doc_token_stats",
+    "emb_ann_topk",
+    "emb_cluster_profile",
+    "emb_ivf_topk",
+    "emb_near_dup",
+    "emb_quantize_stats",
+    "emb_semantic_dedup",
+    "event_gapfill",
+    "event_unpivot",
+    "incremental_rollup",
+    "lineitem_profile",
+    "media_feature_vectors",
+    "media_frame_sample",
+    "nearby_clicks",
+    "retention_cohorts",
+    "retrieval_rrf",
+    "scd2_snapshots",
+    "scd2_user_state",
+    "session_stats",
+    "sessionization",
+    "streaming_chunks",
+    "streaming_ingest",
+    "streaming_minhash_dedup",
+    "streaming_scd2",
+    "streaming_sessions",
+    "streaming_window_stats",
 )
 
-#: r10 DEBUT QUEUE — queries implemented after all 50 r9 slots were
-#: spoken for (the pre-committed r9 window left zero slack: 49
-#: non-negotiable + 1 flex). media_pipeline is the r8 verdict's marching
-#: order 6: the resize→featurize multimodal composition as ONE
-#: registered end-to-end query (deterministic stub codec keeps it
-#: oracle-hashable).
+#: r11 DEBUT QUEUE — empty: the r9 queue's single entry (media_pipeline)
+#: took its slot in the r10 window above, and r10 added no new registry
+#: surface (the registry sits at the ~150-query capacity of the 3-round
+#: rotation policy; the r9 verdict's marching order 6 holds new queries
+#: to genuinely new capability only).
 #:
 #: Machine-readable; CI cross-checks this against the
 #: CORRECTNESS_r0*.json history (every never-driver-verified registry
 #: query must be here or in WINDOW_HEAD — tests/test_window_planning.py),
 #: and tools/window_planner.py consumes it to COMPUTE the next round's
 #: window instead of re-deriving the math by hand.
-DEBUT_QUEUE: tuple[str, ...] = (
-    "media_pipeline",
-)
+DEBUT_QUEUE: tuple[str, ...] = ()
 
-#: r10 OWED SET (window math for next round, decided now, not by slip;
+#: r11 OWED SET (window math for next round, decided now, not by slip;
 #: cross-check with `python tools/window_planner.py` after
-#: CORRECTNESS_r09.json lands): out-of-window at r9 are 96 queries = the
-#: 47 green-r7 rotations that sat out r8 AND r9 (at the ≤-3-round limit
-#: by r10 — exhausted, they take slots first) + the 49 green-r8 window
-#: members that rotated out this round. Owed at r10 = 47 exhausted + the
-#: debut queue above (1) = 48 non-negotiable slots of 50, leaving 2 flex
-#: for the 49 multiply-green r8 rotations, deepest-green-first with name
-#: tiebreak. The registry (147 with media_pipeline) sits at the
-#: ~150-query capacity of the 3-round rotation policy — any further
-#: addition must open a genuinely new operator family AND retire this
-#: math. Never defer a debut or a changed query.
-#:
-#: r10 KNOWN WORK ITEMS (decided r9, see COVERAGE.md "sf0.1 oracle
-#: sweep"): (1) incremental_distinct's sketch_merge_exact claim is FALSE
-#: at sf0.1 (HLL sparse→dense promotion differs between union and
-#: direct aggregation) — replace the merged==direct equality with
-#: both-estimates-within-tolerance, mirrored in the oracle; the query is
-#: in the r10 exhausted set, so the fix consumes its already-owed slot.
-#: (2) r9 changed ORACLE TEXT ONLY for every sql_dsum/sql_davg consumer
-#: (the STRING-routed decimal→double conversion) — Spark plans
-#: unchanged, every query verified by the r9 full sweeps at
-#: sf0.001/sf0.01 + the new sf0.1 tier, so these do NOT count as
-#: changed queries for r10 window math (referral_rollup, whose Spark SQL
-#: shares the text, re-verified in the r9 window).
+#: CORRECTNESS_r10.json lands): out-of-window at r10 are 97 queries =
+#: the 47 green-r8 rotations that sat out r9 AND r10 (at the ≤-3-round
+#: limit by r11 — exhausted, they take slots first) + the 50 green-r9
+#: window members that rotated out this round. Owed at r11 = 47
+#: exhausted + the (empty) debut queue = 47 non-negotiable slots of 50,
+#: leaving 3 flex for the 50 multiply-green r9 rotations,
+#: deepest-green-first with name tiebreak. Never defer a debut or a
+#: changed query.
 
 
 #: The 22 TPC-H plan-shape adaptations (Q1..Q22, in Q order) — bench.py's

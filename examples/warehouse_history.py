@@ -69,11 +69,12 @@ def run_checks(spark, sf_dir: str = SF_DIR) -> dict[str, int]:
     print(f"incremental rollup merge-consistent for {len(rollup)} event types")
     distinct = q_incremental_distinct(spark, sf_dir).collect()
     assert all(
-        r.sketch_merge_exact and r.sketch_within_tolerance for r in distinct
+        r.merged_within_tolerance and r.direct_within_tolerance
+        for r in distinct
     )
     print(
-        "incremental distinct: HLL union exact vs single-pass, "
-        f"within tolerance of exact for {len(distinct)} event types"
+        "incremental distinct: merged HLL union and single-pass sketch "
+        f"both within tolerance of exact for {len(distinct)} event types"
     )
     return {
         "closed_versions": n_closed,

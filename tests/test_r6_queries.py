@@ -263,11 +263,14 @@ def test_scd2_snapshots_match_brute_force_reconstruction(spark):
 def test_incremental_distinct_booleans_hold_at_higher_cardinality(spark):
     """Both in-plan proofs must hold where the sketch actually estimates:
     run the same merge-vs-direct-vs-exact comparison over the larger
-    sf0.01 user population, not just the fixture corpus."""
+    sf0.01 user population, not just the fixture corpus. (The r9 sf0.1
+    sweep proved merged==direct equality false in general — sparse→dense
+    promotion differs by route — so the contract is now both estimates
+    independently within HLL_REL_TOLERANCE of exact.)"""
     rows = all_queries()["incremental_distinct"].fn(
         spark, "/root/testdata/sf0.01"
     ).collect()
     assert rows
     for r in rows:
-        assert r.sketch_merge_exact, r
-        assert r.sketch_within_tolerance, r
+        assert r.merged_within_tolerance, r
+        assert r.direct_within_tolerance, r
