@@ -851,15 +851,18 @@ def embedding_near_dup_pairs(
     Plane-count resolution (the scale-critical knob): an explicit
     ``n_planes`` wins (pin it for replayable runs); otherwise it is derived
     via :func:`planes_for_corpus` from ``corpus_rows`` if given, else from
-    a one-time ``df.count()``. The count is an extra corpus scan, so
+    a one-time sizing count. The count is an extra corpus scan, so
     deployments at warehouse scale MUST pass ``corpus_rows`` (any recent
     row-count estimate is fine — occupancy only needs the right order of
     magnitude): the bare form is a convenience for small/interactive
-    corpora and RAISES once the counted corpus exceeds
-    ``auto_count_limit`` rows, because an accidental extra scan of a
-    warehouse-sized table is real money and should fail loudly, not warn
-    quietly (the scan is already spent by then, but every subsequent run
-    would re-pay it). A mis-SIZED index is the worse failure either way: a
+    corpora and RAISES once the corpus exceeds ``auto_count_limit`` rows
+    (r9 behavior change — previously a warning; see CHANGELOG.md),
+    because an accidental extra scan of a warehouse-sized table is real
+    money and should fail loudly, not warn quietly. The sizing count is
+    a ``limit(auto_count_limit + 1).count()`` probe, so on an over-limit
+    warehouse table the refusal short-circuits after ~``auto_count_limit``
+    rows instead of paying the full scan first; under the limit the probe
+    IS the exact row count. A mis-SIZED index is the worse failure: a
     fixed small plane count at 100 TB puts millions of vectors in every
     bucket and the within-bucket join goes quadratic. Candidates are
     deduped across tables BEFORE verification, then joined back to the
@@ -872,19 +875,23 @@ def embedding_near_dup_pairs(
 
             warnings.warn(
                 "embedding_near_dup_pairs: neither n_planes nor corpus_rows "
-                "given — running an eager df.count() (one extra corpus scan) "
-                "to size the LSH index. Pass corpus_rows (any recent "
-                "estimate) at warehouse scale.",
+                "given — running an eager sizing count (one extra corpus "
+                "scan, capped at auto_count_limit+1 rows) to size the LSH "
+                "index. Pass corpus_rows (any recent estimate) at "
+                "warehouse scale.",
                 stacklevel=2,
             )
-            corpus_rows = df.count()
+            # limit(N+1) short-circuits the probe: an over-limit corpus
+            # refuses after ~N rows instead of after a full scan, and an
+            # under-limit probe equals the exact count.
+            corpus_rows = df.limit(auto_count_limit + 1).count()
             if corpus_rows > auto_count_limit:
                 raise ValueError(
-                    f"embedding_near_dup_pairs: auto-counted corpus has "
-                    f"{corpus_rows} rows (> auto_count_limit="
-                    f"{auto_count_limit}). At this scale the sizing scan "
-                    "must not be implicit — pass corpus_rows (any recent "
-                    "estimate) or an explicit n_planes."
+                    f"embedding_near_dup_pairs: corpus exceeds "
+                    f"auto_count_limit={auto_count_limit} rows. At this "
+                    "scale the sizing scan must not be implicit — pass "
+                    "corpus_rows (any recent estimate) or an explicit "
+                    "n_planes."
                 )
         n_planes = planes_for_corpus(corpus_rows, target_bucket_size)
     table_planes = [

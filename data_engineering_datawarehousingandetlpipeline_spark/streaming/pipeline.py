@@ -18,6 +18,7 @@ source in tests (same downstream pipeline, driver-image has no Kafka jars).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -99,6 +100,23 @@ def start_ingestion(
     return writer.start()
 
 
+def _committed_batch_ids(checkpoint_dir: str) -> set[int]:
+    """Batch ids in the checkpoint's commit log (one numeric file per
+    successfully committed micro-batch). Local-path checkpoints only —
+    exactly what this repo's drains use; a missing dir (fresh checkpoint,
+    or a non-local scheme this helper can't list) reads as empty.
+    """
+    path = checkpoint_dir.removeprefix("file://").removeprefix("file:")
+    try:
+        return {
+            int(name)
+            for name in os.listdir(os.path.join(path, "commits"))
+            if name.isdigit()
+        }
+    except OSError:
+        return set()
+
+
 def run_available(
     source: DataFrame, warehouse: WarehouseTable, checkpoint_dir: str
 ) -> int:
@@ -108,12 +126,22 @@ def run_available(
     staging dir held nothing to process), so callers that wait on
     listener-bus telemetry afterwards can skip the wait entirely for an
     empty drain — no progress event will ever arrive for zero batches.
+
+    Counted as the checkpoint commit-log delta across the drain, not
+    ``len(query.recentProgress)``: the progress buffer is capped by
+    ``spark.sql.streaming.numRecentProgressUpdates`` (default 100), so a
+    drain of >100 micro-batches would under-count there and let callers
+    stop waiting on telemetry before every listener row arrived. The
+    commit log has one entry per committed batch regardless of drain
+    length, and the before/after diff stays correct on resumed
+    checkpoints where batch ids don't start at zero.
     """
+    before = _committed_batch_ids(checkpoint_dir)
     query = start_ingestion(
         source, warehouse, checkpoint_dir, available_now=True
     )
     query.awaitTermination()
-    return len(query.recentProgress)
+    return len(_committed_batch_ids(checkpoint_dir) - before)
 
 
 def start_chunking(

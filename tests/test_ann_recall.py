@@ -137,16 +137,17 @@ def test_near_dup_planes_derive_from_corpus_size(spark):
     large = sim.embedding_near_dup_pairs(embs, corpus_rows=1_000_000)
     assert bucket_legs(large) > bucket_legs(small)
 
-    # no hint at all: a one-time count() sizes the index the same way the
-    # equivalent explicit hint would — and warns about the extra scan
-    with pytest.warns(UserWarning, match="eager df.count"):
+    # no hint at all: a one-time sizing count (limit-probed, so an
+    # over-limit refusal never pays a full scan) sizes the index the same
+    # way the equivalent explicit hint would — and warns about the scan
+    with pytest.warns(UserWarning, match="eager sizing count"):
         counted = sim.embedding_near_dup_pairs(embs)
     hinted = sim.embedding_near_dup_pairs(embs, corpus_rows=embs.count())
     assert bucket_legs(counted) == bucket_legs(hinted)
 
     # past the auto-count limit the bare form fails LOUDLY instead of
     # silently re-scanning a warehouse-sized corpus on every invocation
-    with pytest.warns(UserWarning, match="eager df.count"):
+    with pytest.warns(UserWarning, match="eager sizing count"):
         with pytest.raises(ValueError, match="auto_count_limit"):
             sim.embedding_near_dup_pairs(embs, auto_count_limit=10)
 

@@ -260,6 +260,31 @@ def test_streaming_matches_batch_and_restart_is_idempotent(spark, tmp_path, ware
     assert warehouse.count() == 6
 
 
+def test_run_available_counts_commits_not_progress_buffer(spark, tmp_path, warehouse):
+    """The drained-batch count is the checkpoint commit-log delta — exact
+    past the 100-entry recentProgress cap, and on a RESUMED checkpoint it
+    counts only this drain's batches even though batch ids continue from
+    the prior run (the before/after diff, not lastProgress.batchId+1)."""
+    rows = _rows(FIXTURE)
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    _write_ndjson(rows[:3], indir / "batch1.json")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = run_available(read_json_file_stream(spark, str(indir)), warehouse, ckpt)
+    assert first >= 1
+    # empty drain on the same checkpoint: nothing new → 0, so the cli's
+    # telemetry wait can skip (no progress event will ever arrive)
+    assert run_available(read_json_file_stream(spark, str(indir)), warehouse, ckpt) == 0
+    # resumed checkpoint with one new file: exactly the new batches,
+    # not (last batch id + 1) = the whole history
+    _write_ndjson(rows[3:], indir / "batch2.json")
+    second = run_available(read_json_file_stream(spark, str(indir)), warehouse, ckpt)
+    assert 1 <= second <= first + 1
+    commits = {int(n) for n in os.listdir(os.path.join(ckpt, "commits")) if n.isdigit()}
+    assert len(commits) == first + second  # the log holds the full history
+
+
 def test_delta_format_exercised_or_skipped_with_reason(spark, tmp_path):
     """SURVEY §1.1's warehouse-table row maps to a transactional table
     format (Delta/Iceberg); warehouse/store.py emulates MERGE/append on

@@ -31,8 +31,10 @@ def main() -> int:
         "--floor",
         type=float,
         default=0.25,
-        help="ignore queries faster than this in BOTH baselines — "
-        "sub-noise scans whose ratios are all jitter",
+        help="ratio comparison requires the OLD measurement at or above "
+        "this — a sub-floor denominator is jitter and would fabricate "
+        "huge ratios; sub-floor-to-above-floor transitions are reported "
+        "separately as absolute deltas instead",
     )
     args = parser.parse_args()
 
@@ -44,11 +46,14 @@ def main() -> int:
     shared = sorted(set(old) & set(new))
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
-    ratios = {
-        n: new[n] / old[n]
-        for n in shared
-        if max(old[n], new[n]) >= args.floor and old[n] > 0
-    }
+    # a ratio is only meaningful when its DENOMINATOR is above the noise
+    # floor (0.01s old vs 0.3s new is a 30x "ratio" made of jitter);
+    # sub-floor-to-above-floor transitions surface below as deltas
+    ratios = {n: new[n] / old[n] for n in shared if old[n] >= args.floor}
+    transitions = sorted(
+        (n for n in shared if old[n] < args.floor <= new[n]),
+        key=lambda n: old[n] - new[n],
+    )
     if not ratios:
         print("no comparable queries")
         return 0
@@ -63,6 +68,17 @@ def main() -> int:
         print(f"# dropped since old baseline: {', '.join(only_old)}")
     if only_new:
         print(f"# new since old baseline: {', '.join(only_new)}")
+
+    if transitions:
+        print(
+            "# sub-floor → above-floor transitions (absolute deltas; the "
+            "old side is jitter, so no ratio is computed):"
+        )
+        for name in transitions:
+            print(
+                f"#   {name}: {old[name]:.3f}s → {new[name]:.3f}s "
+                f"(+{new[name] - old[name]:.3f}s)"
+            )
 
     movers = []
     for name, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
