@@ -31,6 +31,9 @@ from data_engineering_datawarehousingandetlpipeline_spark.operators import (
 from data_engineering_datawarehousingandetlpipeline_spark.functions.hashing import (
     sql_u32_hash,
 )
+from data_engineering_datawarehousingandetlpipeline_spark.functions import (
+    numeric as nm,
+)
 from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
     sql_dsum,
 )
@@ -562,6 +565,97 @@ SELECT doc_id,
             - len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]+$'))) AS INTEGER) AS n_other
 FROM p
 ORDER BY doc_id
+"""
+
+
+def q_doc_tokenizer_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fidelity audit: prove the BPE pre-split is LOSSLESS.
+
+    A training pipeline that tokenizes 100 TB needs a cheap standing
+    audit that the tokenizer neither drops nor invents bytes — the bug
+    class where a bad pre-split silently truncates documents (every
+    downstream token count, pack, and dedup inherits the corruption).
+    The round-trip contract: re-concatenating the pre-tokenizer pieces
+    must reproduce the normalized text exactly (lowercased, whitespace
+    removed — the two transforms the split declares). Per source:
+
+    - ``n_roundtrip_exact`` — docs where ``concat(pieces) ==
+      ws-stripped lower(text)`` (order AND content); expected == n_docs,
+    - ``lost_chars`` — Σ (normalized length − piece-character mass);
+      expected 0, and any positive value localizes the loss to a source,
+    - ``longest_piece`` — a blowup tripwire: a piece thousands of chars
+      long means the split failed and a downstream BPE would choke,
+    - ``fertility`` — mean pieces per whitespace token (the standard
+      tokenizer-quality stat), decimal-anchored.
+
+    Both engines COMPUTE the booleans and deltas (no TRUE literals), so
+    the driver hash proves the fidelity claims independently in two
+    regex engines. One scan, one partial-agg groupBy on the ~20-value
+    source key; every expression is JVM codegen — at warehouse scale
+    this is a free rider on any existing documents pass. Whitespace is
+    the explicit class ``[ \\t\\n\\x0b\\f\\r]`` (not ``\\s``) because
+    Java's \\s includes \\x0b while RE2's does not — the same
+    portability trap BPE_SPLIT_PATTERN documents.
+    """
+    docs = _docs(spark, sf_dir)
+    pieces = tx.bpe_pieces(F.col("text"))
+    norm = F.regexp_replace(F.lower(F.col("text")), tx.WS_RUN_PATTERN, "")
+    joined = F.array_join(pieces, "")
+    n_toks = tx.token_count(F.col("text"))
+    per_doc = docs.select(
+        "source",
+        F.size(pieces).alias("__n_pieces"),
+        n_toks.alias("__n_toks"),
+        (joined == norm).alias("__exact"),
+        (F.length(norm) - F.length(joined)).alias("__lost"),
+        F.array_max(F.transform(pieces, F.length)).alias("__max_piece"),
+        F.try_divide(
+            F.size(pieces).cast("double"), n_toks.cast("double")
+        ).alias("__fert"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("__exact").cast("bigint")).alias("n_roundtrip_exact"),
+            F.sum(F.col("__lost").cast("bigint")).alias("lost_chars"),
+            F.sum(F.col("__n_pieces").cast("bigint")).alias("total_pieces"),
+            F.sum(F.col("__n_toks").cast("bigint")).alias("total_ws_tokens"),
+            F.max("__max_piece").alias("longest_piece"),
+            nm.davg("__fert").alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOC_TOKENIZER_FIDELITY = rf"""
+WITH p AS (
+  SELECT source,
+         regexp_extract_all(lower(text), '{tx.BPE_SPLIT_PATTERN}') AS pieces,
+         regexp_replace(lower(text), '{tx.WS_RUN_PATTERN}', '', 'g') AS norm,
+         len({SQL_TOKS}) AS n_toks
+  FROM documents
+), d AS (
+  SELECT source,
+         len(pieces) AS n_pieces,
+         n_toks,
+         (array_to_string(pieces, '') = norm) AS exact,
+         length(norm) - length(array_to_string(pieces, '')) AS lost,
+         list_max(list_transform(pieces, x -> length(x))) AS max_piece,
+         CAST(len(pieces) AS DOUBLE) / CAST(n_toks AS DOUBLE) AS fert
+  FROM p
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(exact AS BIGINT)) AS BIGINT) AS n_roundtrip_exact,
+       CAST(SUM(lost) AS BIGINT) AS lost_chars,
+       CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+       CAST(SUM(n_toks) AS BIGINT) AS total_ws_tokens,
+       CAST(MAX(max_piece) AS INTEGER) AS longest_piece,
+       {nm.sql_davg("fert")} AS fertility
+FROM d
+GROUP BY source
+ORDER BY source
 """
 
 
