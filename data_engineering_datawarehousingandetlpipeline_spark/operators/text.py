@@ -140,6 +140,12 @@ def fingerprint(text: Column, width: int = SHINGLE_WIDTH) -> Column:
 #: identically by both.
 BPE_SPLIT_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]"
 
+#: A run of whitespace, spelled with the same explicit portable class as
+#: BPE_SPLIT_PATTERN (Java's ``\s`` includes \x0b, RE2's does not — an
+#: implicit class would make the two engines disagree on exactly the
+#: documents that contain vertical tabs).
+WS_RUN_PATTERN = r"[ \t\n\x0b\f\r]+"
+
 
 def bpe_pieces(text: Column) -> Column:
     """Pre-tokenizer pieces of lowercased text (array<string>).

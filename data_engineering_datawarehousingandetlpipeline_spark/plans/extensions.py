@@ -3276,4 +3276,9 @@ QUERIES = [
               SQL_DOC_MIXTURE_SAMPLE,
               "hash-Bernoulli application of the mixture weights: the "
               "rebalanced corpus copy manifest", tags=("text", "sample")),
+    QuerySpec("doc_tokenizer_fidelity", q_doc_tokenizer_fidelity,
+              SQL_DOC_TOKENIZER_FIDELITY,
+              "tokenizer round-trip audit: piece-concat == normalized "
+              "text, lost-char mass, fertility per source",
+              tags=("text", "quality")),
 ]

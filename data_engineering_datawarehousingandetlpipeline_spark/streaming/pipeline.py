@@ -117,6 +117,22 @@ def _committed_batch_ids(checkpoint_dir: str) -> set[int]:
         return set()
 
 
+def _drained_count(before: set[int], after: set[int]) -> int:
+    """Batches committed between two commit-log snapshots.
+
+    Max-id delta, NOT set difference: Spark purges the commits dir down
+    to ``spark.sql.streaming.minBatchesToRetain`` (default 100) entries
+    as batches run, so ``len(after - before)`` caps out at the retention
+    limit on a long drain. Batch ids are consecutive and the latest
+    commit file always survives the purge, so the max delta is exact for
+    drains of any length; a fresh checkpoint's first batch is id 0,
+    hence the -1 base.
+    """
+    if not after:
+        return 0
+    return max(after) - (max(before) if before else -1)
+
+
 def run_available(
     source: DataFrame, warehouse: WarehouseTable, checkpoint_dir: str
 ) -> int:
@@ -127,21 +143,24 @@ def run_available(
     listener-bus telemetry afterwards can skip the wait entirely for an
     empty drain — no progress event will ever arrive for zero batches.
 
-    Counted as the checkpoint commit-log delta across the drain, not
-    ``len(query.recentProgress)``: the progress buffer is capped by
-    ``spark.sql.streaming.numRecentProgressUpdates`` (default 100), so a
-    drain of >100 micro-batches would under-count there and let callers
-    stop waiting on telemetry before every listener row arrived. The
-    commit log has one entry per committed batch regardless of drain
-    length, and the before/after diff stays correct on resumed
-    checkpoints where batch ids don't start at zero.
+    Counted as the MAX-batch-id delta across the drain, not
+    ``len(query.recentProgress)`` and not a commit-log set difference:
+    the progress buffer is capped by
+    ``spark.sql.streaming.numRecentProgressUpdates`` (default 100), and
+    the commits dir itself is PURGED down to
+    ``spark.sql.streaming.minBatchesToRetain`` (default 100) entries as
+    batches run — both under-count a >100-batch drain. Batch ids are
+    consecutive and the LATEST commit file always survives the purge, so
+    ``max(after) - max(before)`` (with -1 for a fresh checkpoint, whose
+    first batch is id 0) is exact for drains of any length and stays
+    correct on resumed checkpoints where ids don't start at zero.
     """
     before = _committed_batch_ids(checkpoint_dir)
     query = start_ingestion(
         source, warehouse, checkpoint_dir, available_now=True
     )
     query.awaitTermination()
-    return len(_committed_batch_ids(checkpoint_dir) - before)
+    return _drained_count(before, _committed_batch_ids(checkpoint_dir))
 
 
 def start_chunking(

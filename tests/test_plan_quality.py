@@ -996,6 +996,26 @@ def test_jaccard_doc_freq_cap_prunes_postings_before_the_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_tokenizer_fidelity_is_one_pruned_scan_one_partial_agg(spark):
+    """The tokenizer round-trip audit must ride a SINGLE column-pruned
+    scan of documents (source + text only — at warehouse scale the audit
+    is a free rider on any existing documents pass) into one
+    partial-aggregated groupBy on the ~20-value source key: no join, no
+    window, every expression JVM codegen (regexp_extract_all /
+    regexp_replace / array ops are all whole-stage)."""
+    plan = _plan(spark, "doc_tokenizer_fidelity")
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 1, scans
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+    # partial + final aggregate pair around one source-keyed exchange
+    assert plan.count("HashAggregate") == 2
+    assert "hashpartitioning(source" in plan
+    # pruned to exactly the two columns the audit consumes (JVM codegen
+    # throughout is covered by the generic no-Python-eval gate)
+    assert "ReadSchema: struct<text:string,source:string>" in plan
+
+
 def test_media_pipeline_is_two_arrow_stages_payload_scanned_once(spark):
     """resize → featurize must chain as exactly two Arrow-batched
     MapInPandas stages, and the metadata carry-forward join inside

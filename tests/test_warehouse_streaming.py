@@ -285,6 +285,29 @@ def test_run_available_counts_commits_not_progress_buffer(spark, tmp_path, wareh
     assert len(commits) == first + second  # the log holds the full history
 
 
+def test_drained_count_is_exact_past_commit_log_retention():
+    """Spark purges ``commits/`` down to minBatchesToRetain (default 100)
+    entries as batches run, so a set-difference count caps at the
+    retention limit on a >100-batch drain; the max-id delta is immune
+    because batch ids are consecutive and the newest file survives."""
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        _drained_count,
+    )
+
+    assert _drained_count(set(), {0, 1, 2}) == 3  # fresh, short drain
+    assert _drained_count({0, 1, 2}, {0, 1, 2}) == 0  # empty drain
+    assert _drained_count(set(), set()) == 0
+    assert _drained_count({0, 1, 2}, {0, 1, 2, 3, 4}) == 2  # resumed
+    # 150-batch drain on a fresh checkpoint, purged to the last 100:
+    # set difference reads 100 (the trap); the real count is 150
+    purged = set(range(50, 150))
+    assert len(purged - set()) == 100
+    assert _drained_count(set(), purged) == 150
+    # resumed AND purged: prior run ended at id 9, drain ends at 159
+    # with only {60..159} retained → exactly 150 new batches
+    assert _drained_count(set(range(10)), set(range(60, 160))) == 150
+
+
 def test_delta_format_exercised_or_skipped_with_reason(spark, tmp_path):
     """SURVEY §1.1's warehouse-table row maps to a transactional table
     format (Delta/Iceberg); warehouse/store.py emulates MERGE/append on

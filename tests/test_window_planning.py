@@ -22,13 +22,14 @@ import sys
 from data_engineering_datawarehousingandetlpipeline_spark.plans import all_queries
 from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import (
     DEBUT_QUEUE,
+    R12_CARRY,
     WINDOW_HEAD,
 )
 
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
 )
-from window_planner import WINDOW, load_history, plan  # noqa: E402
+from window_planner import WINDOW, load_history, plan, sweep_evidence  # noqa: E402
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -47,6 +48,13 @@ def test_debut_queue_is_exactly_the_never_verified_overflow():
 
 
 def test_planner_window_satisfies_the_rotation_policy():
+    """The staged-catch-up amendment (r10 lost round; window_planner.py
+    docstring): an exhausted set larger than the window is no longer a
+    breach by itself — the head takes the first 50 in priority order
+    (debut -> changed -> oldest-last-green-first) and the remainder
+    CARRIES, legal only with committed full-sweep compensating evidence
+    for every carried query. Debuts+changed alone overflowing stays a
+    hard breach."""
     registered = list(all_queries())
     latest, last_green = load_history(REPO_ROOT)
     result = plan(registered, latest, last_green, changed=set())
@@ -54,28 +62,66 @@ def test_planner_window_satisfies_the_rotation_policy():
     assert len(head) == WINDOW
     assert len(set(head)) == WINDOW
     assert not result["overflow"], (
-        f"non-negotiable set exceeds the {WINDOW}-slot window: "
-        f"{len(result['debuts'])} debuts + {len(result['exhausted'])} "
-        "exhausted deferrals — the registry has outgrown the policy"
+        f"debuts + changed alone exceed the {WINDOW}-slot window: "
+        f"{len(result['debuts'])} debuts — a hard policy breach"
     )
-    # every debut is in; no debut is ever deferred
+    # every debut is in; no debut is ever deferred or carried
     missing_debuts = set(result["debuts"]) - set(head)
     assert not missing_debuts, missing_debuts
-    # every exhausted deferral is in
-    missing_exhausted = set(result["exhausted"]) - set(head)
-    assert not missing_exhausted, missing_exhausted
-    # rotation slots go deepest-staleness-first: no deferred query may be
-    # STALER than a non-debut rotation that made the window
+    # the carry (if any) is exactly the exhausted overflow, and it must
+    # hold the NEWEST-green exhausted queries (the head keeps the oldest)
+    if result["carry"]:
+        assert set(result["carry"]) <= set(result["exhausted"])
+        newest_in_head = max(
+            last_green[n] for n in head if n in result["exhausted"]
+        )
+        oldest_carried = min(last_green[n] for n in result["carry"])
+        assert oldest_carried >= newest_in_head, (
+            "carry must defer the LEAST-stale exhausted queries"
+        )
+        # compensating evidence: the committed sweep artifact must hold a
+        # green row for every carried query
+        have_file, missing = sweep_evidence(
+            REPO_ROOT, result["next_round"], result["carry"]
+        )
+        assert have_file, (
+            f"staged catch-up requires SWEEP_SF01_r{result['next_round']:02d}.json "
+            "committed as compensating evidence for the carried queries"
+        )
+        assert not missing, (
+            f"carried queries without green sweep evidence: {missing}"
+        )
+    else:
+        # steady state: every exhausted deferral fits the window
+        missing_exhausted = set(result["exhausted"]) - set(head)
+        assert not missing_exhausted, missing_exhausted
+    # rotation slots go deepest-staleness-first: nothing deferred (or
+    # carried) may be STALER than a non-debut rotation that made the window
     rotations = [n for n in head if n in last_green]
     if rotations and result["deferred"]:
-        # nothing deferred may be staler than a rotation that made the
-        # window (deepest-staleness-first fill)
         deferred_older = [
             n
             for n in result["deferred"]
             if last_green.get(n, 0) < min(last_green[n] for n in rotations)
         ]
         assert not deferred_older, deferred_older
+
+
+def test_registry_r12_carry_matches_the_planner():
+    """R12_CARRY (the pre-committed staged-catch-up slots in the registry)
+    must be exactly the planner's computed carry for the round the history
+    currently points at, so the hand-maintained tuple can never drift from
+    the machine math. Skips once the r11 history lands (the carry then
+    belongs to the NEXT round's plan and rotates into WINDOW_HEAD)."""
+    registered = list(all_queries())
+    latest, last_green = load_history(REPO_ROOT)
+    if latest != 10:
+        import pytest
+
+        pytest.skip("R12_CARRY is pinned to the r11 plan (history at r10)")
+    result = plan(registered, latest, last_green, changed={"incremental_distinct"})
+    assert tuple(sorted(result["carry"])) == tuple(sorted(R12_CARRY))
+    assert list(result["head"]) == list(WINDOW_HEAD)
 
 
 def test_planner_respects_changed_queries():

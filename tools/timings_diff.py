@@ -47,9 +47,14 @@ def main() -> int:
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
     # a ratio is only meaningful when its DENOMINATOR is above the noise
-    # floor (0.01s old vs 0.3s new is a 30x "ratio" made of jitter);
-    # sub-floor-to-above-floor transitions surface below as deltas
-    ratios = {n: new[n] / old[n] for n in shared if old[n] >= args.floor}
+    # floor (0.01s old vs 0.3s new is a 30x "ratio" made of jitter) AND
+    # strictly positive — with --floor 0 a zero old timing must be
+    # skipped, not divided by
+    ratios = {
+        n: new[n] / old[n]
+        for n in shared
+        if old[n] >= args.floor and old[n] > 0
+    }
     transitions = sorted(
         (n for n in shared if old[n] < args.floor <= new[n]),
         key=lambda n: old[n] - new[n],

