@@ -107,3 +107,32 @@ def test_u32_hash_contract_matches_duckdb_oracle(spark):
             "$k$", "'" + k.replace("'", "''") + "'"), ).fetchone()[0]
         assert got_spark[k] == h, k
         assert 0 <= h < (1 << 32)
+
+
+@settings(max_examples=500)
+@given(st.text(max_size=400))
+def test_bpe_split_is_lossless_modulo_whitespace(s):
+    """The tokenizer-fidelity contract (doc_tokenizer_fidelity), proven
+    in a third regex engine: concatenating the BPE pre-split pieces of
+    lower(text) reproduces lower(text) with the explicit whitespace
+    class removed, for ARBITRARY strings. The split's alternation
+    covers every non-whitespace character exactly once ([a-z]+ runs,
+    [0-9]+ runs, single "other" marks) and drops exactly the six
+    whitespace characters WS_RUN_PATTERN names — so lost_chars == 0 and
+    roundtrip_exact == n_docs are invariants of the pattern pair, not
+    of any particular corpus. Python re here, Java regex in the Spark
+    plan, RE2 in the DuckDB oracle: three engines, one contract."""
+    import re
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.text import (
+        BPE_SPLIT_PATTERN,
+        WS_RUN_PATTERN,
+    )
+
+    low = s.lower()
+    pieces = re.findall(BPE_SPLIT_PATTERN, low)
+    norm = re.sub(WS_RUN_PATTERN, "", low)
+    assert "".join(pieces) == norm
+    # piece-character mass accounting (the lost_chars column): nothing
+    # lost, nothing invented
+    assert sum(len(p) for p in pieces) == len(norm)
