@@ -37,87 +37,74 @@ class QuerySpec:
 #: been driver-verified, MUST be in this list; multiply-green unchanged
 #: queries rotate out to make room and rotate back in later rounds.
 #:
-#: Round-11 window, under the STAGED CATCH-UP AMENDMENT (documented in
-#: tools/window_planner.py and forced by the lost round 10: the registry
-#: was import-dead when the r10 driver ran, CORRECTNESS_r10.json is
-#: empty, so the whole stranded r10 window plus the green-r8 rotations
-#: all hit the ≤-3-round staleness limit at once — 2 debuts + 1 changed
-#: + 95 exhausted for 50 slots, which no single-round window satisfies).
-#: Amended policy, cross-checked by ``python tools/window_planner.py
-#: --changed incremental_distinct``:
+#: Round-12 window, the SECOND staging round of the catch-up forced by
+#: the lost round 10 (amendment documented in tools/window_planner.py;
+#: r11 verified the 2-debut + 1-changed + 47-oldest-stale head and
+#: carried these 48 green-r8 rotations as pre-committed non-negotiable
+#: slots — ``R12_CARRY`` below, covered in the interim by the committed
+#: SWEEP_SF001_r11.json / SWEEP_SF01_r11.json sweeps). Cross-checked by
+#: ``python tools/window_planner.py`` with the r11 history:
 #:
-#: 1. priority order debut → changed → exhausted OLDEST-last-green-first
-#:    (name tiebreak);
-#: 2. the overflow carries to r12 as pre-committed non-negotiable slots
-#:    (the 48 green-r8 rotations listed below DEBUT_QUEUE);
-#: 3. compensating evidence for every carried query: the committed
-#:    full-registry sweep artifacts SWEEP_SF001_r11.json (sf0.01 — the
-#:    same tier and compare the driver performs, hostile-TZ vanilla
-#:    session) and SWEEP_SF01_r11.json (sf0.1, the closing-protocol
-#:    tier);
-#: 4. debuts+changed alone overflowing stays a hard breach.
-#:
-#: r11 head = 2 debuts (doc_tokenizer_fidelity — the r10 block now
-#: properly registered with its oracle, per r10 verdict order 2 —
-#: and media_pipeline, stranded twice) + 1 changed-in-r10-never-verified
-#: (incremental_distinct) + the 46 green-r7 rotations (4 rounds stale,
-#: the oldest debt) + asof_last_error (first green-r8 by name tiebreak)
-#: = 50. Never defer a debut or a changed query.
+#: r12 head = the 48 carried green-r8 rotations (exhausted, 4 rounds
+#: stale — the oldest debt) + the 2 oldest green-r9 exhausted names by
+#: tiebreak (approx_sketches, composite_sort) = 50. No debuts, no
+#: changed queries (registry frozen at 148 until the carry debt clears).
+#: The remaining 48 green-r9 rotations carry to r13 (``R13_CARRY``),
+#: evidenced by SWEEP_SF01_r12.json; r13 absorbs them within capacity
+#: (r11 greens are only 2 rounds stale then) — steady state resumes.
 WINDOW_HEAD: tuple[str, ...] = (
-    # debuts (never driver-verified; slots first, per policy)
-    "doc_tokenizer_fidelity",
-    "media_pipeline",
-    # changed in r10 (mergeability contract rework), never verified since
-    "incremental_distinct",
-    # the 46 exhausted green-r7 rotations (4 rounds stale; oldest debt)
-    "day_window",
-    "doc_bm25_topk",
-    "doc_bpe_tokens",
-    "doc_chunks",
-    "doc_decontaminate",
-    "doc_group_sample",
-    "doc_hash_sample",
-    "doc_lang_profile",
-    "doc_minhash_neardup",
-    "doc_ngram_topk",
-    "doc_norm_dedup",
-    "doc_pack_bins",
-    "doc_perplexity",
-    "doc_quality",
-    "doc_repetition",
-    "doc_simhash_pairs",
-    "doc_source_stats",
-    "doc_span_dedup",
-    "doc_split_assign",
-    "doc_tfidf_terms",
-    "doc_token_stats",
-    "emb_ann_topk",
-    "emb_cluster_profile",
-    "emb_ivf_topk",
-    "emb_near_dup",
-    "emb_quantize_stats",
-    "emb_semantic_dedup",
-    "event_gapfill",
-    "event_unpivot",
-    "incremental_rollup",
-    "lineitem_profile",
-    "media_feature_vectors",
-    "media_frame_sample",
-    "nearby_clicks",
-    "retention_cohorts",
-    "retrieval_rrf",
-    "scd2_snapshots",
-    "scd2_user_state",
-    "session_stats",
-    "sessionization",
-    "streaming_chunks",
-    "streaming_ingest",
-    "streaming_minhash_dedup",
-    "streaming_scd2",
-    "streaming_sessions",
-    "streaming_window_stats",
-    # final slot: first green-r8 exhausted rotation by name tiebreak
-    "asof_last_error",
+    # the 48 green-r8 rotations carried from the r11 window (R12_CARRY)
+    "click_days_no_purchase",
+    "daily_active_cumulative",
+    "dashboard_summary",
+    "dedup_cluster_stats",
+    "dedup_hourly_last",
+    "dedup_keep_first",
+    "doc_cluster_keep",
+    "doc_dedup_clusters",
+    "doc_dsir_weights",
+    "doc_edit_distance",
+    "doc_exact_dedup",
+    "doc_fingerprints",
+    "doc_gopher_rules",
+    "doc_mixture_sample",
+    "doc_mixture_weights",
+    "doc_pii_scan",
+    "doc_quality_deciles",
+    "doc_simhash",
+    "doc_vocab_drift",
+    "emb_cosine_topk",
+    "emb_hard_negatives",
+    "emb_ivfpq_topk",
+    "emb_pq_topk",
+    "event_cube",
+    "event_funnel",
+    "event_grouping_sets",
+    "media_features",
+    "order_priority",
+    "part_type_stats",
+    "pivot_daily",
+    "pricing_summary",
+    "region_revenue",
+    "retrieval_rrf_ann",
+    "revenue_rollup",
+    "salted_enrich",
+    "salted_rollup",
+    "scd2_event_enrich",
+    "silence_report",
+    "source_overlap",
+    "split_leakage_audit",
+    "streaming_exact_dedup",
+    "supplier_volume",
+    "top_customers",
+    "top_orders_per_customer",
+    "user_day_overlap",
+    "user_rolling_stats",
+    "value_correlations",
+    "value_quantiles",
+    # the 2 oldest green-r9 exhausted rotations by name tiebreak
+    "approx_sketches",
+    "composite_sort",
 )
 
 #: Names that MUST sit inside the driver's 50-entry window this round:
@@ -127,20 +114,18 @@ WINDOW_HEAD: tuple[str, ...] = (
 #: tools/driver_sweep.py and tests/test_plan_quality.py so a rotation can
 #: never silently strand a debut (r6 verdict, marching order 5).
 #:
-#: r11 catch-up round: the ENTIRE window is non-negotiable — 2 debuts +
-#: 1 changed + 47 exhausted fill all 50 slots (see the staged catch-up
-#: amendment above WINDOW_HEAD); the remaining 48 exhausted green-r8
-#: rotations carry to r12 with the committed SWEEP_SF001/SF01_r11 sweeps as compensating
-#: evidence.
+#: r12 catch-up round: the ENTIRE window is again non-negotiable — the
+#: 48 carried green-r8 rotations + 2 exhausted green-r9 fill all 50
+#: slots (see the staged catch-up note above WINDOW_HEAD); the remaining
+#: 48 exhausted green-r9 rotations carry to r13 (``R13_CARRY``) with the
+#: committed SWEEP_SF01_r12.json sweep as compensating evidence.
 MUST_VERIFY: tuple[str, ...] = WINDOW_HEAD
 
-#: r12 DEBUT QUEUE — empty: both outstanding debuts
-#: (doc_tokenizer_fidelity — the r10 dead block, now registered with its
-#: oracle per r10 verdict order 2 — and media_pipeline, stranded since
-#: r9 by the lost round) hold the first two WINDOW_HEAD slots above.
-#: The registry is OVER the 3-round-rotation steady-state capacity
-#: (148 ≈ 3×50 − 2) and in staged catch-up; no new queries until the
-#: r11+r12 carry debt clears (r10 verdict, marching order 8).
+#: r12 DEBUT QUEUE — empty: no unverified queries remain (both r11
+#: debuts landed green in CORRECTNESS_r11). The registry is OVER the
+#: 3-round-rotation steady-state capacity (148 ≈ 3×50 − 2) and in staged
+#: catch-up; no new queries until the carry debt clears at r13
+#: (r11 verdict, marching order 4).
 #:
 #: Machine-readable; CI cross-checks this against the
 #: CORRECTNESS_r0*.json history (every never-driver-verified registry
@@ -149,18 +134,10 @@ MUST_VERIFY: tuple[str, ...] = WINDOW_HEAD
 #: window instead of re-deriving the math by hand.
 DEBUT_QUEUE: tuple[str, ...] = ()
 
-#: r12 OWED SET (window math for next round, decided now, not by slip;
-#: cross-check with `python tools/window_planner.py` after
-#: CORRECTNESS_r11.json lands). The staged catch-up carry: 48 green-r8
-#: rotations missed the r11 window (all 50 r11 slots were consumed by
-#: older debt) and are pre-committed non-negotiable r12 slots, covered
-#: until then by the committed SWEEP_SF001_r11.json / SWEEP_SF01_r11.json
-#: sweep artifacts (every carry row green). At r12 they are joined by the 50 green-r9 rotations
-#: hitting the 3-round limit → 98 exhausted for 50 slots, so r12 ALSO
-#: stages: window = the 48 carried green-r8 + 2 oldest green-r9 (name
-#: tiebreak), carrying ~48 green-r9 to r13 with SWEEP_SF01_r12.json as
-#: evidence. r13 absorbs that carry within capacity (r11 greens are only
-#: 2 rounds stale then) — steady state resumes at r13.
+#: r12 OWED SET — ABSORBED: these 48 green-r8 rotations were carried out
+#: of the r11 window and now hold the first 48 WINDOW_HEAD slots above
+#: (kept as the machine-readable record the r11→r12 rotation test pins;
+#: historical once CORRECTNESS_r12 lands).
 R12_CARRY: tuple[str, ...] = (
     "click_days_no_purchase",
     "daily_active_cumulative",
@@ -210,6 +187,66 @@ R12_CARRY: tuple[str, ...] = (
     "user_rolling_stats",
     "value_correlations",
     "value_quantiles",
+)
+
+#: r13 OWED SET (window math for next round, decided now, not by slip;
+#: cross-check with ``python tools/window_planner.py`` after
+#: CORRECTNESS_r12.json lands). The final staging of the r10 catch-up:
+#: 48 green-r9 rotations hit the 3-round staleness limit at r12 but the
+#: window was consumed by the older green-r8 carry, so they are
+#: pre-committed non-negotiable r13 slots, covered in the interim by the
+#: committed SWEEP_SF01_r12.json sweep artifact (every carry row green).
+#: r13 = these 48 + 2 slots of green-r11 rotations, within capacity —
+#: the catch-up ends and steady state resumes.
+R13_CARRY: tuple[str, ...] = (
+    "customer_order_distribution",
+    "customer_snapshot_diff",
+    "discounted_revenue",
+    "disjunctive_band_revenue",
+    "distinct_counts",
+    "doc_ngram_jaccard",
+    "dup_audit",
+    "dup_audit_hourly",
+    "event_rolling_anomaly",
+    "event_value_percentiles",
+    "excess_volume_suppliers",
+    "filtered_count",
+    "hourly_rollup",
+    "idle_rich_customers",
+    "incremental_star_rollup",
+    "json_props",
+    "json_props_variant",
+    "large_volume_orders",
+    "late_shipment_priority",
+    "lineitem_contract",
+    "long_term_users",
+    "max_ts_per_user",
+    "min_cost_supplier",
+    "missingness",
+    "nation_market_share",
+    "nation_product_profit",
+    "native_session_window",
+    "outliers",
+    "part_concentration",
+    "part_supplier_variety",
+    "promo_revenue_share",
+    "referral_pagerank",
+    "referral_rollup",
+    "schema_projection",
+    "shipping_priority",
+    "sliding_window_stats",
+    "small_qty_revenue",
+    "streaming_attribution",
+    "streaming_contract",
+    "streaming_enrich",
+    "top_supplier",
+    "validate_counts",
+    "volume_shipping",
+    "waiting_suppliers",
+    "warehouse_change_feed",
+    "warehouse_skipping_scan",
+    "warehouse_time_travel",
+    "watermark_filter",
 )
 
 

@@ -23,6 +23,7 @@ from data_engineering_datawarehousingandetlpipeline_spark.plans import all_queri
 from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import (
     DEBUT_QUEUE,
     R12_CARRY,
+    R13_CARRY,
     WINDOW_HEAD,
 )
 
@@ -122,6 +123,53 @@ def test_registry_r12_carry_matches_the_planner():
     result = plan(registered, latest, last_green, changed={"incremental_distinct"})
     assert tuple(sorted(result["carry"])) == tuple(sorted(R12_CARRY))
     assert list(result["head"]) == list(WINDOW_HEAD)
+
+
+def test_registry_r13_carry_matches_the_planner():
+    """R13_CARRY (the final staging of the r10 catch-up) must be exactly
+    the planner's computed carry for the r12 plan, and the r12 window
+    must match WINDOW_HEAD. Skips once the r12 history lands."""
+    registered = list(all_queries())
+    latest, last_green = load_history(REPO_ROOT)
+    if latest != 11:
+        import pytest
+
+        pytest.skip("R13_CARRY is pinned to the r12 plan (history at r11)")
+    result = plan(registered, latest, last_green, changed=set())
+    assert tuple(sorted(result["carry"])) == tuple(sorted(R13_CARRY))
+    assert list(result["head"]) == list(WINDOW_HEAD)
+
+
+def test_sweep_evidence_accepts_the_carry_incurring_rounds_sweep(tmp_path):
+    """r11 verdict "What's wrong #1": the evidence check used to demand
+    SWEEP_*_r{N+1}.json the moment CORRECTNESS_r{N}.json landed — an
+    artifact that can only exist after round N+1's sweep runs — so
+    `pytest tests/` opened every carry round red. The fix: the sweep
+    committed for the carry-incurring round (N, whose full-registry run
+    proved every carried query green when the carry was declared) is
+    valid compensating evidence until the round-N+1 sweep exists."""
+    import json
+
+    green_row = {"err": None, "rows_match": True, "schema_match": True, "hash_match": True}
+    red_row = {"err": None, "rows_match": False, "schema_match": True, "hash_match": False}
+
+    # Only the round-12 (carry-incurring) sweep exists; round-13 doesn't.
+    (tmp_path / "SWEEP_SF01_r12.json").write_text(
+        json.dumps({"q_a": green_row, "q_b": green_row})
+    )
+    have_file, missing = sweep_evidence(str(tmp_path), 13, ["q_a", "q_b"])
+    assert have_file and not missing
+
+    # A carried query that is NOT green in any accepted artifact still fails.
+    (tmp_path / "SWEEP_SF01_r12.json").write_text(
+        json.dumps({"q_a": green_row, "q_b": red_row})
+    )
+    have_file, missing = sweep_evidence(str(tmp_path), 13, ["q_a", "q_b"])
+    assert have_file and missing == ["q_b"]
+
+    # No artifact for either round at all -> not evidenced.
+    have_file, missing = sweep_evidence(str(tmp_path), 15, ["q_a"])
+    assert not have_file and missing == ["q_a"]
 
 
 def test_planner_respects_changed_queries():

@@ -64,13 +64,19 @@ def main() -> int:
         all_queries,
     )
 
-    if len(WINDOW_HEAD) != 50 or len(set(WINDOW_HEAD)) != 50:
-        fail(f"WINDOW_HEAD must be exactly 50 unique names, got {len(WINDOW_HEAD)}")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from window_planner import WINDOW  # single source of the window size
+
+    if len(WINDOW_HEAD) != WINDOW or len(set(WINDOW_HEAD)) != WINDOW:
+        fail(f"WINDOW_HEAD must be exactly {WINDOW} unique names, got {len(WINDOW_HEAD)}")
     order = list(all_queries())
-    stranded = [n for n in MUST_VERIFY if order.index(n) >= 50]
+    unregistered = [n for n in MUST_VERIFY if n not in order]
+    if unregistered:
+        fail(f"MUST_VERIFY names not in the registry at all: {unregistered}")
+    stranded = [n for n in MUST_VERIFY if order.index(n) >= WINDOW]
     if stranded:
-        fail(f"MUST_VERIFY stranded outside the 50-slot window: {stranded}")
-    print(f"2. window OK: head=50, must_verify={len(MUST_VERIFY)} inside")
+        fail(f"MUST_VERIFY stranded outside the {WINDOW}-slot window: {stranded}")
+    print(f"2. window OK: head={WINDOW}, must_verify={len(MUST_VERIFY)} inside")
 
     # 3. every test module collects
     proc = subprocess.run(

@@ -145,13 +145,22 @@ def plan(
 def sweep_evidence(repo_root: str, next_round: int, carry: list[str]) -> tuple[bool, list[str]]:
     """Compensating-evidence check (amendment, rule 3): every carried
     query must hold a green row in a committed full-registry sweep
-    artifact for the catch-up round — SWEEP_SF001_r{next}.json (sf0.01,
+    artifact covering the carry period — SWEEP_SF001_r{N}.json (sf0.01,
     the tier the driver's own compare runs at) and/or
-    SWEEP_SF01_r{next}.json (sf0.1, the closing-protocol tier). A query
-    counts as evidenced when green in either tier."""
+    SWEEP_SF01_r{N}.json (sf0.1, the closing-protocol tier), for either
+    the catch-up round itself (``next_round``) or the round that
+    incurred the carry (``next_round - 1``, whose sweep proved every
+    carried query green at the moment the carry was declared). The
+    fallback closes the r11-verdict "What's wrong #1" gap: without it,
+    the suite went red the moment a round's CORRECTNESS file landed,
+    demanding a sweep artifact that can only exist after the NEXT
+    round's sweep runs. A query counts as evidenced when green in any
+    of the accepted artifacts."""
     paths = [
         os.path.join(repo_root, f"SWEEP_SF001_r{next_round:02d}.json"),
         os.path.join(repo_root, f"SWEEP_SF01_r{next_round:02d}.json"),
+        os.path.join(repo_root, f"SWEEP_SF001_r{next_round - 1:02d}.json"),
+        os.path.join(repo_root, f"SWEEP_SF01_r{next_round - 1:02d}.json"),
     ]
     green: set[str] = set()
     found = False
@@ -212,12 +221,17 @@ def main() -> int:
             repo_root, result["next_round"], result["carry"]
         )
         if not have_file:
+            # exit 1, matching the pytest gate (r11 advice: the CLI used
+            # to warn-and-exit-0 here, so running the planner standalone
+            # could not enforce amendment rule 3)
             print(
-                f"# compensating evidence NOT YET COMMITTED: the round "
-                f"must commit SWEEP_SF001_r{result['next_round']:02d}.json (sf0.01) or SWEEP_SF01 (sf0.1) "
+                f"POLICY BREACH: no compensating-evidence artifact "
+                f"committed — need SWEEP_SF001/SWEEP_SF01_r"
+                f"{result['next_round'] - 1:02d} or _r{result['next_round']:02d}.json "
                 "with green rows for every carried query.",
                 file=sys.stderr,
             )
+            return 1
         elif missing:
             print(
                 f"POLICY BREACH: carried queries without green sweep "
