@@ -121,6 +121,84 @@ def test_jaccard_cap_matches_brute_force_on_capped_vocab(spark):
         assert abs(j - truth[pair]) < 1e-12
 
 
+def _union_find_components(n_docs: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Ground truth: min doc id of each node's connected component."""
+    parent = list(range(n_docs))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_docs)}
+
+
+def test_near_dup_clusters_matches_union_find(spark):
+    """The delta-frontier label propagation (r12 rework: only improved
+    labels push, convergence probe fused into the round checkpoint) must
+    assign exactly the union-find component minimum — on random sparse
+    graphs, dense near-dup-like graphs, and chain graphs whose diameter
+    forces many propagation rounds."""
+    cases = []
+    rng = random.Random(5)
+    # random sparse graph
+    cases.append((40, [(rng.randrange(40), rng.randrange(40)) for _ in range(25)]))
+    # dense clique-ish components (the near-dup shape)
+    clique_edges = [
+        (a, b) for base in (0, 10, 20) for a, b in
+        itertools.combinations(range(base, base + 8), 2)
+    ]
+    cases.append((30, clique_edges))
+    # a 15-hop chain: worst-case diameter for propagation
+    cases.append((16, [(i, i + 1) for i in range(15)]))
+    for n_docs, edges in cases:
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(n_docs)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges if a != b] or [(0, 0)],
+            "doc_a long, doc_b long",
+        )
+        stats: dict = {}
+        got = {
+            r.doc_id: r.cluster_id
+            for r in dd.near_dup_clusters(docs, pairs, stats=stats).collect()
+        }
+        assert got == _union_find_components(n_docs, edges)
+        assert stats["rounds"] >= 1
+
+
+def test_near_dup_clusters_converges_in_eccentricity_rounds(spark):
+    """Convergence-rounds plan gate (r11 verdict order 7): on a star
+    graph centered at the min id, every label improves in round 1 and
+    the frontier empties in round 2 — the round count must not regress
+    past eccentricity + 1, the bound the 100 TB cost model assumes."""
+    n = 20
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    )
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    stats: dict = {}
+    got = {r.doc_id: r.cluster_id for r in dd.near_dup_clusters(docs, star, stats=stats).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 2, stats
+    # two disjoint 4-cliques: same bound, independent components in parallel
+    cliques = spark.createDataFrame(
+        [(a, b) for base in (0, 10) for a, b in itertools.combinations(range(base, base + 4), 2)],
+        "doc_a long, doc_b long",
+    )
+    stats = {}
+    dd.near_dup_clusters(docs, cliques, stats=stats).collect()
+    assert stats["rounds"] <= 2, stats
+
+
 def _brute_simhash(text: str, bits: int = 32) -> int:
     votes = [0] * bits
     for tok in dict.fromkeys(text.split()):
