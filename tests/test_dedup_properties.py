@@ -199,6 +199,24 @@ def test_near_dup_clusters_converges_in_eccentricity_rounds(spark):
     assert stats["rounds"] <= 2, stats
 
 
+def test_near_dup_clusters_rounds_are_logarithmic_in_diameter(spark):
+    """The pointer jump must keep round count ~log(diameter), not linear:
+    a 256-node chain (diameter 255) has to converge in ~log2 rounds —
+    the property that bounds shuffle-barrier count on a real cluster
+    (and the reason max_iterations=25 covers any realistic component)."""
+    n = 256
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    stats: dict = {}
+    got = {r.doc_id: r.cluster_id for r in dd.near_dup_clusters(docs, chain, stats=stats).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 10, stats  # measured 9; linear would be 256
+
+
 def _brute_simhash(text: str, bits: int = 32) -> int:
     votes = [0] * bits
     for tok in dict.fromkeys(text.split()):
