@@ -19,9 +19,13 @@ for a in list(sys.argv[1:]):
         sys.argv.remove(a)
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
 from pyspark.sql import SparkSession
+# SPARK_GRAFT_SHUFFLE_PARTITIONS overrides the default 8 for the
+# shuffle-layout-invariance check (r11: the window re-swept at 3
+# partitions to force different merge orders / AQE build sides)
+_shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.session.timeZone", "America/New_York")
-         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.shuffle.partitions", _shuffle)
          .config("spark.ui.enabled", "false").getOrCreate())
 import __spark_entry__ as E
 rows = E.entry(spark).collect()
