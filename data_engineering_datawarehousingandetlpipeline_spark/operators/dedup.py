@@ -579,15 +579,20 @@ def near_dup_clusters(
             F.col("label").alias("old"),
             F.least(F.col("label"), F.col("nmin")).alias("c1"),
         )
-        # pointer jump: label <- label[label] against this round's own
-        # candidate map. Candidates only ever hold node ids (min over
-        # ids), so every c1 resolves; the jump halves the remaining
-        # propagation distance, turning eccentricity-many rounds into
-        # ~log(eccentricity) on high-diameter components (measured 8 -> 4
-        # rounds on the sf0.1 pair graph) for one extra |V| equi-join
-        # per round. Jump-improved nodes land in the frontier too —
+        # pointer jump: label <- label[label] against the PREVIOUS
+        # round's checkpointed label map. Candidates only ever hold node
+        # ids (min over ids), so every c1 resolves; the jump halves the
+        # remaining propagation distance, turning eccentricity-many
+        # rounds into ~log(eccentricity) on high-diameter components,
+        # for one extra |V| equi-join per round. Jumping through the
+        # checkpointed `labels` (not this round's own candidate map)
+        # keeps the lut side a cheap ExistingRDD scan — a cand-based lut
+        # re-executes the whole cand subtree a second time per round,
+        # since cand is never materialized. Pointers are one round
+        # staler, which costs at most one extra round while halving
+        # per-round work. Jump-improved nodes land in the frontier too —
         # `improved` compares the FINAL label against the old one.
-        lut = cand.select(F.col("doc").alias("c1"), F.col("c1").alias("c2"))
+        lut = labels.select(F.col("doc").alias("c1"), F.col("label").alias("c2"))
         merged = (
             cand.join(lut, "c1", "left")
             .select(
