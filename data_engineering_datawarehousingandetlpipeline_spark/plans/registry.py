@@ -35,170 +35,26 @@ class QuerySpec:
 #: and everything else follows in module order. Rotation policy (also in
 #: COVERAGE.md): a query whose implementation changed, or that has never
 #: been driver-verified, MUST be in this list; multiply-green unchanged
-#: queries rotate out to make room and rotate back in later rounds.
+#: queries rotate out to make room and rotate back in later rounds. The
+#: window is COMPUTED, not hand-derived: ``python tools/window_planner.py
+#: --changed <CHANGED_QUERIES>`` after each round's CORRECTNESS lands,
+#: and tests/test_window_planning.py re-runs that math against the
+#: committed history (``PLANNED_FOR_HISTORY`` below) so this tuple can
+#: never drift from the policy.
 #:
-#: Round-12 window, the SECOND staging round of the catch-up forced by
-#: the lost round 10 (amendment documented in tools/window_planner.py;
-#: r11 verified the 2-debut + 1-changed + 47-oldest-stale head and
-#: carried these 48 green-r8 rotations as pre-committed non-negotiable
-#: slots — ``R12_CARRY`` below, covered in the interim by the committed
-#: SWEEP_SF001_r11.json / SWEEP_SF01_r11.json sweeps). Cross-checked by
-#: ``python tools/window_planner.py`` with the r11 history:
-#:
-#: r12 head = the 48 carried green-r8 rotations (exhausted, 4 rounds
-#: stale — the oldest debt) + the 2 oldest green-r9 exhausted names by
-#: tiebreak (approx_sketches, composite_sort) = 50. No debuts, no
-#: changed queries (registry frozen at 148 until the carry debt clears).
-#: The remaining 48 green-r9 rotations carry to r13 (``R13_CARRY``),
-#: evidenced by SWEEP_SF01_r12.json; r13 absorbs them within capacity
-#: (r11 greens are only 2 rounds stale then) — steady state resumes.
+#: Round-13 window: the CLOSING round of the staged catch-up forced by
+#: the lost round 10 (amendment history in tools/window_planner.py's
+#: docstring). The 48 exhausted green-r9 rotations pre-committed by the
+#: r12 plan (covered in the interim by the committed SWEEP_SF01_r12.json
+#: — every carried row green) take the first 48 slots, oldest-last-green
+#: order with name tiebreak; the 2 remaining slots rotate in the oldest
+#: green-r11 names by tiebreak (asof_last_error, day_window). No debuts,
+#: no changed queries. Once CORRECTNESS_r13 lands green, no registry
+#: query's last driver row is older than the staleness limit — the
+#: catch-up is closed and steady state resumes.
 WINDOW_HEAD: tuple[str, ...] = (
-    # the 48 green-r8 rotations carried from the r11 window (R12_CARRY)
-    "click_days_no_purchase",
-    "daily_active_cumulative",
-    "dashboard_summary",
-    "dedup_cluster_stats",
-    "dedup_hourly_last",
-    "dedup_keep_first",
-    "doc_cluster_keep",
-    "doc_dedup_clusters",
-    "doc_dsir_weights",
-    "doc_edit_distance",
-    "doc_exact_dedup",
-    "doc_fingerprints",
-    "doc_gopher_rules",
-    "doc_mixture_sample",
-    "doc_mixture_weights",
-    "doc_pii_scan",
-    "doc_quality_deciles",
-    "doc_simhash",
-    "doc_vocab_drift",
-    "emb_cosine_topk",
-    "emb_hard_negatives",
-    "emb_ivfpq_topk",
-    "emb_pq_topk",
-    "event_cube",
-    "event_funnel",
-    "event_grouping_sets",
-    "media_features",
-    "order_priority",
-    "part_type_stats",
-    "pivot_daily",
-    "pricing_summary",
-    "region_revenue",
-    "retrieval_rrf_ann",
-    "revenue_rollup",
-    "salted_enrich",
-    "salted_rollup",
-    "scd2_event_enrich",
-    "silence_report",
-    "source_overlap",
-    "split_leakage_audit",
-    "streaming_exact_dedup",
-    "supplier_volume",
-    "top_customers",
-    "top_orders_per_customer",
-    "user_day_overlap",
-    "user_rolling_stats",
-    "value_correlations",
-    "value_quantiles",
-    # the 2 oldest green-r9 exhausted rotations by name tiebreak
-    "approx_sketches",
-    "composite_sort",
-)
-
-#: Names that MUST sit inside the driver's 50-entry window this round:
-#: every query that has never received a driver row, every query whose
-#: implementation changed since its last green row, and every query at
-#: the exhausted ≤-3-round deferral limit. Enforced by
-#: tools/driver_sweep.py and tests/test_plan_quality.py so a rotation can
-#: never silently strand a debut (r6 verdict, marching order 5).
-#:
-#: r12 catch-up round: the ENTIRE window is again non-negotiable — the
-#: 48 carried green-r8 rotations + 2 exhausted green-r9 fill all 50
-#: slots (see the staged catch-up note above WINDOW_HEAD); the remaining
-#: 48 exhausted green-r9 rotations carry to r13 (``R13_CARRY``) with the
-#: committed SWEEP_SF01_r12.json sweep as compensating evidence.
-MUST_VERIFY: tuple[str, ...] = WINDOW_HEAD
-
-#: r12 DEBUT QUEUE — empty: no unverified queries remain (both r11
-#: debuts landed green in CORRECTNESS_r11). The registry is OVER the
-#: 3-round-rotation steady-state capacity (148 ≈ 3×50 − 2) and in staged
-#: catch-up; no new queries until the carry debt clears at r13
-#: (r11 verdict, marching order 4).
-#:
-#: Machine-readable; CI cross-checks this against the
-#: CORRECTNESS_r0*.json history (every never-driver-verified registry
-#: query must be here or in WINDOW_HEAD — tests/test_window_planning.py),
-#: and tools/window_planner.py consumes it to COMPUTE the next round's
-#: window instead of re-deriving the math by hand.
-DEBUT_QUEUE: tuple[str, ...] = ()
-
-#: r12 OWED SET — ABSORBED: these 48 green-r8 rotations were carried out
-#: of the r11 window and now hold the first 48 WINDOW_HEAD slots above
-#: (kept as the machine-readable record the r11→r12 rotation test pins;
-#: historical once CORRECTNESS_r12 lands).
-R12_CARRY: tuple[str, ...] = (
-    "click_days_no_purchase",
-    "daily_active_cumulative",
-    "dashboard_summary",
-    "dedup_cluster_stats",
-    "dedup_hourly_last",
-    "dedup_keep_first",
-    "doc_cluster_keep",
-    "doc_dedup_clusters",
-    "doc_dsir_weights",
-    "doc_edit_distance",
-    "doc_exact_dedup",
-    "doc_fingerprints",
-    "doc_gopher_rules",
-    "doc_mixture_sample",
-    "doc_mixture_weights",
-    "doc_pii_scan",
-    "doc_quality_deciles",
-    "doc_simhash",
-    "doc_vocab_drift",
-    "emb_cosine_topk",
-    "emb_hard_negatives",
-    "emb_ivfpq_topk",
-    "emb_pq_topk",
-    "event_cube",
-    "event_funnel",
-    "event_grouping_sets",
-    "media_features",
-    "order_priority",
-    "part_type_stats",
-    "pivot_daily",
-    "pricing_summary",
-    "region_revenue",
-    "retrieval_rrf_ann",
-    "revenue_rollup",
-    "salted_enrich",
-    "salted_rollup",
-    "scd2_event_enrich",
-    "silence_report",
-    "source_overlap",
-    "split_leakage_audit",
-    "streaming_exact_dedup",
-    "supplier_volume",
-    "top_customers",
-    "top_orders_per_customer",
-    "user_day_overlap",
-    "user_rolling_stats",
-    "value_correlations",
-    "value_quantiles",
-)
-
-#: r13 OWED SET (window math for next round, decided now, not by slip;
-#: cross-check with ``python tools/window_planner.py`` after
-#: CORRECTNESS_r12.json lands). The final staging of the r10 catch-up:
-#: 48 green-r9 rotations hit the 3-round staleness limit at r12 but the
-#: window was consumed by the older green-r8 carry, so they are
-#: pre-committed non-negotiable r13 slots, covered in the interim by the
-#: committed SWEEP_SF01_r12.json sweep artifact (every carry row green).
-#: r13 = these 48 + 2 slots of green-r11 rotations, within capacity —
-#: the catch-up ends and steady state resumes.
-R13_CARRY: tuple[str, ...] = (
+    # the 48 green-r9 rotations pre-committed by the r12 plan (the final
+    # catch-up carry; evidence: SWEEP_SF01_r12.json, all rows green)
     "customer_order_distribution",
     "customer_snapshot_diff",
     "discounted_revenue",
@@ -247,7 +103,83 @@ R13_CARRY: tuple[str, ...] = (
     "warehouse_skipping_scan",
     "warehouse_time_travel",
     "watermark_filter",
+    # the 2 oldest green-r11 rotations by name tiebreak
+    "asof_last_error",
+    "day_window",
 )
+
+#: The CORRECTNESS round the current WINDOW_HEAD was planned against
+#: (``latest`` in tools/window_planner.py terms: the head above is the
+#: planner's output for round PLANNED_FOR_HISTORY + 1). The generalized
+#: planner test recomputes the plan whenever the committed history sits
+#: at exactly this round and asserts WINDOW_HEAD matches; when a newer
+#: CORRECTNESS file lands, the test skips until the builder re-plans.
+PLANNED_FOR_HISTORY: int = 12
+
+#: Queries whose implementation changed since their last green driver
+#: row. The builder maintains this per round (the planner cannot see the
+#: diff); the planner pulls these into the window regardless of green
+#: history, and the generalized planner test feeds this exact set back
+#: into the recomputation. r13: none — the round's code changes are
+#: docstring/tooling only.
+CHANGED_QUERIES: tuple[str, ...] = ()
+
+#: Names that MUST sit inside the driver's 50-entry window this round:
+#: every query that has never received a driver row, every query whose
+#: implementation changed since its last green row, and every query at
+#: the exhausted deferral limit. Enforced by tools/driver_sweep.py,
+#: tools/closing_check.py and tests/test_plan_quality.py so a rotation
+#: can never silently strand a debut (r6 verdict, marching order 5).
+#:
+#: r13: the whole window is non-negotiable one last time — the 48
+#: pre-committed catch-up carries fill slots 1-48 and the 2 rotations
+#: close out the r11 greens. From r14 on this is debuts + CHANGED_QUERIES
+#: + the planner's exhausted set.
+MUST_VERIFY: tuple[str, ...] = WINDOW_HEAD
+
+#: DEBUT QUEUE — empty: every registered query has a green driver row.
+#: Machine-readable; CI cross-checks this against the
+#: CORRECTNESS_r0*.json history (every never-driver-verified registry
+#: query must be here or in WINDOW_HEAD — tests/test_window_planning.py),
+#: and tools/window_planner.py consumes it to COMPUTE the next round's
+#: window instead of re-deriving the math by hand.
+DEBUT_QUEUE: tuple[str, ...] = ()
+
+#: HISTORICAL — the r10 staged catch-up (r11→r13). The lost round 10
+#: (empty CORRECTNESS file: the registry was import-dead when the driver
+#: ran) left more exhausted deferrals than one 50-slot window holds; the
+#: amendment in tools/window_planner.py staged them: r11 verified the
+#: 2-debut + 1-changed + 47-oldest-stale head and carried 48 green-r8
+#: rotations (absorbed by the r12 window); r12 carried 48 green-r9
+#: rotations (absorbed by the r13 WINDOW_HEAD above). The carry tuples
+#: that staged this (R12_CARRY, R13_CARRY) are retired — git history
+#: (r12 tree) and the planner tests' skip markers hold the record; the
+#: per-round compensating evidence lives in the committed
+#: SWEEP_SF001/SWEEP_SF01 artifacts for r11 and r12.
+
+#: REGISTRY-GROWTH POLICY AT CAPACITY (decided r13 per the r12 verdict,
+#: marching order 5; pinned by tests/test_window_planning.py).
+#:
+#: History: the registry reached 148 queries at r9 — the ceiling of a
+#: 3-round rotation (3 × 50-slot window − 2 slack slots for debuts and
+#: changed queries). The lost round 10 then forced the three-round
+#: staged catch-up above, which is exactly what drifting past capacity
+#: without a policy looks like.
+#:
+#: Decision — option (a), a permanent FOUR-round rotation:
+#:   * ``window_planner.STALENESS_LIMIT`` is 4: every query re-verifies
+#:     against the driver at most 4 rounds apart;
+#:   * the compensating control is the per-round DUAL-TIER full-registry
+#:     sweep (SWEEP_SF001_r{N}.json at sf0.01, the tier the driver's own
+#:     compare runs at, + SWEEP_SF01_r{N}.json at sf0.1, the closing
+#:     tier), committed every round since r11: every registered query
+#:     keeps a builder-side oracle verdict EVERY round even when its
+#:     driver row is up to 4 rounds old;
+#:   * the ceiling is therefore REGISTRY_CEILING = 4 × 50 − 2 = 198;
+#:     registering query #199 is a hard breach (planner test), and if
+#:     the per-round sweeps ever stop landing, no debut is legal until
+#:     the registry is back under the 3-round ceiling of 148.
+REGISTRY_CEILING: int = 198
 
 
 #: The 22 TPC-H plan-shape adaptations (Q1..Q22, in Q order) — bench.py's

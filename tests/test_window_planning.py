@@ -21,9 +21,10 @@ import sys
 
 from data_engineering_datawarehousingandetlpipeline_spark.plans import all_queries
 from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import (
+    CHANGED_QUERIES,
     DEBUT_QUEUE,
-    R12_CARRY,
-    R13_CARRY,
+    PLANNED_FOR_HISTORY,
+    REGISTRY_CEILING,
     WINDOW_HEAD,
 )
 
@@ -108,36 +109,66 @@ def test_planner_window_satisfies_the_rotation_policy():
         assert not deferred_older, deferred_older
 
 
-def test_registry_r12_carry_matches_the_planner():
-    """R12_CARRY (the pre-committed staged-catch-up slots in the registry)
-    must be exactly the planner's computed carry for the round the history
-    currently points at, so the hand-maintained tuple can never drift from
-    the machine math. Skips once the r11 history lands (the carry then
-    belongs to the NEXT round's plan and rotates into WINDOW_HEAD)."""
+def test_window_head_matches_the_planner():
+    """The registry's WINDOW_HEAD must be EXACTLY the planner's output for
+    the history round it was planned against (registry.PLANNED_FOR_HISTORY,
+    with registry.CHANGED_QUERIES as the --changed set), so the committed
+    tuple can never drift from the machine math. This generalizes the
+    retired per-round carry-pinned tests (r12/r13 staged catch-up — see
+    the registry's HISTORICAL note and git history at the r12 tree): when
+    a NEWER CORRECTNESS file lands mid-round, the test skips until the
+    builder re-plans and bumps PLANNED_FOR_HISTORY."""
     registered = list(all_queries())
     latest, last_green = load_history(REPO_ROOT)
-    if latest != 10:
+    if latest != PLANNED_FOR_HISTORY:
         import pytest
 
-        pytest.skip("R12_CARRY is pinned to the r11 plan (history at r10)")
-    result = plan(registered, latest, last_green, changed={"incremental_distinct"})
-    assert tuple(sorted(result["carry"])) == tuple(sorted(R12_CARRY))
+        pytest.skip(
+            f"WINDOW_HEAD was planned against r{PLANNED_FOR_HISTORY} history "
+            f"(history now at r{latest}) — re-plan pending"
+        )
+    result = plan(registered, latest, last_green, changed=set(CHANGED_QUERIES))
     assert list(result["head"]) == list(WINDOW_HEAD)
+    # any carry must already hold compensating sweep evidence (amendment
+    # rule 3) — steady state expects no carry at all
+    if result["carry"]:
+        have_file, missing = sweep_evidence(
+            REPO_ROOT, result["next_round"], result["carry"]
+        )
+        assert have_file and not missing, (result["carry"], missing)
 
 
-def test_registry_r13_carry_matches_the_planner():
-    """R13_CARRY (the final staging of the r10 catch-up) must be exactly
-    the planner's computed carry for the r12 plan, and the r12 window
-    must match WINDOW_HEAD. Skips once the r12 history lands."""
+def test_registry_growth_policy_is_pinned():
+    """The registry-growth policy decided at r13 (registry.py:
+    REGISTRY_CEILING): a permanent 4-round rotation whose ceiling is
+    STALENESS_LIMIT × WINDOW − 2, with the per-round dual-tier
+    full-registry sweep as the compensating control. Pins (a) the policy
+    constants to each other, (b) the registry size under the ceiling, and
+    (c) the compensating control itself: while the registry is past the
+    3-round ceiling, the committed sweep artifacts for the planned-against
+    round must exist and hold a green row for EVERY registered query."""
+    from window_planner import STALENESS_LIMIT
+
+    assert STALENESS_LIMIT == 4
+    assert REGISTRY_CEILING == STALENESS_LIMIT * WINDOW - 2
     registered = list(all_queries())
-    latest, last_green = load_history(REPO_ROOT)
-    if latest != 11:
-        import pytest
-
-        pytest.skip("R13_CARRY is pinned to the r12 plan (history at r11)")
-    result = plan(registered, latest, last_green, changed=set())
-    assert tuple(sorted(result["carry"])) == tuple(sorted(R13_CARRY))
-    assert list(result["head"]) == list(WINDOW_HEAD)
+    assert len(registered) <= REGISTRY_CEILING, (
+        f"{len(registered)} queries exceed the {STALENESS_LIMIT}-round "
+        f"rotation ceiling {REGISTRY_CEILING} — shrink or re-decide the policy"
+    )
+    three_round_ceiling = 3 * WINDOW - 2
+    if len(registered) > three_round_ceiling:
+        have_file, missing = sweep_evidence(
+            REPO_ROOT, PLANNED_FOR_HISTORY + 1, registered
+        )
+        assert have_file, (
+            "registry past the 3-round ceiling requires the per-round "
+            f"dual-tier sweep artifacts for r{PLANNED_FOR_HISTORY} or "
+            f"r{PLANNED_FOR_HISTORY + 1} committed as compensating control"
+        )
+        assert not missing, (
+            f"registered queries without green sweep evidence: {missing}"
+        )
 
 
 def test_sweep_evidence_accepts_the_carry_incurring_rounds_sweep(tmp_path):
@@ -170,6 +201,31 @@ def test_sweep_evidence_accepts_the_carry_incurring_rounds_sweep(tmp_path):
     # No artifact for either round at all -> not evidenced.
     have_file, missing = sweep_evidence(str(tmp_path), 15, ["q_a"])
     assert not have_file and missing == ["q_a"]
+
+
+def test_sweep_evidence_newest_verdict_wins(tmp_path):
+    """r12 advice #3: a query red in the CURRENT round's committed sweep
+    must not be masked by a green row in the previous round's artifact —
+    the newer artifact's verdict governs for every query it covers; the
+    older round is a fallback only for queries the newer one omits."""
+    import json
+
+    green = {"err": None, "rows_match": True, "schema_match": True, "hash_match": True}
+    red = {"err": None, "rows_match": False, "schema_match": True, "hash_match": False}
+
+    # q_a regressed in r13; q_b is only covered by the r12 artifact.
+    (tmp_path / "SWEEP_SF01_r12.json").write_text(
+        json.dumps({"q_a": green, "q_b": green})
+    )
+    (tmp_path / "SWEEP_SF01_r13.json").write_text(json.dumps({"q_a": red}))
+    have_file, missing = sweep_evidence(str(tmp_path), 13, ["q_a", "q_b"])
+    assert have_file and missing == ["q_a"]
+
+    # Within one round, a query present in both tiers must be green in
+    # BOTH — a red sf0.1 row is not excused by a green sf0.01 row.
+    (tmp_path / "SWEEP_SF001_r13.json").write_text(json.dumps({"q_a": green}))
+    have_file, missing = sweep_evidence(str(tmp_path), 13, ["q_a"])
+    assert have_file and missing == ["q_a"]
 
 
 def test_planner_respects_changed_queries():

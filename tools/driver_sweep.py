@@ -41,12 +41,15 @@ if len(sys.argv) > 1:
     assert not unknown, f"unknown query names: {unknown}"
     qs = {n: qs[n] for n in sys.argv[1:]}
 # window check: every never-driver-verified or changed-this-round query
-# (registry MUST_VERIFY annotation) must sit inside the driver's first-50
-# window, so a rotation can never silently strand a debut.
+# (registry MUST_VERIFY annotation) must sit inside the driver's window,
+# so a rotation can never silently strand a debut. WINDOW comes from
+# window_planner (the single source of the window size — r12 advice #4).
 from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import all_queries, MUST_VERIFY
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent))
+from window_planner import WINDOW
 order = list(all_queries())
-mis = [(n, order.index(n)) for n in MUST_VERIFY if order.index(n) >= 50]
-assert not mis, f"MUST_VERIFY queries stranded outside the 50-slot window: {mis}"
+mis = [(n, order.index(n)) for n in MUST_VERIFY if order.index(n) >= WINDOW]
+assert not mis, f"MUST_VERIFY queries stranded outside the {WINDOW}-slot window: {mis}"
 print(f"window positions OK ({len(MUST_VERIFY)} must-verify inside); total queries:", len(order))
 def norm(v):
     if isinstance(v, decimal.Decimal): v = float(v)

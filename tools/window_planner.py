@@ -5,8 +5,9 @@ The driver verifies only the FIRST 50 registry entries per round
 
 1. never-driver-verified queries (``DEBUT_QUEUE`` + any window debut that
    failed to land) take slots first — a debut is never deferred;
-2. queries whose last green row would be > 3 rounds old by the round
-   AFTER next cannot defer again ("exhausted deferrals") and go second;
+2. queries whose last green row would be > STALENESS_LIMIT rounds old by
+   the round AFTER next cannot defer again ("exhausted deferrals") and go
+   second;
 3. remaining slots go to the queries with the OLDEST last-green round
    (deepest-staleness-first), name as the deterministic tiebreak.
 
@@ -49,10 +50,12 @@ which no single-round plan can satisfy. The amended policy:
 4. debuts + changed overflowing the window ALONE is still a hard breach
    (exit 1) — catch-up staging only applies to exhausted rotations.
 
-With the r10 loss this projects: r11 window = 2 debuts + 1 changed + 47
+With the r10 loss this projected: r11 window = 2 debuts + 1 changed + 47
 oldest-stale (all 46 green-r7 + 1 green-r8), carrying ~48 green-r8; r12
-window = that carry + 2 green-r9, carrying ~48 green-r9; r13 absorbs the
-remaining 48 within capacity — steady state again by r13.
+window = that carry + 2 green-r9, carrying ~48 green-r9; r13 absorbed the
+remaining 48 within capacity. That is exactly how r11-r13 ran — the
+catch-up closed at r13 and steady state resumed under the permanent
+4-round rotation (registry.py: REGISTRY_CEILING policy).
 """
 
 from __future__ import annotations
@@ -69,7 +72,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from data_engineering_datawarehousingandetlpipeline_spark.plans import all_queries
 
 WINDOW = 50
-STALENESS_LIMIT = 3  # a query re-verifies at most this many rounds apart
+#: A query re-verifies against the driver at most this many rounds apart.
+#: Raised 3 → 4 at r13 under the registry-growth policy (registry.py:
+#: REGISTRY_CEILING): the per-round dual-tier full-registry sweep
+#: artifacts are the compensating control for the extra round of driver
+#: staleness, and the registry ceiling is STALENESS_LIMIT × WINDOW − 2.
+STALENESS_LIMIT = 4
 
 
 def load_history(repo_root: str) -> tuple[int, dict[str, int]]:
@@ -142,6 +150,15 @@ def plan(
     }
 
 
+def _sweep_row_green(row: dict) -> bool:
+    return (
+        row.get("err") is None
+        and bool(row.get("rows_match"))
+        and bool(row.get("schema_match"))
+        and bool(row.get("hash_match", True))
+    )
+
+
 def sweep_evidence(repo_root: str, next_round: int, carry: list[str]) -> tuple[bool, list[str]]:
     """Compensating-evidence check (amendment, rule 3): every carried
     query must hold a green row in a committed full-registry sweep
@@ -154,33 +171,33 @@ def sweep_evidence(repo_root: str, next_round: int, carry: list[str]) -> tuple[b
     fallback closes the r11-verdict "What's wrong #1" gap: without it,
     the suite went red the moment a round's CORRECTNESS file landed,
     demanding a sweep artifact that can only exist after the NEXT
-    round's sweep runs. A query counts as evidenced when green in any
-    of the accepted artifacts."""
-    paths = [
-        os.path.join(repo_root, f"SWEEP_SF001_r{next_round:02d}.json"),
-        os.path.join(repo_root, f"SWEEP_SF01_r{next_round:02d}.json"),
-        os.path.join(repo_root, f"SWEEP_SF001_r{next_round - 1:02d}.json"),
-        os.path.join(repo_root, f"SWEEP_SF01_r{next_round - 1:02d}.json"),
-    ]
-    green: set[str] = set()
-    found = False
-    for path in paths:
-        if not os.path.exists(path):
-            continue
-        found = True
-        with open(path) as fh:
-            rows = json.load(fh)
-        green.update(
-            n
-            for n, row in rows.items()
-            if row.get("err") is None
-            and row.get("rows_match")
-            and row.get("schema_match")
-            and row.get("hash_match", True)
-        )
-    if not found:
+    round's sweep runs.
+
+    NEWEST VERDICT WINS (r12 advice #3): when the ``next_round``
+    artifacts exist and cover a query, THEIR verdict governs — a query
+    red in the newer sweep is not evidenced, no matter how green an
+    older artifact says it was. The ``next_round - 1`` artifacts are a
+    fallback only for queries the newer sweep doesn't cover. Within one
+    round, a query present in both tiers must be green in both."""
+    rounds_rows: list[dict[str, list[dict]]] = []
+    for rnd in (next_round, next_round - 1):
+        rows: dict[str, list[dict]] = {}
+        for tier in ("SWEEP_SF001", "SWEEP_SF01"):
+            path = os.path.join(repo_root, f"{tier}_r{rnd:02d}.json")
+            if not os.path.exists(path):
+                continue
+            with open(path) as fh:
+                for name, row in json.load(fh).items():
+                    rows.setdefault(name, []).append(row)
+        rounds_rows.append(rows)
+    if not any(rounds_rows):
         return False, list(carry)
-    return True, [n for n in carry if n not in green]
+    missing = []
+    for name in carry:
+        rows = next((r[name] for r in rounds_rows if name in r), None)
+        if rows is None or not all(_sweep_row_green(row) for row in rows):
+            missing.append(name)
+    return True, missing
 
 
 def main() -> int:
@@ -246,6 +263,15 @@ def main() -> int:
         print(
             "POLICY BREACH: debuts + changed alone exceed the window — "
             "split debuts across rounds or shrink the registry.",
+            file=sys.stderr,
+        )
+        return 1
+    ceiling = STALENESS_LIMIT * WINDOW - 2
+    if len(registered) > ceiling:
+        print(
+            f"POLICY BREACH: {len(registered)} registered queries exceed "
+            f"the {STALENESS_LIMIT}-round-rotation ceiling of {ceiling} "
+            "(registry.py: REGISTRY_CEILING) — do not debut past capacity.",
             file=sys.stderr,
         )
         return 1
