@@ -211,6 +211,134 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    shingle_width: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING — same output as
+    :func:`jaccard_pairs`, asymptotically cheaper candidate generation at
+    high thresholds.
+
+    The classic exact-set-similarity join optimization (Chaudhuri et al.,
+    SSJoin, ICDE 2006; Xiao et al., PPJoin, WWW 2008), re-expressed as
+    DataFrame ops. Under any one global total order of the shingle
+    universe, if J(A,B) ≥ t then |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and a pair
+    with overlap ≥ α must share a shingle within the first
+    |d| − α + 1 shingles of EACH side — so indexing only each document's
+    ``⌊(1−t)·|d|⌋ + 1``-shingle prefix loses no qualifying pair. The
+    global order is (document frequency ASC, shingle ASC): rarest first,
+    which makes prefixes the LOW-fan-out end of the vocabulary, so the
+    candidate self-join fans out over Σ df_prefix² instead of Σ df² —
+    at t = 0.9 the prefix is ~10 % of each document and made of its
+    rarest shingles, collapsing candidate volume by orders of magnitude
+    on natural corpora.
+
+    Stages (all bounded, no corpus-quadratic step):
+
+    1. shingle + document frequency: one ``groupBy(shingle)`` partial
+       aggregation (hot shingles never materialize a group);
+    2. per-document prefix: ``row_number`` over the doc partition ordered
+       by (df, shingle) — bounded by document length, never corpus skew;
+    3. candidate join: prefix-postings self-join on the shingle with the
+       lossless size prune inside the condition, then DISTINCT pairs;
+    4. verify: candidates join the full distinct-shingle arrays of both
+       sides; exact Jaccard via ``array_intersect`` — O(|candidates| ×
+       doc size), identical arithmetic to :func:`jaccard_pairs`.
+
+    ``max_doc_freq`` composes exactly as in :func:`jaccard_pairs`
+    (capped-vocabulary Jaccard): over-cap shingles leave the index before
+    frequencies feed the prefix order, set sizes are recomputed over the
+    surviving vocabulary, and the verify arrays are rebuilt from the
+    pruned postings so both implementations score the identical capped
+    sets.
+
+    Status: r13 staging — output-equivalence to ``jaccard_pairs`` is
+    property-tested (tests/test_prefix_jaccard.py); the registered
+    cluster-family queries switch to it in r14 under the rotation policy
+    (their window slots were pre-committed before this function landed).
+    """
+    shingled = spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            word_shingles(F.col(text_col), shingle_width)
+        ).alias("shingles"),
+    )
+    exploded = shingled.select(
+        "doc", F.explode("shingles").alias("shingle")
+    ).localCheckpoint(eager=False)
+    # shingles are distinct per doc, so count(*) IS the doc frequency
+    freqs = exploded.groupBy("shingle").agg(F.count("*").alias("df_count"))
+    if max_doc_freq is not None:
+        hot = freqs.filter(F.col("df_count") > max_doc_freq).select("shingle")
+        surviving = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+        indexed = surviving.join(freqs, "shingle")
+    else:
+        surviving = exploded
+        indexed = exploded.join(freqs, "shingle")
+    # per-doc set size over the (possibly capped) vocabulary, and the
+    # rarest-first rank that defines the prefix
+    w_doc = Window.partitionBy("doc")
+    w_rank = w_doc.orderBy(F.col("df_count").asc(), F.col("shingle").asc())
+    # prefix length ℓ = d − ⌈t·d⌉ + 1 (the exact lossless bound: a pair at
+    # J ≥ t overlaps by ≥ ⌈t·max⌉ ≥ ⌈t·d⌉ on each side, so the last
+    # ⌈t·d⌉ − 1 shingles alone can never cover the overlap). The 1e-9
+    # guard keeps double rounding from pushing ⌈t·d⌉ UP at exact-integer
+    # boundaries (t = 0.9, d = 10: fp ceil(9.000000000000002) = 10 would
+    # shorten the prefix below the bound — lossy); erring down merely
+    # lengthens the prefix by one, which is conservative, never lossy.
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("int")
+        + F.lit(1)
+    )
+    prefix = (
+        indexed.withColumn("n", F.count("*").over(w_doc))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= prefix_len)
+        .select("doc", "n", "shingle")
+    )
+    cond = (
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc") < F.col("b.doc"))
+        & size_prune_cond(F.col("a.n"), F.col("b.n"), threshold)
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), cond)
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    # verify on the full (capped) distinct-shingle arrays — exact
+    # string-set intersection, so results are bit-identical to
+    # jaccard_pairs' aggregation arithmetic
+    if max_doc_freq is not None:
+        arrays = surviving.groupBy("doc").agg(
+            F.collect_set("shingle").alias("s")
+        )
+    else:
+        arrays = shingled.select("doc", F.col("shingles").alias("s"))
+    a = arrays.select(F.col("doc").alias("doc_a"), F.col("s").alias("sa"))
+    b = arrays.select(F.col("doc").alias("doc_b"), F.col("s").alias("sb"))
+    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                common.cast("double")
+                / (F.size("sa") + F.size("sb") - common).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def token_hash_array(text: Column) -> Column:
     """array<bigint> of 32-bit md5-derived hashes of the distinct tokens.
 
@@ -520,11 +648,14 @@ def near_dup_clusters(
       |edges ⋈ frontier|, which collapses after round 1 on the dense
       components near-dup graphs produce;
     - each round ends with a pointer jump (``label ← label[label]``
-      against the round's own candidate map), halving the remaining
-      propagation distance: rounds drop from the min-node's eccentricity
-      to ~log of it (measured 8 → 5 on the sf0.1 pair graph) for one
-      extra |V| equi-join per round — at cluster scale every round is a
-      full shuffle barrier, so round count is the term that matters;
+      against the PREVIOUS round's checkpointed label map — deliberately
+      NOT the round's own candidate map, whose un-materialized subtree
+      would re-execute per jump; see the inline comment), halving the
+      remaining propagation distance: rounds drop from the min-node's
+      eccentricity to ~log of it (measured 8 → 5 on the sf0.1 pair
+      graph) for one extra |V| equi-join per round — at cluster scale
+      every round is a full shuffle barrier, so round count is the term
+      that matters;
     - the convergence probe is FUSED into the round's checkpoint: the
       ``improved`` flag rides the materialized result, so detecting
       quiescence is a scan of already-checkpointed partitions
@@ -538,6 +669,15 @@ def near_dup_clusters(
     propagation + jumping already gives the logarithmic behavior on
     every graph shape in this workload. Pass ``stats`` to receive
     ``{"rounds": n}`` back (the convergence-rounds plan gate reads it).
+
+    PRECONDITION: every ``doc_a``/``doc_b`` in ``pairs`` must be an id
+    present in ``df`` (r12 advice #2). The round-1 min(src) aggregation
+    folds edge endpoints directly into labels, so an id foreign to
+    ``df`` would survive ``least()`` and become a real document's
+    ``cluster_id``. Every in-repo pair detector (exact, Jaccard,
+    MinHash, SimHash, embedding) derives pairs from ``df`` itself, so
+    the precondition holds by construction; callers feeding externally
+    sourced pairs must semi-join them against ``df`` first.
     """
     docs = df.select(F.col(id_col).alias("doc")).distinct()
     directed = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
