@@ -256,10 +256,19 @@ def jaccard_pairs_prefix(
     pruned postings so both implementations score the identical capped
     sets.
 
-    Status: r13 staging — output-equivalence to ``jaccard_pairs`` is
-    property-tested (tests/test_prefix_jaccard.py); the registered
-    cluster-family queries switch to it in r14 under the rotation policy
-    (their window slots were pre-committed before this function landed).
+    Status (measured r13, sf0.1, deep calm): on THIS workload's
+    replica-dense corpus the postings join WINS (pair phase 2.76 s vs
+    4.41 s prefix; full cluster pipeline 7.50 s vs 9.66 s, identical
+    964,854-pair output) — 96 % of candidate mass there is TRUE pairs,
+    so prefix filtering cannot shrink the join and its df-rank/verify
+    stages are pure overhead. The registered queries therefore STAY on
+    :func:`jaccard_pairs`; this variant is the documented alternative
+    for natural low-duplication corpora, where candidate mass is
+    dominated by false positives of hot shingles and Σ df_prefix² ≪
+    Σ df² is the difference between feasible and not. Output
+    equivalence is property-tested either way
+    (tests/test_prefix_jaccard.py), so switching per-corpus is a
+    one-line call-site choice, not a semantics decision.
     """
     shingled = spread(df).select(
         F.col(id_col).alias("doc"),

@@ -1,13 +1,16 @@
 """Equivalence + plan-shape gates for the prefix-filtered exact Jaccard join.
 
-``jaccard_pairs_prefix`` (r13 staging; SSJoin/PPJoin prefix filtering) must
-produce EXACTLY the pairs of ``jaccard_pairs`` — same (doc_a, doc_b) sets,
-same jaccard values — across thresholds, shingle widths, df-caps, and
-adversarial corpora, because the r14 plan swaps the registered
-cluster-family queries onto it with unchanged oracles. The interesting
-failure modes are boundary ones: prefix length at exact-integer t·d
-(float ceil), ties in the (df, shingle) global order, capped-vocabulary
-set-size recomputation, and documents whose every shingle is hot.
+``jaccard_pairs_prefix`` (SSJoin/PPJoin prefix filtering) must produce
+EXACTLY the pairs of ``jaccard_pairs`` — same (doc_a, doc_b) sets, same
+jaccard values — across thresholds, shingle widths, df-caps, and
+adversarial corpora, so that choosing between them is a pure cost
+decision per corpus shape (measured r13: postings wins on the
+replica-dense bench corpus, prefix is the declared alternative for
+natural low-duplication vocabularies — see the operator docstring).
+The interesting failure modes are boundary ones: prefix length at
+exact-integer t·d (float ceil), ties in the (df, shingle) global order,
+capped-vocabulary set-size recomputation, and documents whose every
+shingle is hot.
 """
 
 from __future__ import annotations
