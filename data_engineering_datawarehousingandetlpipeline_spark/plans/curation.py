@@ -626,6 +626,181 @@ ORDER BY d.doc_id
 """
 
 
+# ------------------------------------------------ corpus-order novelty
+
+#: Novelty shingle width. Trigrams: wide enough that the synthetic corpus
+#: (31-word vocabulary) still has ~16k distinct grams at sf0.01 — a real
+#: novelty gradient — and the construction matches the other gram oracles.
+NOVELTY_WIDTH = 3
+
+
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order n-gram novelty per document (r13 debut).
+
+    The dataset-curation "what does each document ADD?" audit: a
+    document's novelty is the fraction of its distinct trigrams whose
+    FIRST corpus occurrence (min doc_id) is this document. Early
+    documents score high by construction; late near-duplicates score ~0 —
+    the curve is the diminishing-returns signal used to decide when a
+    source is mined out.
+
+    Scale shape: one pruned scan → distinct-shingle explode →
+    ``groupBy(shingle).min(doc_id)`` (partial-aggregated; a hot shingle
+    never materializes a group) → ``groupBy(first_doc).count()`` — the
+    novel-count per doc falls out of the first-occurrence table with NO
+    join back to postings; the only per-doc join is against the tiny
+    (doc_id, n_grams) projection. Two bounded shuffles total, both on
+    scalable keys.
+    """
+    docs = _docs(spark, sf_dir)
+    shingled = docs.select(
+        "doc_id",
+        F.array_distinct(
+            tx.word_shingles(F.col("text"), NOVELTY_WIDTH)
+        ).alias("gs"),
+    ).localCheckpoint(eager=False)
+    posted = shingled.select("doc_id", F.explode("gs").alias("gram"))
+    novel = (
+        posted.groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count("*").alias("n_novel"))
+        .select(F.col("first_doc").alias("doc_id"), "n_novel")
+    )
+    return (
+        shingled.select("doc_id", F.size("gs").alias("n_grams"))
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_doc_ngram_novelty() -> str:
+    w = NOVELTY_WIDTH
+    return f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= {w}
+       THEN [array_to_string(toks[i:i+{w - 1}], ' ')
+             for i in range(1, len(toks) - {w - 2})]
+       ELSE [array_to_string(toks, ' ')] END) AS gs
+  FROM t
+), posted AS (
+  SELECT doc_id, unnest(gs) AS gram FROM g
+), novel AS (
+  SELECT first_doc AS doc_id, COUNT(*) AS n_novel FROM (
+    SELECT gram, MIN(doc_id) AS first_doc FROM posted GROUP BY gram
+  ) GROUP BY first_doc
+)
+SELECT g.doc_id,
+       CAST(len(gs) AS BIGINT) AS n_grams,
+       CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+       round(CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / len(gs), 6) AS novelty
+FROM g LEFT JOIN novel n USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+SQL_DOC_NGRAM_NOVELTY = _sql_doc_ngram_novelty()
+
+
+# --------------------------------------------- cross-source dup matrix
+
+def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix (r13 debut).
+
+    The actionable companion to ``source_overlap`` (gram-level) and
+    ``dedup_cluster_stats`` (corpus-level): for every unordered source
+    pair, how many near-duplicate DOCUMENT pairs (exact unigram Jaccard
+    ≥ the house threshold, same detector as the cluster family) cross
+    it, and at what mean similarity. The diagonal (source_a = source_b)
+    is within-source duplication — the rows that tell a data team which
+    feeds to dedup against which before mixing.
+
+    Scale shape: the pair detector is the shared bounded inverted-index
+    join; attaching sources is two id-keyed joins bounded by
+    |pairs| + |docs| (the sources ride the doc ids — no broadcast of the
+    corpus); the final aggregate is ≤ |sources|² rows. The mean jaccard
+    is decimal-anchored (functions/numeric.py) so both engines sum
+    identical decimals in any order.
+    """
+    docs = _docs(spark, sf_dir)
+    pairs = dd.jaccard_pairs(
+        docs, threshold=MINHASH_JACCARD_THRESHOLD, shingle_width=1
+    )
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.try_divide(dsum(F.col("jaccard"), wide=True), F.count("*")), 6
+            ).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _sql_source_dup_matrix() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, list_distinct({SQL_TOKS}) AS t FROM documents
+), sizes AS (
+  SELECT doc, len(t) AS n FROM toks
+), postings AS (
+  SELECT doc, unnest(t) AS token FROM toks
+), common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+  FROM postings a JOIN postings b ON a.token = b.token AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+), pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE)
+           AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE)
+        >= {MINHASH_JACCARD_THRESHOLD}
+), lab AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         jaccard
+  FROM pairs
+  JOIN documents da ON da.doc_id = doc_a
+  JOIN documents db ON db.doc_id = doc_b
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round({sql_dsum('jaccard', wide=True)} / COUNT(*), 6) AS avg_jaccard
+FROM lab
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+SQL_SOURCE_DUP_MATRIX = _sql_source_dup_matrix()
+
+
 QUERIES = [
     QuerySpec("doc_dsir_weights", q_doc_dsir_weights, SQL_DOC_DSIR_WEIGHTS,
               "DSIR importance weights: hashed-unigram target-vs-raw "
@@ -648,4 +823,12 @@ QUERIES = [
               "CCNet-style quality scoring: per-doc average unigram "
               "surprisal under the smoothed corpus LM",
               tags=("text", "quality")),
+    QuerySpec("doc_ngram_novelty", q_doc_ngram_novelty,
+              SQL_DOC_NGRAM_NOVELTY,
+              "corpus-order trigram novelty per document "
+              "(diminishing-returns curve)", tags=("text", "sample")),
+    QuerySpec("source_dup_matrix", q_source_dup_matrix,
+              SQL_SOURCE_DUP_MATRIX,
+              "cross-source near-duplicate document-pair matrix "
+              "(counts + anchored mean jaccard)", tags=("dedup", "text")),
 ]

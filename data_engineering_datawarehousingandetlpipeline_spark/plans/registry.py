@@ -137,13 +137,24 @@ CHANGED_QUERIES: tuple[str, ...] = ()
 #: + the planner's exhausted set.
 MUST_VERIFY: tuple[str, ...] = WINDOW_HEAD
 
-#: DEBUT QUEUE — empty: every registered query has a green driver row.
+#: DEBUT QUEUE — queries implemented AFTER this round's window was
+#: committed (the r13 window was pre-committed by the catch-up plan, so
+#: debuts park here and take r14 slots first, per policy rule 1; the
+#: planner test recomputes the committed window with these names
+#: excluded, since they did not exist when it was planned).
 #: Machine-readable; CI cross-checks this against the
 #: CORRECTNESS_r0*.json history (every never-driver-verified registry
 #: query must be here or in WINDOW_HEAD — tests/test_window_planning.py),
 #: and tools/window_planner.py consumes it to COMPUTE the next round's
 #: window instead of re-deriving the math by hand.
-DEBUT_QUEUE: tuple[str, ...] = ()
+#:
+#: r13 debuts (the first under the REGISTRY_CEILING growth policy below;
+#: registry 148 → 150): both verified oracle-green at sf0.01 AND sf0.1
+#: in the re-run round sweeps before registration.
+DEBUT_QUEUE: tuple[str, ...] = (
+    "doc_ngram_novelty",
+    "source_dup_matrix",
+)
 
 #: HISTORICAL — the r10 staged catch-up (r11→r13). The lost round 10
 #: (empty CORRECTNESS file: the registry was import-dead when the driver

@@ -118,7 +118,12 @@ def test_window_head_matches_the_planner():
     the registry's HISTORICAL note and git history at the r12 tree): when
     a NEWER CORRECTNESS file lands mid-round, the test skips until the
     builder re-plans and bumps PLANNED_FOR_HISTORY."""
-    registered = list(all_queries())
+    # DEBUT_QUEUE holds queries implemented AFTER the window was
+    # committed — the planner could not have seen them, so the
+    # recomputation excludes them (their own gate is
+    # test_debut_queue_is_exactly_the_never_verified_overflow + the
+    # next round's debut-first rule).
+    registered = [n for n in all_queries() if n not in set(DEBUT_QUEUE)]
     latest, last_green = load_history(REPO_ROOT)
     if latest != PLANNED_FOR_HISTORY:
         import pytest
@@ -158,8 +163,12 @@ def test_registry_growth_policy_is_pinned():
     )
     three_round_ceiling = 3 * WINDOW - 2
     if len(registered) > three_round_ceiling:
+        # DEBUT_QUEUE names have no stale driver row to compensate for —
+        # they are gated by the debut-first rule (next round's window)
+        # instead; everything else must hold a current sweep verdict.
+        covered = [n for n in registered if n not in set(DEBUT_QUEUE)]
         have_file, missing = sweep_evidence(
-            REPO_ROOT, PLANNED_FOR_HISTORY + 1, registered
+            REPO_ROOT, PLANNED_FOR_HISTORY + 1, covered
         )
         assert have_file, (
             "registry past the 3-round ceiling requires the per-round "
