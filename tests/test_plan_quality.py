@@ -1048,3 +1048,26 @@ def test_tpch_tier_is_registered_and_cites_its_shape():
         assert name in qs, name
         doc = (inspect.getdoc(qs[name].fn) or "") + " " + qs[name].description
         assert re.search(rf"Q{i}\b", doc), (name, f"Q{i} not cited")
+
+
+def test_ngram_novelty_is_two_bounded_shuffles_one_materialization(spark):
+    """doc_ngram_novelty (r13 debut) must shingle the corpus ONCE (the
+    pinned distinct-shingle table feeds both the postings explode and the
+    per-doc size projection as ExistingRDD scans), aggregate
+    first-occurrence on the gram key and novel counts on the doc key —
+    partial-agged, so a hot gram never materializes a group — and attach
+    the novel counts without any postings re-join. No window, no
+    cartesian, nothing quadratic: at warehouse scale cost is one corpus
+    pass + two bounded shuffles."""
+    plan = _plan(spark, "doc_ngram_novelty")
+    # the checkpoint pins one shingling; both consumers read ExistingRDD
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert plan.count("Generate explode") == 1
+    # gram-keyed first-occurrence + doc-keyed novel count, each with a
+    # map-side partial pair (4 HashAggregates around 2 hash exchanges)
+    assert plan.count("hashpartitioning(gram") == 1
+    assert plan.count("hashpartitioning(first_doc") == 1
+    assert "partial_min" in plan and "partial_count" in plan
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
