@@ -34,6 +34,34 @@ def main() -> None:
     n_total = docs.count()
     print(f"documents: {n_total}")
 
+    # rung 0: AUDIT before deduping — which feeds duplicate which, and is
+    # the corpus still adding new content in arrival order? (the r13
+    # curation queries; at 100 TB both are bounded-shuffle audits)
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.curation import (
+        q_doc_ngram_novelty,
+        q_source_dup_matrix,
+    )
+
+    top_dup = (
+        q_source_dup_matrix(spark, sf_dir)
+        .orderBy(F.col("n_pairs").desc(), "source_a", "source_b")
+        .limit(3)
+        .collect()
+    )
+    for r in top_dup:
+        print(
+            f"rung 0 dup-matrix : {r.source_a} x {r.source_b}: "
+            f"{r.n_pairs} near-dup pairs (avg J {r.avg_jaccard})"
+        )
+    tail_novelty = (
+        q_doc_ngram_novelty(spark, sf_dir)
+        .orderBy(F.col("doc_id").desc())
+        .limit(max(n_total // 10, 1))
+        .agg(F.round(F.avg("novelty"), 4).alias("tail_novelty"))
+        .collect()[0]
+    )
+    print(f"rung 0 novelty    : newest-decile mean novelty {tail_novelty.tail_novelty}")
+
     # rung 1: exact duplicates
     exact = dd.exact_dedup_groups(docs)
     n_exact = exact.count()
