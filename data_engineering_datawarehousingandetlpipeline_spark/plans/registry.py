@@ -42,70 +42,68 @@ class QuerySpec:
 #: committed history (``PLANNED_FOR_HISTORY`` below) so this tuple can
 #: never drift from the policy.
 #:
-#: Round-13 window: the CLOSING round of the staged catch-up forced by
-#: the lost round 10 (amendment history in tools/window_planner.py's
-#: docstring). The 48 exhausted green-r9 rotations pre-committed by the
-#: r12 plan (covered in the interim by the committed SWEEP_SF01_r12.json
-#: — every carried row green) take the first 48 slots, oldest-last-green
-#: order with name tiebreak; the 2 remaining slots rotate in the oldest
-#: green-r11 names by tiebreak (asof_last_error, day_window). No debuts,
-#: no changed queries. Once CORRECTNESS_r13 lands green, no registry
-#: query's last driver row is older than the staleness limit — the
-#: catch-up is closed and steady state resumes.
+#: Round-14 window: the FIRST fully steady-state rotation after the
+#: r10→r13 catch-up closed (CORRECTNESS_r13: 50/50 green, no registry
+#: query staler than the 4-round limit). Planner math against the
+#: committed r13 history: the 2 r13 DEBUT_QUEUE entries take slots 1-2
+#: (their first driver rows), then the 48 green-r11 rotations in
+#: oldest-last-green order with name tiebreak. approx_sketches and
+#: click_days_no_purchase (green r12) are the first steady-state
+#: deferrals. No changed queries.
 WINDOW_HEAD: tuple[str, ...] = (
-    # the 48 green-r9 rotations pre-committed by the r12 plan (the final
-    # catch-up carry; evidence: SWEEP_SF01_r12.json, all rows green)
-    "customer_order_distribution",
-    "customer_snapshot_diff",
-    "discounted_revenue",
-    "disjunctive_band_revenue",
-    "distinct_counts",
-    "doc_ngram_jaccard",
-    "dup_audit",
-    "dup_audit_hourly",
-    "event_rolling_anomaly",
-    "event_value_percentiles",
-    "excess_volume_suppliers",
-    "filtered_count",
-    "hourly_rollup",
-    "idle_rich_customers",
-    "incremental_star_rollup",
-    "json_props",
-    "json_props_variant",
-    "large_volume_orders",
-    "late_shipment_priority",
-    "lineitem_contract",
-    "long_term_users",
-    "max_ts_per_user",
-    "min_cost_supplier",
-    "missingness",
-    "nation_market_share",
-    "nation_product_profit",
-    "native_session_window",
-    "outliers",
-    "part_concentration",
-    "part_supplier_variety",
-    "promo_revenue_share",
-    "referral_pagerank",
-    "referral_rollup",
-    "schema_projection",
-    "shipping_priority",
-    "sliding_window_stats",
-    "small_qty_revenue",
-    "streaming_attribution",
-    "streaming_contract",
-    "streaming_enrich",
-    "top_supplier",
-    "validate_counts",
-    "volume_shipping",
-    "waiting_suppliers",
-    "warehouse_change_feed",
-    "warehouse_skipping_scan",
-    "warehouse_time_travel",
-    "watermark_filter",
-    # the 2 oldest green-r11 rotations by name tiebreak
-    "asof_last_error",
-    "day_window",
+    # r14 debuts: first driver rows for the two r13 DEBUT_QUEUE entries
+    "doc_ngram_novelty",
+    "source_dup_matrix",
+    # the 48 green-r11 rotations (oldest-last-green, name tiebreak) —
+    # planner output for round 14 against the committed r13 history
+    "doc_bm25_topk",
+    "doc_bpe_tokens",
+    "doc_chunks",
+    "doc_decontaminate",
+    "doc_group_sample",
+    "doc_hash_sample",
+    "doc_lang_profile",
+    "doc_minhash_neardup",
+    "doc_ngram_topk",
+    "doc_norm_dedup",
+    "doc_pack_bins",
+    "doc_perplexity",
+    "doc_quality",
+    "doc_repetition",
+    "doc_simhash_pairs",
+    "doc_source_stats",
+    "doc_span_dedup",
+    "doc_split_assign",
+    "doc_tfidf_terms",
+    "doc_token_stats",
+    "doc_tokenizer_fidelity",
+    "emb_ann_topk",
+    "emb_cluster_profile",
+    "emb_ivf_topk",
+    "emb_near_dup",
+    "emb_quantize_stats",
+    "emb_semantic_dedup",
+    "event_gapfill",
+    "event_unpivot",
+    "incremental_distinct",
+    "incremental_rollup",
+    "lineitem_profile",
+    "media_feature_vectors",
+    "media_frame_sample",
+    "media_pipeline",
+    "nearby_clicks",
+    "retention_cohorts",
+    "retrieval_rrf",
+    "scd2_snapshots",
+    "scd2_user_state",
+    "session_stats",
+    "sessionization",
+    "streaming_chunks",
+    "streaming_ingest",
+    "streaming_minhash_dedup",
+    "streaming_scd2",
+    "streaming_sessions",
+    "streaming_window_stats",
 )
 
 #: The CORRECTNESS round the current WINDOW_HEAD was planned against
@@ -114,14 +112,14 @@ WINDOW_HEAD: tuple[str, ...] = (
 #: planner test recomputes the plan whenever the committed history sits
 #: at exactly this round and asserts WINDOW_HEAD matches; when a newer
 #: CORRECTNESS file lands, the test skips until the builder re-plans.
-PLANNED_FOR_HISTORY: int = 12
+PLANNED_FOR_HISTORY: int = 13
 
 #: Queries whose implementation changed since their last green driver
 #: row. The builder maintains this per round (the planner cannot see the
 #: diff); the planner pulls these into the window regardless of green
 #: history, and the generalized planner test feeds this exact set back
-#: into the recomputation. r13: none — the round's code changes are
-#: docstring/tooling only.
+#: into the recomputation. r14: none at round open — update if a
+#: registered query's plan changes this round.
 CHANGED_QUERIES: tuple[str, ...] = ()
 
 #: Names that MUST sit inside the driver's 50-entry window this round:
@@ -131,30 +129,29 @@ CHANGED_QUERIES: tuple[str, ...] = ()
 #: tools/closing_check.py and tests/test_plan_quality.py so a rotation
 #: can never silently strand a debut (r6 verdict, marching order 5).
 #:
-#: r13: the whole window is non-negotiable one last time — the 48
-#: pre-committed catch-up carries fill slots 1-48 and the 2 rotations
-#: close out the r11 greens. From r14 on this is debuts + CHANGED_QUERIES
-#: + the planner's exhausted set.
-MUST_VERIFY: tuple[str, ...] = WINDOW_HEAD
+#: r14: steady state — the non-negotiable set is the 2 debuts
+#: (doc_ngram_novelty, source_dup_matrix: first driver rows) plus any
+#: CHANGED_QUERIES; the planner reports no exhausted deferrals this
+#: round, so the rest of the window is ordinary rotation.
+MUST_VERIFY: tuple[str, ...] = (
+    "doc_ngram_novelty",
+    "source_dup_matrix",
+) + CHANGED_QUERIES
 
 #: DEBUT QUEUE — queries implemented AFTER this round's window was
-#: committed (the r13 window was pre-committed by the catch-up plan, so
-#: debuts park here and take r14 slots first, per policy rule 1; the
-#: planner test recomputes the committed window with these names
-#: excluded, since they did not exist when it was planned).
+#: committed: debuts park here and take next-round slots first, per
+#: policy rule 1; the planner test recomputes the committed window with
+#: these names excluded, since they did not exist when it was planned.
 #: Machine-readable; CI cross-checks this against the
 #: CORRECTNESS_r0*.json history (every never-driver-verified registry
 #: query must be here or in WINDOW_HEAD — tests/test_window_planning.py),
 #: and tools/window_planner.py consumes it to COMPUTE the next round's
 #: window instead of re-deriving the math by hand.
 #:
-#: r13 debuts (the first under the REGISTRY_CEILING growth policy below;
-#: registry 148 → 150): both verified oracle-green at sf0.01 AND sf0.1
-#: in the re-run round sweeps before registration.
-DEBUT_QUEUE: tuple[str, ...] = (
-    "doc_ngram_novelty",
-    "source_dup_matrix",
-)
+#: r14: the two r13 debuts graduated into WINDOW_HEAD slots 1-2; new
+#: debuts registered this round are appended here as they land
+#: oracle-green at both tiers.
+DEBUT_QUEUE: tuple[str, ...] = ()
 
 #: HISTORICAL — the r10 staged catch-up (r11→r13). The lost round 10
 #: (empty CORRECTNESS file: the registry was import-dead when the driver
