@@ -211,6 +211,70 @@ def jaccard_pairs(
     )
 
 
+def prefix_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    shingle_width: int = 2,
+    max_doc_freq: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(prefix postings, surviving postings) for the prefix-filtered join.
+
+    The candidate-generating index :func:`jaccard_pairs_prefix` actually
+    self-joins, exposed as its own plan so tests and per-corpus cost
+    probes measure the REAL index (tests/test_prefix_jaccard.py counts
+    it instead of hand-rebuilding a lookalike). ``prefix`` carries
+    (doc, n, shingle) — each document's ``⌊(1−t)·|d|⌋ + 1`` rarest
+    shingles under the (df ASC, shingle ASC) global order; ``surviving``
+    is the full (possibly df-capped) posting list the verify stage
+    rebuilds its arrays from. Both descend from ONE checkpointed
+    shingling of the corpus.
+
+    The prefix length ℓ = d − ⌈t·d⌉ + 1 is the exact lossless bound: a
+    pair at J ≥ t overlaps by ≥ ⌈t·max⌉ ≥ ⌈t·d⌉ on each side, so the
+    last ⌈t·d⌉ − 1 shingles alone can never cover the overlap. The 1e-9
+    guard keeps double rounding from pushing ⌈t·d⌉ UP at exact-integer
+    boundaries (t = 0.9, d = 10: fp ceil(9.000000000000002) = 10 would
+    shorten the prefix below the bound — lossy); erring down merely
+    lengthens the prefix by one, which is conservative, never lossy.
+    """
+    shingled = spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            word_shingles(F.col(text_col), shingle_width)
+        ).alias("shingles"),
+    )
+    exploded = shingled.select(
+        "doc", F.explode("shingles").alias("shingle")
+    ).localCheckpoint(eager=False)
+    # shingles are distinct per doc, so count(*) IS the doc frequency
+    freqs = exploded.groupBy("shingle").agg(F.count("*").alias("df_count"))
+    if max_doc_freq is not None:
+        hot = freqs.filter(F.col("df_count") > max_doc_freq).select("shingle")
+        surviving = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+        indexed = surviving.join(freqs, "shingle")
+    else:
+        surviving = exploded
+        indexed = exploded.join(freqs, "shingle")
+    # per-doc set size over the (possibly capped) vocabulary, and the
+    # rarest-first rank that defines the prefix
+    w_doc = Window.partitionBy("doc")
+    w_rank = w_doc.orderBy(F.col("df_count").asc(), F.col("shingle").asc())
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("int")
+        + F.lit(1)
+    )
+    prefix = (
+        indexed.withColumn("n", F.count("*").over(w_doc))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= prefix_len)
+        .select("doc", "n", "shingle")
+    )
+    return prefix, surviving
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     text_col: str = "text",
@@ -270,45 +334,13 @@ def jaccard_pairs_prefix(
     (tests/test_prefix_jaccard.py), so switching per-corpus is a
     one-line call-site choice, not a semantics decision.
     """
-    shingled = spread(df).select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(
-            word_shingles(F.col(text_col), shingle_width)
-        ).alias("shingles"),
-    )
-    exploded = shingled.select(
-        "doc", F.explode("shingles").alias("shingle")
-    ).localCheckpoint(eager=False)
-    # shingles are distinct per doc, so count(*) IS the doc frequency
-    freqs = exploded.groupBy("shingle").agg(F.count("*").alias("df_count"))
-    if max_doc_freq is not None:
-        hot = freqs.filter(F.col("df_count") > max_doc_freq).select("shingle")
-        surviving = exploded.join(F.broadcast(hot), "shingle", "left_anti")
-        indexed = surviving.join(freqs, "shingle")
-    else:
-        surviving = exploded
-        indexed = exploded.join(freqs, "shingle")
-    # per-doc set size over the (possibly capped) vocabulary, and the
-    # rarest-first rank that defines the prefix
-    w_doc = Window.partitionBy("doc")
-    w_rank = w_doc.orderBy(F.col("df_count").asc(), F.col("shingle").asc())
-    # prefix length ℓ = d − ⌈t·d⌉ + 1 (the exact lossless bound: a pair at
-    # J ≥ t overlaps by ≥ ⌈t·max⌉ ≥ ⌈t·d⌉ on each side, so the last
-    # ⌈t·d⌉ − 1 shingles alone can never cover the overlap). The 1e-9
-    # guard keeps double rounding from pushing ⌈t·d⌉ UP at exact-integer
-    # boundaries (t = 0.9, d = 10: fp ceil(9.000000000000002) = 10 would
-    # shorten the prefix below the bound — lossy); erring down merely
-    # lengthens the prefix by one, which is conservative, never lossy.
-    prefix_len = (
-        F.col("n")
-        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("int")
-        + F.lit(1)
-    )
-    prefix = (
-        indexed.withColumn("n", F.count("*").over(w_doc))
-        .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= prefix_len)
-        .select("doc", "n", "shingle")
+    prefix, surviving = prefix_index(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        shingle_width=shingle_width,
+        max_doc_freq=max_doc_freq,
     )
     cond = (
         (F.col("a.shingle") == F.col("b.shingle"))
@@ -323,13 +355,11 @@ def jaccard_pairs_prefix(
     )
     # verify on the full (capped) distinct-shingle arrays — exact
     # string-set intersection, so results are bit-identical to
-    # jaccard_pairs' aggregation arithmetic
-    if max_doc_freq is not None:
-        arrays = surviving.groupBy("doc").agg(
-            F.collect_set("shingle").alias("s")
-        )
-    else:
-        arrays = shingled.select("doc", F.col("shingles").alias("s"))
+    # jaccard_pairs' aggregation arithmetic. Both branches rebuild the
+    # arrays from `surviving`, which descends from the CHECKPOINTED
+    # `exploded`, so the corpus is shingled exactly once end-to-end
+    # (reading `shingled` here would re-shingle it for the arrays side).
+    arrays = surviving.groupBy("doc").agg(F.collect_set("shingle").alias("s"))
     a = arrays.select(F.col("doc").alias("doc_a"), F.col("s").alias("sa"))
     b = arrays.select(F.col("doc").alias("doc_b"), F.col("s").alias("sb"))
     common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))

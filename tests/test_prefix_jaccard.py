@@ -117,55 +117,55 @@ def test_identical_documents_survive_threshold_one(spark):
 
 def test_prefix_candidate_volume_is_pruned(spark):
     """The point of the rework: at t = 0.9 the candidate join must fan
-    out over far fewer rows than the full postings self-join. Measured
-    on the dup-heavy corpus via a side computation of both candidate
-    sets (prefix postings vs full postings)."""
+    out over far fewer rows than the full postings self-join. Both index
+    counts come from the operator's OWN ``prefix_index`` plan (same
+    shingle_width on both paths), and the operator's final output is
+    pinned to the postings-join baseline — no hand-rebuilt lookalike,
+    no vacuous assertions."""
     from pyspark.sql import functions as F
 
     docs = _random_corpus(seed=31, n_docs=80)
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    full = (
-        df.select(
-            F.col("doc_id").alias("doc"),
-            F.explode(
-                F.array_distinct(F.split(F.col("text"), " "))
-            ).alias("shingle"),
-        )
-    )
-    full_pairs = (
-        full.alias("a")
-        .join(full.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .select("a.doc", "b.doc")
-        .count()
-    )
-    # re-derive the prefix candidate row count with the operator's own
-    # internals held at t=0.9 by counting the join feeding its DISTINCT
-    pref_out = dd.jaccard_pairs_prefix(df, threshold=0.9)
-    pruned_pairs = pref_out.count()  # final pairs (sanity: tiny)
-    # structural assertion: the prefix index is <= ~(1-t) of postings + 1/doc
-    n_postings = full.count()
-    n_docs = df.count()
-    # each doc indexes floor((1-t)n)+1 shingles
-    max_prefix_rows = int(0.1 * n_postings) + n_docs + 1
-    from data_engineering_datawarehousingandetlpipeline_spark.operators.dedup import (
-        jaccard_pairs_prefix,  # noqa: F401  (anchor for reviewers)
-    )
-    # count the operator's actual prefix index size by reconstruction
-    freqs = full.groupBy("shingle").agg(F.count("*").alias("df_count"))
-    from pyspark.sql import Window
+    width = 1
 
-    w_doc = Window.partitionBy("doc")
-    w_rank = w_doc.orderBy(F.col("df_count").asc(), F.col("shingle").asc())
-    prefix_rows = (
-        full.join(freqs, "shingle")
-        .withColumn("n", F.count("*").over(w_doc))
-        .withColumn("rank", F.row_number().over(w_rank))
-        .filter(
-            F.col("rank")
-            <= F.col("n") - F.ceil(F.lit(0.9) * F.col("n") - F.lit(1e-9)).cast("int") + F.lit(1)
-        )
-        .count()
+    prefix, surviving = dd.prefix_index(
+        df, threshold=0.9, shingle_width=width
     )
+    prefix_rows = prefix.count()
+    n_postings = surviving.count()  # uncapped: the full posting list
+    n_docs = df.count()
+
+    # structural bound, measured on the operator's real index: each doc
+    # indexes floor((1-t)*n) + 1 shingles at t = 0.9
+    max_prefix_rows = int(0.1 * n_postings) + n_docs + 1
     assert prefix_rows <= max_prefix_rows, (prefix_rows, max_prefix_rows)
     assert prefix_rows < n_postings / 3  # the index really shrank
-    assert pruned_pairs >= 0 and full_pairs > 0
+
+    # candidate volume through the operator's index vs the full postings
+    # self-join it replaces (identical join predicate shape, no size
+    # prune on either side so the comparison isolates the prefix effect)
+    def _self_join_pairs(postings):
+        return (
+            postings.alias("a")
+            .join(
+                postings.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select("a.doc", "b.doc")
+            .distinct()
+            .count()
+        )
+
+    full_pairs = _self_join_pairs(surviving)
+    prefix_pairs = _self_join_pairs(prefix.select("doc", "shingle"))
+    assert 0 < prefix_pairs < full_pairs, (prefix_pairs, full_pairs)
+
+    # and the pruned join still produces EXACTLY the baseline output
+    base = _pairs(dd.jaccard_pairs(df, threshold=0.9, shingle_width=width))
+    pref = _pairs(
+        dd.jaccard_pairs_prefix(df, threshold=0.9, shingle_width=width)
+    )
+    assert set(pref) == set(base)
+    for key, j in pref.items():
+        assert abs(j - base[key]) < 1e-12, (key, j, base[key])
