@@ -332,7 +332,11 @@ def jaccard_pairs_prefix(
     Σ df² is the difference between feasible and not. Output
     equivalence is property-tested either way
     (tests/test_prefix_jaccard.py), so switching per-corpus is a
-    one-line call-site choice, not a semantics decision.
+    one-line call-site choice, not a semantics decision. Since r14 the
+    operator is also driver-verified directly: the registered
+    ``doc_jaccard_prefix`` query runs it against doc_ngram_jaccard's
+    postings-join oracle SQL, pinning the equivalence cross-engine
+    every round.
     """
     prefix, surviving = prefix_index(
         df,

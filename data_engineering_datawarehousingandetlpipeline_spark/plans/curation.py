@@ -36,7 +36,9 @@ from data_engineering_datawarehousingandetlpipeline_spark.operators import (
 )
 from data_engineering_datawarehousingandetlpipeline_spark.plans.extensions import (
     _SQL_QUALITY_EXPR,
+    CLUSTER_MAX_DOC_FREQ,
     MINHASH_JACCARD_THRESHOLD,
+    cluster_pairs,
     SQL_CLUSTER_CTES,
     SQL_TOKS,
     _docs,
@@ -205,15 +207,14 @@ def q_doc_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the HIGHEST-QUALITY member — the policy real pipelines use so
     dedup never discards the clean copy in favor of a boilerplate-ridden
     twin. Same pair graph and components as `doc_dedup_clusters` (one
-    definition, shared oracle CTE), composed with the `doc_quality` score;
-    the winner is a per-cluster ``row_number`` over (quality desc, doc_id
-    asc) — deterministic, and executed as a WindowGroupLimit-style
-    per-group rank over cluster-partitioned data, never a global sort.
+    definition, shared oracle CTE, same df-capped Σ min(df, cap)²-bounded
+    detector), composed with the `doc_quality` score; the winner is a
+    per-cluster ``row_number`` over (quality desc, doc_id asc) —
+    deterministic, and executed as a WindowGroupLimit-style per-group
+    rank over cluster-partitioned data, never a global sort.
     """
     docs = _docs(spark, sf_dir)
-    pairs = dd.jaccard_pairs(
-        docs, threshold=MINHASH_JACCARD_THRESHOLD, shingle_width=1
-    )
+    pairs = cluster_pairs(docs)
     labels = dd.near_dup_clusters(docs, pairs)
     scored = docs.select(
         "doc_id", F.round(tx.quality_score(F.col("text")), 6).alias("quality")
@@ -262,9 +263,7 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitors.
     """
     docs = _docs(spark, sf_dir)
-    pairs = dd.jaccard_pairs(
-        docs, threshold=MINHASH_JACCARD_THRESHOLD, shingle_width=1
-    )
+    pairs = cluster_pairs(docs)
     labels = dd.near_dup_clusters(docs, pairs)
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return (
@@ -727,17 +726,17 @@ def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     is within-source duplication — the rows that tell a data team which
     feeds to dedup against which before mixing.
 
-    Scale shape: the pair detector is the shared bounded inverted-index
-    join; attaching sources is two id-keyed joins bounded by
-    |pairs| + |docs| (the sources ride the doc ids — no broadcast of the
-    corpus); the final aggregate is ≤ |sources|² rows. The mean jaccard
-    is decimal-anchored (functions/numeric.py) so both engines sum
-    identical decimals in any order.
+    Scale shape: the pair detector is the shared df-capped inverted-index
+    join (CLUSTER_MAX_DOC_FREQ — candidate volume Σ min(df, cap)², the
+    cap mirrored in the oracle's postings CTE); attaching sources is two
+    id-keyed joins bounded by |pairs| + |docs| (the sources ride the doc
+    ids — no broadcast of the corpus); the final aggregate is ≤
+    |sources|² rows. The mean jaccard is decimal-anchored
+    (functions/numeric.py) so both engines sum identical decimals in any
+    order.
     """
     docs = _docs(spark, sf_dir)
-    pairs = dd.jaccard_pairs(
-        docs, threshold=MINHASH_JACCARD_THRESHOLD, shingle_width=1
-    )
+    pairs = cluster_pairs(docs)
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
@@ -764,10 +763,16 @@ def _sql_source_dup_matrix() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id AS doc, list_distinct({SQL_TOKS}) AS t FROM documents
-), sizes AS (
-  SELECT doc, len(t) AS n FROM toks
 ), postings AS (
-  SELECT doc, unnest(t) AS token FROM toks
+  -- identical doc-frequency cap as jaccard_pairs(max_doc_freq=...):
+  -- tokens in more than {CLUSTER_MAX_DOC_FREQ} docs leave the index
+  SELECT doc, token FROM (
+    SELECT doc, token, COUNT(*) OVER (PARTITION BY token) AS df_count
+    FROM (SELECT doc, unnest(t) AS token FROM toks)
+  ) WHERE df_count <= {CLUSTER_MAX_DOC_FREQ}
+), sizes AS (
+  -- set sizes over the SURVIVING index (capped-vocabulary Jaccard)
+  SELECT doc, COUNT(*) AS n FROM postings GROUP BY doc
 ), common AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
   FROM postings a JOIN postings b ON a.token = b.token AND a.doc < b.doc

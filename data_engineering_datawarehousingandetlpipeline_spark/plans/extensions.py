@@ -47,6 +47,46 @@ from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import
 
 NGRAM_JACCARD_THRESHOLD = 0.01
 MINHASH_JACCARD_THRESHOLD = 0.9
+
+#: doc-frequency cap for the CLUSTER FAMILY's unigram pair detector
+#: (doc_dedup_clusters / doc_cluster_keep / dedup_cluster_stats /
+#: source_dup_matrix — all call jaccard_pairs(width=1) with this cap, and
+#: every oracle mirrors the identical filter). Purpose: the plan a 100 TB
+#: user copies is Σ min(df, cap)² ≤ postings × cap bounded — LINEAR in
+#: corpus size — instead of the Σ df² a hot unigram ("the", boilerplate)
+#: makes quadratic. Value: the synthetic corpus is a 31-token shared
+#: vocabulary where EVERY unigram is corpus-dense (df 25–402 at sf0.01,
+#: 250–3923 at sf0.1 — measured r14), so any cap that binds at test scale
+#: would drop most of the vocabulary and turn the family into a degenerate
+#: exemplar; 4096 sits just above the densest tested tier, keeping the
+#: tested graph IDENTICAL to the r13-green uncapped one (zero oracle
+#: re-anchoring) while the broadcast LEFT-ANTI prune is physically present
+#: in every family plan (gated: tests/test_plan_quality.py). The
+#: binding-cap semantics themselves stay driver-exercised cross-engine by
+#: doc_ngram_jaccard (cap = 5, prunes at BOTH tiers). On a real corpus the
+#: knob is tuned per vocabulary; MinHash+LSH remains the declared 100 TB
+#: path for near-dup pairs.
+CLUSTER_MAX_DOC_FREQ = 4096
+
+
+def cluster_pairs(docs: DataFrame) -> DataFrame:
+    """The cluster family's ONE pair detector: df-capped exact unigram
+    Jaccard at the house near-dup threshold.
+
+    Every registered query that composes on the dedup-cluster graph
+    (doc_dedup_clusters / doc_cluster_keep / dedup_cluster_stats here and
+    in plans/curation.py, source_dup_matrix) calls THIS function, so the
+    detector the oracles twin (SQL_CLUSTER_CTES' postings CTE) is a single
+    definition — and the Σ min(df, cap)² candidate bound is gated once on
+    this plan (tests/test_plan_quality.py) instead of re-proved per query
+    behind the clustering loop's checkpoint barrier.
+    """
+    return dd.jaccard_pairs(
+        docs,
+        threshold=MINHASH_JACCARD_THRESHOLD,
+        shingle_width=1,
+        max_doc_freq=CLUSTER_MAX_DOC_FREQ,
+    )
 EMBED_NEAR_DUP_THRESHOLD = 0.3
 TOPK_QUERY_IDS = 8  # vec_id < 8 act as the query set
 TOPK_K = 5
@@ -365,6 +405,28 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_doc_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard (SSJoin/PPJoin rung) — r14 debut.
+
+    Identical contract to ``doc_ngram_jaccard`` (same trigram shingles,
+    threshold, df-cap) through the OTHER exact pair engine:
+    ``jaccard_pairs_prefix`` indexes only each document's
+    ``⌊(1−t)·|d|⌋ + 1`` rarest shingles, so candidates fan out over
+    Σ df_prefix² instead of Σ df² — the scale rung for natural
+    low-duplication corpora (r13 A/B: postings wins on THIS replica-dense
+    corpus, prefix on corpora whose candidate mass is hot-shingle false
+    positives). Sharing ``doc_ngram_jaccard``'s oracle SQL pins the
+    equivalence CROSS-ENGINE every driver round, not just
+    cross-implementation (tests/test_prefix_jaccard.py).
+    """
+    return dd.jaccard_pairs_prefix(
+        _docs(spark, sf_dir),
+        threshold=NGRAM_JACCARD_THRESHOLD,
+        shingle_width=3,
+        max_doc_freq=NGRAM_MAX_DOC_FREQ,
+    ).orderBy("doc_a", "doc_b")
+
+
 def q_doc_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_near_dup_pairs(
         _docs(spark, sf_dir), threshold=MINHASH_JACCARD_THRESHOLD
@@ -422,6 +484,56 @@ ORDER BY c.doc_a, c.doc_b
 """
 
 
+def q_doc_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the MINHASH detector (r14 debut).
+
+    The declared 100 TB dedup path, driver-verified END-TO-END: MinHash
+    signatures → LSH band candidates → exact verify on the hashed token
+    sets → delta-frontier connected components → cluster sizes. The
+    exact-Jaccard twin (``doc_dedup_clusters``) pins the clustering
+    semantics against a postings-join graph; THIS query pins the same
+    endgame on the pair engine a 100 TB corpus actually runs (O(tokens)
+    signatures, banded candidate generation, candidate-only verify —
+    never Σ df² enumeration). Oracle: the shared MinHash SQL chain
+    (identical affine permutations and banding) feeding the shared
+    recursive-CTE reachability, so the driver's hash compare covers the
+    full path cross-engine every round it's in window.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_near_dup_pairs(
+        docs, threshold=MINHASH_JACCARD_THRESHOLD
+    )
+    labels = dd.near_dup_clusters(docs, pairs)
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.withColumn("cluster_size", F.count("*").over(w))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_MINHASH_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES}, mpairs AS (
+  {_SQL_MINHASH_PAIRS}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mpairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM mpairs
+), reach(doc, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.doc
+), clusters AS (
+  SELECT doc AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM clusters
+ORDER BY doc_id
+"""
+
+
 def _norm_text(col):
     """Canonicalize: lowercase, strip punctuation, collapse whitespace."""
     return F.trim(
@@ -469,14 +581,14 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The full dedup endgame: detector pairs become an undirected graph and
     every document gets its component's min doc id as cluster_id (keep one
     row per cluster downstream). Exact pairs (not LSH) so the recursive-CTE
-    oracle sees the identical graph.
+    oracle sees the identical graph; the detector carries the family's
+    df-cap (CLUSTER_MAX_DOC_FREQ, mirrored in the oracle's postings CTE)
+    so candidate volume is Σ min(df, cap)² bounded at any corpus size.
     """
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    pairs = dd.jaccard_pairs(
-        docs, threshold=MINHASH_JACCARD_THRESHOLD, shingle_width=1
-    )
+    pairs = cluster_pairs(docs)
     labels = dd.near_dup_clusters(docs, pairs)
     w = Window.partitionBy("cluster_id")
     return (
@@ -487,16 +599,26 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Shared recursive-CTE chain producing `clusters(doc_id, cluster_id)` from
 #: exact unigram-Jaccard pairs — the oracle twin of
-#: `jaccard_pairs(width=1) → near_dup_clusters`. Reused by every query that
-#: composes on the dedup-cluster graph (`doc_dedup_clusters` here;
-#: cluster-keep / cluster-stats in plans/curation.py), so the graph they
-#: verify against is one definition, not drifting copies.
+#: `jaccard_pairs(width=1, max_doc_freq=CLUSTER_MAX_DOC_FREQ) →
+#: near_dup_clusters`. Reused by every query that composes on the
+#: dedup-cluster graph (`doc_dedup_clusters` here; cluster-keep /
+#: cluster-stats in plans/curation.py), so the graph they verify against
+#: is one definition, not drifting copies. The postings CTE applies the
+#: IDENTICAL df-cap as the Spark detector (capped-vocabulary Jaccard: set
+#: sizes recomputed over surviving postings), so the driver's hash compare
+#: pins the capped semantics in both engines.
 SQL_CLUSTER_CTES = f"""WITH RECURSIVE toks AS (
   SELECT doc_id AS doc, list_distinct({SQL_TOKS}) AS t FROM documents
-), sizes AS (
-  SELECT doc, len(t) AS n FROM toks
 ), postings AS (
-  SELECT doc, unnest(t) AS token FROM toks
+  -- identical doc-frequency cap as jaccard_pairs(max_doc_freq=...):
+  -- tokens in more than {CLUSTER_MAX_DOC_FREQ} docs leave the index
+  SELECT doc, token FROM (
+    SELECT doc, token, COUNT(*) OVER (PARTITION BY token) AS df_count
+    FROM (SELECT doc, unnest(t) AS token FROM toks)
+  ) WHERE df_count <= {CLUSTER_MAX_DOC_FREQ}
+), sizes AS (
+  -- set sizes over the SURVIVING index (capped-vocabulary Jaccard)
+  SELECT doc, COUNT(*) AS n FROM postings GROUP BY doc
 ), common AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
   FROM postings a JOIN postings b ON a.token = b.token AND a.doc < b.doc
@@ -3189,9 +3311,18 @@ QUERIES = [
               bench=True, tags=("dedup",)),
     QuerySpec("doc_ngram_jaccard", q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD,
               "exact bigram-Jaccard near-dup pairs", bench=True, tags=("dedup",)),
+    QuerySpec("doc_jaccard_prefix", q_doc_jaccard_prefix,
+              SQL_DOC_NGRAM_JACCARD,
+              "prefix-filtered (SSJoin/PPJoin) exact Jaccard pairs — same "
+              "contract and oracle as doc_ngram_jaccard through the "
+              "Σ df_prefix²-bounded engine", tags=("dedup",)),
     QuerySpec("doc_minhash_neardup", q_doc_minhash_neardup, SQL_DOC_MINHASH_NEARDUP,
               "MinHash+LSH near-dup, candidate-only exact verify",
               bench=True, tags=("dedup",)),
+    QuerySpec("doc_minhash_clusters", q_doc_minhash_clusters,
+              SQL_DOC_MINHASH_CLUSTERS,
+              "near-dup clusters over the MinHash+LSH detector — the "
+              "declared 100 TB dedup path end-to-end", tags=("dedup",)),
     QuerySpec("doc_tfidf_terms", q_doc_tfidf_terms, SQL_DOC_TFIDF_TERMS,
               "top-3 TF-IDF terms per document", tags=("text",)),
     QuerySpec("doc_bm25_topk", q_doc_bm25_topk, SQL_DOC_BM25_TOPK,

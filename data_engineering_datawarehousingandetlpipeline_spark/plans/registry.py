@@ -45,17 +45,29 @@ class QuerySpec:
 #: Round-14 window: the FIRST fully steady-state rotation after the
 #: r10→r13 catch-up closed (CORRECTNESS_r13: 50/50 green, no registry
 #: query staler than the 4-round limit). Planner math against the
-#: committed r13 history: the 2 r13 DEBUT_QUEUE entries take slots 1-2
-#: (their first driver rows), then the 48 green-r11 rotations in
-#: oldest-last-green order with name tiebreak. approx_sketches and
-#: click_days_no_purchase (green r12) are the first steady-state
-#: deferrals. No changed queries.
+#: committed r13 history with this round's debut + changed set
+#: (``python tools/window_planner.py --changed dedup_cluster_stats
+#: doc_cluster_keep doc_dedup_clusters source_dup_matrix``): 3 debuts +
+#: 3 remaining changed + the 44 oldest green-r11 rotations in
+#: oldest-last-green order with name tiebreak. The 4 youngest green-r11
+#: names (streaming_minhash_dedup, streaming_scd2, streaming_sessions,
+#: streaming_window_stats) join approx_sketches and
+#: click_days_no_purchase (green r12) as this round's deferrals — all
+#: well inside the 4-round staleness limit.
 WINDOW_HEAD: tuple[str, ...] = (
-    # r14 debuts: first driver rows for the two r13 DEBUT_QUEUE entries
+    # r14 debuts: doc_jaccard_prefix (registered this round — debuts are
+    # never deferred when the window is planned live) + the two r13
+    # DEBUT_QUEUE graduates, all earning their first driver rows
+    "doc_jaccard_prefix",
     "doc_ngram_novelty",
     "source_dup_matrix",
-    # the 48 green-r11 rotations (oldest-last-green, name tiebreak) —
-    # planner output for round 14 against the committed r13 history
+    # CHANGED_QUERIES pulled in regardless of green history (the cluster
+    # family gained the df-capped detector this round; source_dup_matrix
+    # is equally changed but already sits above as a debut)
+    "dedup_cluster_stats",
+    "doc_cluster_keep",
+    "doc_dedup_clusters",
+    # the 44 oldest green-r11 rotations (oldest-last-green, name tiebreak)
     "doc_bm25_topk",
     "doc_bpe_tokens",
     "doc_chunks",
@@ -100,10 +112,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     "sessionization",
     "streaming_chunks",
     "streaming_ingest",
-    "streaming_minhash_dedup",
-    "streaming_scd2",
-    "streaming_sessions",
-    "streaming_window_stats",
 )
 
 #: The CORRECTNESS round the current WINDOW_HEAD was planned against
@@ -118,9 +126,20 @@ PLANNED_FOR_HISTORY: int = 13
 #: row. The builder maintains this per round (the planner cannot see the
 #: diff); the planner pulls these into the window regardless of green
 #: history, and the generalized planner test feeds this exact set back
-#: into the recomputation. r14: none at round open — update if a
-#: registered query's plan changes this round.
-CHANGED_QUERIES: tuple[str, ...] = ()
+#: into the recomputation. r14: the cluster family — their pair
+#: detector gained the df-cap (jaccard_pairs(width=1,
+#: max_doc_freq=CLUSTER_MAX_DOC_FREQ) via extensions.cluster_pairs, r13
+#: verdict marching order 3), which changes the physical plan (broadcast
+#: LEFT-ANTI prune + capped set sizes) even though outputs are identical
+#: on the tested tiers (the cap sits above the densest tested df).
+#: source_dup_matrix is equally changed but already holds window slot 2
+#: as a debut.
+CHANGED_QUERIES: tuple[str, ...] = (
+    "dedup_cluster_stats",
+    "doc_cluster_keep",
+    "doc_dedup_clusters",
+    "source_dup_matrix",
+)
 
 #: Names that MUST sit inside the driver's 50-entry window this round:
 #: every query that has never received a driver row, every query whose
@@ -129,13 +148,13 @@ CHANGED_QUERIES: tuple[str, ...] = ()
 #: tools/closing_check.py and tests/test_plan_quality.py so a rotation
 #: can never silently strand a debut (r6 verdict, marching order 5).
 #:
-#: r14: steady state — the non-negotiable set is the 2 debuts
-#: (doc_ngram_novelty, source_dup_matrix: first driver rows) plus any
-#: CHANGED_QUERIES; the planner reports no exhausted deferrals this
-#: round, so the rest of the window is ordinary rotation.
+#: r14: steady state — the non-negotiable set is the 3 debuts
+#: (doc_jaccard_prefix, doc_ngram_novelty, source_dup_matrix: first
+#: driver rows) plus CHANGED_QUERIES; the planner reports no exhausted
+#: deferrals this round, so the rest of the window is ordinary rotation.
 MUST_VERIFY: tuple[str, ...] = (
+    "doc_jaccard_prefix",
     "doc_ngram_novelty",
-    "source_dup_matrix",
 ) + CHANGED_QUERIES
 
 #: DEBUT QUEUE — queries implemented AFTER this round's window was
@@ -148,10 +167,17 @@ MUST_VERIFY: tuple[str, ...] = (
 #: and tools/window_planner.py consumes it to COMPUTE the next round's
 #: window instead of re-deriving the math by hand.
 #:
-#: r14: the two r13 debuts graduated into WINDOW_HEAD slots 1-2; new
-#: debuts registered this round are appended here as they land
-#: oracle-green at both tiers.
-DEBUT_QUEUE: tuple[str, ...] = ()
+#: r14: the two r13 debuts graduated into WINDOW_HEAD, and
+#: doc_jaccard_prefix (r13 verdict marching order 4) registered while the
+#: window was still being planned — CHANGED_QUERIES forced a live
+#: re-plan, so per policy rule 1 it takes a window slot THIS round
+#: instead of parking (it was verified oracle-green at both tiers before
+#: registration). The r14 stretch debuts below queue here mid-round; the
+#: closing re-plan pulls them into the final window (debuts are never
+#: deferred when the window is planned live) and empties this tuple.
+DEBUT_QUEUE: tuple[str, ...] = (
+    "doc_minhash_clusters",
+)
 
 #: HISTORICAL — the r10 staged catch-up (r11→r13). The lost round 10
 #: (empty CORRECTNESS file: the registry was import-dead when the driver

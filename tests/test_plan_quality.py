@@ -1071,3 +1071,58 @@ def test_ngram_novelty_is_two_bounded_shuffles_one_materialization(spark):
     assert "windowspecdefinition" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_family_pair_detector_is_df_cap_bounded(spark):
+    """r13 verdict, marching order 3: the registered cluster-family plans
+    (doc_dedup_clusters / doc_cluster_keep / dedup_cluster_stats /
+    source_dup_matrix) must run the df-CAPPED unigram pair detector —
+    candidate volume Σ min(df, CLUSTER_MAX_DOC_FREQ)², never Σ df² — with
+    the broadcast LEFT-ANTI prune shape (a hot token's posting list never
+    crosses a token-keyed exchange as one group; a window-over-token
+    would rebuild the straggler the cap kills).
+
+    The three clustering queries materialize labels behind
+    near_dup_clusters' checkpoint barrier, so the detector subtree never
+    appears in their final plans; the gate therefore (a) checks the
+    physical plan of the ONE shared detector (extensions.cluster_pairs)
+    and (b) pins, at source level, that every family member builds its
+    pairs through that single definition."""
+    import inspect
+
+    from data_engineering_datawarehousingandetlpipeline_spark.plans import (
+        curation,
+        extensions,
+    )
+
+    plan = extensions.cluster_pairs(
+        extensions._docs(spark, SF_DIR)
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    # the over-cap filter on the aggregated doc frequency
+    assert plan.count("df_count") >= 2
+    assert f"> {extensions.CLUSTER_MAX_DOC_FREQ})" in plan
+    # pruning is a broadcast anti-join, never a shingle-keyed window
+    assert "LeftAnti, BuildRight" in plan
+    assert "windowspecdefinition(shingle" not in plan
+    # capped set sizes come from a doc-keyed count window per join side
+    # (doc groups bounded by document length, not corpus skew)
+    assert plan.count("windowspecdefinition(doc#") == 2
+    # one pinned shingling feeds the frequency pass + both join sides
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+    # every family member routes through the one shared detector — no
+    # drifting uncapped copies
+    for fn in (
+        extensions.q_doc_dedup_clusters,
+        curation.q_doc_cluster_keep,
+        curation.q_dedup_cluster_stats,
+        curation.q_source_dup_matrix,
+    ):
+        src = inspect.getsource(fn)
+        assert "cluster_pairs(docs)" in src, fn.__name__
+        assert "jaccard_pairs(" not in src, fn.__name__
