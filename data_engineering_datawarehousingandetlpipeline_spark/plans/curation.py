@@ -806,6 +806,115 @@ ORDER BY source_a, source_b
 SQL_SOURCE_DUP_MATRIX = _sql_source_dup_matrix()
 
 
+# ------------------------------- streaming cross-source dup accumulation
+
+STREAM_SRCPAIR_MOD = 3  # doc_id % 3 == 0 subset keeps the e2e drain small
+
+
+def q_streaming_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source dup matrix built INCREMENTALLY as shards land (r14).
+
+    The streaming twin of ``source_dup_matrix`` on the MINHASH detector:
+    a document subset is staged as three range-sharded JSON files (the
+    Kafka stand-in, same adjudicated pattern as q_streaming_exact_dedup),
+    drained one file per micro-batch through
+    ``streaming/pipeline.start_source_pair_matrix`` — per batch, MinHash
+    bands for the NEW docs only, candidates against the accumulated
+    cross-batch index plus within-batch, exact verify on the hashed
+    token sets, pair rows landed through the exactly-once
+    batch_id-partitioned sink — then aggregated to the per-source-pair
+    matrix at read time. Every unordered near-dup pair is discovered
+    exactly once (at its later member's arrival), so the accumulated
+    pair set equals the BATCH LSH pair graph over the same subset; the
+    oracle states exactly that batch semantics (the shared MinHash SQL
+    chain restricted to the subset, aggregated like the batch matrix).
+    This is the contract that lets a data team keep the "which feeds
+    duplicate which" dashboard warm as crawls land, without re-pairing
+    the corpus.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_source_pair_matrix,
+    )
+
+    docs = _docs(spark, sf_dir).filter(
+        (F.col("doc_id") % STREAM_SRCPAIR_MOD) == 0
+    )
+    workdir = tempfile.mkdtemp(prefix="streaming_dup_matrix_q_")
+    indir = os.path.join(workdir, "incoming")
+    docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "source"
+    ).repartitionByRange(3, "doc_id").write.mode("overwrite").json(indir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    pairs_dir = os.path.join(workdir, "pairs")
+    query = start_source_pair_matrix(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(indir),
+        os.path.join(workdir, "state"),
+        pairs_dir,
+        os.path.join(workdir, "ckpt"),
+        threshold=MINHASH_JACCARD_THRESHOLD,
+        available_now=True,
+    )
+    query.awaitTermination()
+    return (
+        spark.read.option("basePath", pairs_dir)
+        .parquet(pairs_dir)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.try_divide(dsum(F.col("jaccard"), wide=True), F.count("*")), 6
+            ).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _sql_streaming_dup_matrix() -> str:
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.extensions import (
+        _SQL_MINHASH_CTES,
+        _SQL_MINHASH_PAIRS,
+    )
+
+    ctes = _SQL_MINHASH_CTES.replace(
+        "FROM documents",
+        f"FROM documents WHERE doc_id % {STREAM_SRCPAIR_MOD} = 0",
+    )
+    return f"""
+WITH {ctes}, mpairs AS (
+  {_SQL_MINHASH_PAIRS}
+), lab AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         jaccard
+  FROM mpairs
+  JOIN documents da ON da.doc_id = doc_a
+  JOIN documents db ON db.doc_id = doc_b
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round({sql_dsum('jaccard', wide=True)} / COUNT(*), 6) AS avg_jaccard
+FROM lab
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+SQL_STREAMING_DUP_MATRIX = _sql_streaming_dup_matrix()
+
+
 QUERIES = [
     QuerySpec("doc_dsir_weights", q_doc_dsir_weights, SQL_DOC_DSIR_WEIGHTS,
               "DSIR importance weights: hashed-unigram target-vs-raw "
@@ -836,4 +945,9 @@ QUERIES = [
               SQL_SOURCE_DUP_MATRIX,
               "cross-source near-duplicate document-pair matrix "
               "(counts + anchored mean jaccard)", tags=("dedup", "text")),
+    QuerySpec("streaming_dup_matrix", q_streaming_dup_matrix,
+              SQL_STREAMING_DUP_MATRIX,
+              "cross-source dup matrix accumulated incrementally across "
+              "micro-batches (MinHash detector, exactly-once pair sink)",
+              tags=("dedup", "streaming")),
 ]

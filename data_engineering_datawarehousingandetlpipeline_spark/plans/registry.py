@@ -177,6 +177,7 @@ MUST_VERIFY: tuple[str, ...] = (
 #: deferred when the window is planned live) and empties this tuple.
 DEBUT_QUEUE: tuple[str, ...] = (
     "doc_minhash_clusters",
+    "streaming_dup_matrix",
 )
 
 #: HISTORICAL — the r10 staged catch-up (r11→r13). The lost round 10

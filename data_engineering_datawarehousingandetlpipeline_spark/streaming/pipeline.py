@@ -422,6 +422,173 @@ def start_windowed_exact_dedup(
     return writer.start()
 
 
+def start_source_pair_matrix(
+    source: DataFrame,
+    state_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.9,
+    available_now: bool = False,
+    trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Cross-batch SOURCE-PAIR accumulation: the streaming twin of the
+    batch ``source_dup_matrix`` on the MinHash detector.
+
+    As document shards land, each micro-batch (1) folds MinHash
+    signatures + LSH bands + hashed token sets for ITS documents only,
+    (2) generates near-dup candidates two ways — new × accumulated index
+    (strictly earlier batches) and new × new within the batch — so every
+    unordered pair is discovered exactly once, at the arrival of its
+    LATER member, (3) verifies candidates exactly on the hashed
+    token-set arrays (identical arithmetic to
+    ``operators/dedup.minhash_near_dup_pairs``), and (4) lands the
+    verified pair rows plus its own band/doc state through an
+    EXACTLY-ONCE sink: every write goes to a ``batch_id=<epoch>``
+    partition with overwrite, so a replayed epoch deterministically
+    rewrites its own partition (prior state is filtered to
+    ``batch_id < epoch``, which a replay cannot see differently) — the
+    same idempotent-by-batch-id contract ``merge_upsert`` provides for
+    keyed event tables, chosen here because pair rows carry no event
+    time to partition by. Union over batches therefore equals the BATCH
+    LSH pair graph over the same documents, which is what the oracle
+    states.
+
+    Scale shape per batch: signature fold is one codegen stage over the
+    shard; the candidate joins shuffle on (band, band_hash) with the
+    lossless size prune inside the condition — volume is
+    |shard bands| × collision rate, never corpus²; state grows by
+    O(|shard| × bands) rows per batch, exactly the batch operator's
+    index footprint, and the accumulated index is read pruned to the
+    band-key join. Verify is O(|candidates| × doc size) on integer
+    arrays. The source-pair MATRIX itself is an aggregation the reader
+    runs over the pair sink (append-only stream, no retractions).
+    """
+    from pyspark.sql import functions as F
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.dedup import (
+        lsh_band_hashes,
+        minhash_signatures,
+        size_prune_cond,
+        spread,
+        token_hash_array,
+    )
+
+    bands_dir = os.path.join(state_dir, "bands")
+    docs_dir = os.path.join(state_dir, "docs")
+
+    def _read_prior(spark: SparkSession, path: str, epoch_id: int):
+        try:
+            return (
+                spark.read.option("basePath", path)
+                .parquet(path)
+                .filter(F.col("batch_id") < epoch_id)
+            )
+        except Exception:  # first batch: no state directory yet
+            return None
+
+    def _batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        docs_b = batch.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+        )
+        # one scan of the shard feeds signatures AND token-hash arrays;
+        # eager checkpoints pin both (each is joined more than once below)
+        sigs = minhash_signatures(docs_b, id_col="doc_id", carry_cols=("source",))
+        bands_b = (
+            lsh_band_hashes(sigs)
+            .select("doc", "n", "band", "band_hash")
+            .localCheckpoint(eager=True)
+        )
+        hv_b = (
+            spread(docs_b)
+            .select(
+                F.col("doc_id").alias("doc"),
+                "source",
+                token_hash_array(F.col("text")).alias("hv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        prior_bands = _read_prior(spark, bands_dir, epoch_id)
+        prior_docs = _read_prior(spark, docs_dir, epoch_id)
+
+        # band collision + the lossless size prune, on x/y dataset aliases
+        collide = (
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & size_prune_cond(F.col("x.n"), F.col("y.n"), threshold)
+        )
+
+        # within-batch candidates: doc order breaks the symmetry
+        within = (
+            bands_b.alias("x")
+            .join(bands_b.alias("y"), collide & (F.col("x.doc") < F.col("y.doc")))
+            .select(F.col("x.doc").alias("da"), F.col("y.doc").alias("db"))
+        )
+        cands = within
+        if prior_bands is not None:
+            # cross candidates: the new doc pairs with every earlier
+            # arrival it band-collides with — discovered exactly here,
+            # never again (neither member is "new" in a later batch)
+            cross = (
+                bands_b.alias("x")
+                .join(prior_bands.alias("y"), collide)
+                .select(F.col("x.doc").alias("da"), F.col("y.doc").alias("db"))
+            )
+            cands = cands.unionByName(cross)
+        cands = cands.distinct()
+
+        # verify on the hashed token sets of both sides (new side local,
+        # old side from the accumulated doc state) — same arithmetic as
+        # the batch operator, so jaccard values hash-match the oracle
+        all_docs = hv_b if prior_docs is None else hv_b.unionByName(
+            prior_docs.select("doc", "source", "hv")
+        )
+        a = all_docs.select(
+            F.col("doc").alias("da"), F.col("source").alias("sa"), F.col("hv").alias("ha")
+        )
+        b = all_docs.select(
+            F.col("doc").alias("db"), F.col("source").alias("sb"), F.col("hv").alias("hb")
+        )
+        common = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+        pair_rows = (
+            cands.join(a, "da")
+            .join(b, "db")
+            .select(
+                F.least("da", "db").alias("doc_a"),
+                F.greatest("da", "db").alias("doc_b"),
+                F.least("sa", "sb").alias("source_a"),
+                F.greatest("sa", "sb").alias("source_b"),
+                (
+                    common.cast("double")
+                    / (F.size("ha") + F.size("hb") - common).cast("double")
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+        # exactly-once: each epoch owns its batch_id partition; replays
+        # overwrite the identical deterministic content
+        pair_rows.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch_id={epoch_id}")
+        )
+        bands_b.write.mode("overwrite").parquet(
+            os.path.join(bands_dir, f"batch_id={epoch_id}")
+        )
+        hv_b.write.mode("overwrite").parquet(
+            os.path.join(docs_dir, f"batch_id={epoch_id}")
+        )
+
+    writer = source.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def start_scd2(
     source: DataFrame,
     out_dir: str,

@@ -1720,3 +1720,96 @@ def test_contract_monitor_empty_batch_reports_all_passed(spark, tmp_path):
     assert len(rows) == 3  # 2 row checks + the uniqueness check
     for r in rows:
         assert r.n_violations == 0 and r.passed, r
+
+
+def test_streaming_dup_matrix_accumulates_across_restart(spark, tmp_path):
+    """The cross-batch source-pair accumulator must (a) discover a pair
+    whose members arrive in DIFFERENT drains (state survives restart),
+    (b) never re-emit a pair on replay/late drains (exactly-once
+    batch_id partitions), and (c) end with the batch MinHash pair graph
+    over everything that landed."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_source_pair_matrix,
+    )
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    pairs_dir = str(tmp_path / "pairs")
+
+    def land(rows, name):
+        with open(indir / name, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row) + "\n")
+
+    def drain():
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType(), True),
+                T.StructField("text", T.StringType(), True),
+                T.StructField("source", T.StringType(), True),
+            ]
+        )
+        query = start_source_pair_matrix(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(indir)),
+            str(tmp_path / "state"),
+            pairs_dir,
+            str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        query.awaitTermination()
+        return spark.read.option("basePath", pairs_dir).parquet(pairs_dir)
+
+    # drain 1: an intra-shard twin (src0 × src1)
+    land(
+        [
+            {"doc_id": "1", "text": "alpha beta gamma delta", "source": "src0"},
+            {"doc_id": "2", "text": "alpha beta gamma delta", "source": "src1"},
+            {"doc_id": "3", "text": "epsilon zeta eta theta", "source": "src0"},
+        ],
+        "shard1.json",
+    )
+    first = {(r.doc_a, r.doc_b) for r in drain().collect()}
+    assert first == {(1, 2)}
+
+    # drain 2 (a RESTART: fresh query, same checkpoint): a twin of a doc
+    # from drain 1 — the pair spans the restart boundary
+    land(
+        [
+            {"doc_id": "4", "text": "epsilon zeta eta theta", "source": "src2"},
+            {"doc_id": "5", "text": "iota kappa lambda mu", "source": "src2"},
+        ],
+        "shard2.json",
+    )
+    second = drain()
+    got = {(r.doc_a, r.doc_b) for r in second.collect()}
+    assert got == {(1, 2), (3, 4)}  # cross-restart pair found, (1,2) not re-emitted
+    assert second.count() == 2  # no duplicate rows in the sink
+
+    # (c) accumulated pair set == batch detector over everything landed
+    batch_docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "epsilon zeta eta theta"),
+            (4, "epsilon zeta eta theta"),
+            (5, "iota kappa lambda mu"),
+        ],
+        "doc_id long, text string",
+    )
+    expect = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup_pairs(batch_docs, threshold=0.9).collect()
+    }
+    assert got == expect
+
+    # per-pair jaccard rides the sink for the matrix aggregation
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in second.collect()}
+    assert j[(1, 2)] == 1.0 and j[(3, 4)] == 1.0
