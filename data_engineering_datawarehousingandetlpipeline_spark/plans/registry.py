@@ -47,27 +47,29 @@ class QuerySpec:
 #: query staler than the 4-round limit). Planner math against the
 #: committed r13 history with this round's debut + changed set
 #: (``python tools/window_planner.py --changed dedup_cluster_stats
-#: doc_cluster_keep doc_dedup_clusters source_dup_matrix``): 3 debuts +
-#: 3 remaining changed + the 44 oldest green-r11 rotations in
-#: oldest-last-green order with name tiebreak. The 4 youngest green-r11
-#: names (streaming_minhash_dedup, streaming_scd2, streaming_sessions,
-#: streaming_window_stats) join approx_sketches and
-#: click_days_no_purchase (green r12) as this round's deferrals — all
-#: well inside the 4-round staleness limit.
+#: doc_cluster_keep doc_dedup_clusters source_dup_matrix``): 5 debuts +
+#: 3 remaining changed + the 42 oldest green-r11 rotations in
+#: oldest-last-green order with name tiebreak. The 6 youngest green-r11
+#: names (streaming_chunks, streaming_ingest, streaming_minhash_dedup,
+#: streaming_scd2, streaming_sessions, streaming_window_stats) join
+#: approx_sketches and click_days_no_purchase (green r12) as this
+#: round's deferrals — all well inside the 4-round staleness limit.
 WINDOW_HEAD: tuple[str, ...] = (
-    # r14 debuts: doc_jaccard_prefix (registered this round — debuts are
-    # never deferred when the window is planned live) + the two r13
-    # DEBUT_QUEUE graduates, all earning their first driver rows
+    # r14 debuts (5, planner order): the prefix-Jaccard rung, the two
+    # r13 DEBUT_QUEUE graduates, and the two stretch debuts — all
+    # earning their first driver rows this round
     "doc_jaccard_prefix",
+    "doc_minhash_clusters",
     "doc_ngram_novelty",
     "source_dup_matrix",
+    "streaming_dup_matrix",
     # CHANGED_QUERIES pulled in regardless of green history (the cluster
-    # family gained the df-capped detector this round; source_dup_matrix
-    # is equally changed but already sits above as a debut)
+    # family gained the df-capped detector; source_dup_matrix is equally
+    # changed but already sits above as a debut)
     "dedup_cluster_stats",
     "doc_cluster_keep",
     "doc_dedup_clusters",
-    # the 44 oldest green-r11 rotations (oldest-last-green, name tiebreak)
+    # the 42 oldest green-r11 rotations (oldest-last-green, name tiebreak)
     "doc_bm25_topk",
     "doc_bpe_tokens",
     "doc_chunks",
@@ -110,8 +112,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     "scd2_user_state",
     "session_stats",
     "sessionization",
-    "streaming_chunks",
-    "streaming_ingest",
 )
 
 #: The CORRECTNESS round the current WINDOW_HEAD was planned against
@@ -148,13 +148,16 @@ CHANGED_QUERIES: tuple[str, ...] = (
 #: tools/closing_check.py and tests/test_plan_quality.py so a rotation
 #: can never silently strand a debut (r6 verdict, marching order 5).
 #:
-#: r14: steady state — the non-negotiable set is the 3 debuts
-#: (doc_jaccard_prefix, doc_ngram_novelty, source_dup_matrix: first
-#: driver rows) plus CHANGED_QUERIES; the planner reports no exhausted
-#: deferrals this round, so the rest of the window is ordinary rotation.
+#: r14: steady state — the non-negotiable set is the 5 debuts
+#: (doc_jaccard_prefix, doc_minhash_clusters, doc_ngram_novelty,
+#: source_dup_matrix, streaming_dup_matrix: first driver rows) plus
+#: CHANGED_QUERIES; the planner reports no exhausted deferrals this
+#: round, so the rest of the window is ordinary rotation.
 MUST_VERIFY: tuple[str, ...] = (
     "doc_jaccard_prefix",
+    "doc_minhash_clusters",
     "doc_ngram_novelty",
+    "streaming_dup_matrix",
 ) + CHANGED_QUERIES
 
 #: DEBUT QUEUE — queries implemented AFTER this round's window was
@@ -167,18 +170,14 @@ MUST_VERIFY: tuple[str, ...] = (
 #: and tools/window_planner.py consumes it to COMPUTE the next round's
 #: window instead of re-deriving the math by hand.
 #:
-#: r14: the two r13 debuts graduated into WINDOW_HEAD, and
-#: doc_jaccard_prefix (r13 verdict marching order 4) registered while the
-#: window was still being planned — CHANGED_QUERIES forced a live
-#: re-plan, so per policy rule 1 it takes a window slot THIS round
-#: instead of parking (it was verified oracle-green at both tiers before
-#: registration). The r14 stretch debuts below queue here mid-round; the
-#: closing re-plan pulls them into the final window (debuts are never
-#: deferred when the window is planned live) and empties this tuple.
-DEBUT_QUEUE: tuple[str, ...] = (
-    "doc_minhash_clusters",
-    "streaming_dup_matrix",
-)
+#: r14: empty at close. doc_jaccard_prefix registered during the live
+#: CHANGED_QUERIES re-plan and took a slot immediately; the two stretch
+#: debuts (doc_minhash_clusters, streaming_dup_matrix) queued here
+#: mid-round and were pulled into the final window by the closing
+#: re-plan (debuts are never deferred when the window is planned live).
+#: All five r14 debuts were verified oracle-green at BOTH tiers before
+#: or at registration (targeted sf0.1 sweep + the round's full sweeps).
+DEBUT_QUEUE: tuple[str, ...] = ()
 
 #: HISTORICAL — the r10 staged catch-up (r11→r13). The lost round 10
 #: (empty CORRECTNESS file: the registry was import-dead when the driver
