@@ -42,76 +42,69 @@ class QuerySpec:
 #: committed history (``PLANNED_FOR_HISTORY`` below) so this tuple can
 #: never drift from the policy.
 #:
-#: Round-14 window: the FIRST fully steady-state rotation after the
-#: r10→r13 catch-up closed (CORRECTNESS_r13: 50/50 green, no registry
-#: query staler than the 4-round limit). Planner math against the
-#: committed r13 history with this round's debut + changed set
-#: (``python tools/window_planner.py --changed dedup_cluster_stats
-#: doc_cluster_keep doc_dedup_clusters source_dup_matrix``): 5 debuts +
-#: 3 remaining changed + the 42 oldest green-r11 rotations in
-#: oldest-last-green order with name tiebreak. The 6 youngest green-r11
-#: names (streaming_chunks, streaming_ingest, streaming_minhash_dedup,
-#: streaming_scd2, streaming_sessions, streaming_window_stats) join
-#: approx_sketches and click_days_no_purchase (green r12) as this
-#: round's deferrals — all well inside the 4-round staleness limit.
+#: Round-15 window: second steady-state rotation. Planner math against
+#: the committed r14 history (``python tools/window_planner.py`` — no
+#: debuts, no changed queries at round open; matches the r14-committed
+#: COVERAGE.md projection verbatim): the 6 green-r11 streaming deferrals
+#: reach exactly the 4-round staleness limit this round, so they are the
+#: EXHAUSTED set and take slots first; the remaining 44 slots go to the
+#: oldest green-r12 rotations (oldest-last-green order, name tiebreak).
+#: Deferred: user_rolling_stats / value_correlations / value_quantiles
+#: (green r12) plus the green-r13/r14 names — all inside the limit.
 WINDOW_HEAD: tuple[str, ...] = (
-    # r14 debuts (5, planner order): the prefix-Jaccard rung, the two
-    # r13 DEBUT_QUEUE graduates, and the two stretch debuts — all
-    # earning their first driver rows this round
-    "doc_jaccard_prefix",
-    "doc_minhash_clusters",
-    "doc_ngram_novelty",
-    "source_dup_matrix",
-    "streaming_dup_matrix",
-    # CHANGED_QUERIES pulled in regardless of green history (the cluster
-    # family gained the df-capped detector; source_dup_matrix is equally
-    # changed but already sits above as a debut)
-    "dedup_cluster_stats",
-    "doc_cluster_keep",
-    "doc_dedup_clusters",
-    # the 42 oldest green-r11 rotations (oldest-last-green, name tiebreak)
-    "doc_bm25_topk",
-    "doc_bpe_tokens",
-    "doc_chunks",
-    "doc_decontaminate",
-    "doc_group_sample",
-    "doc_hash_sample",
-    "doc_lang_profile",
-    "doc_minhash_neardup",
-    "doc_ngram_topk",
-    "doc_norm_dedup",
-    "doc_pack_bins",
-    "doc_perplexity",
-    "doc_quality",
-    "doc_repetition",
-    "doc_simhash_pairs",
-    "doc_source_stats",
-    "doc_span_dedup",
-    "doc_split_assign",
-    "doc_tfidf_terms",
-    "doc_token_stats",
-    "doc_tokenizer_fidelity",
-    "emb_ann_topk",
-    "emb_cluster_profile",
-    "emb_ivf_topk",
-    "emb_near_dup",
-    "emb_quantize_stats",
-    "emb_semantic_dedup",
-    "event_gapfill",
-    "event_unpivot",
-    "incremental_distinct",
-    "incremental_rollup",
-    "lineitem_profile",
-    "media_feature_vectors",
-    "media_frame_sample",
-    "media_pipeline",
-    "nearby_clicks",
-    "retention_cohorts",
-    "retrieval_rrf",
-    "scd2_snapshots",
-    "scd2_user_state",
-    "session_stats",
-    "sessionization",
+    # exhausted deferrals (6, green r11 — at the staleness limit,
+    # non-negotiable): their first driver rows since r11
+    "streaming_chunks",
+    "streaming_ingest",
+    "streaming_minhash_dedup",
+    "streaming_scd2",
+    "streaming_sessions",
+    "streaming_window_stats",
+    # the 44 oldest green-r12 rotations (oldest-last-green, name tiebreak)
+    "approx_sketches",
+    "click_days_no_purchase",
+    "composite_sort",
+    "daily_active_cumulative",
+    "dashboard_summary",
+    "dedup_hourly_last",
+    "dedup_keep_first",
+    "doc_dsir_weights",
+    "doc_edit_distance",
+    "doc_exact_dedup",
+    "doc_fingerprints",
+    "doc_gopher_rules",
+    "doc_mixture_sample",
+    "doc_mixture_weights",
+    "doc_pii_scan",
+    "doc_quality_deciles",
+    "doc_simhash",
+    "doc_vocab_drift",
+    "emb_cosine_topk",
+    "emb_hard_negatives",
+    "emb_ivfpq_topk",
+    "emb_pq_topk",
+    "event_cube",
+    "event_funnel",
+    "event_grouping_sets",
+    "media_features",
+    "order_priority",
+    "part_type_stats",
+    "pivot_daily",
+    "pricing_summary",
+    "region_revenue",
+    "retrieval_rrf_ann",
+    "revenue_rollup",
+    "salted_enrich",
+    "salted_rollup",
+    "scd2_event_enrich",
+    "silence_report",
+    "source_overlap",
+    "split_leakage_audit",
+    "streaming_exact_dedup",
+    "supplier_volume",
+    "top_customers",
+    "top_orders_per_customer",
+    "user_day_overlap",
 )
 
 #: The CORRECTNESS round the current WINDOW_HEAD was planned against
@@ -120,26 +113,17 @@ WINDOW_HEAD: tuple[str, ...] = (
 #: planner test recomputes the plan whenever the committed history sits
 #: at exactly this round and asserts WINDOW_HEAD matches; when a newer
 #: CORRECTNESS file lands, the test skips until the builder re-plans.
-PLANNED_FOR_HISTORY: int = 13
+PLANNED_FOR_HISTORY: int = 14
 
 #: Queries whose implementation changed since their last green driver
 #: row. The builder maintains this per round (the planner cannot see the
 #: diff); the planner pulls these into the window regardless of green
 #: history, and the generalized planner test feeds this exact set back
-#: into the recomputation. r14: the cluster family — their pair
-#: detector gained the df-cap (jaccard_pairs(width=1,
-#: max_doc_freq=CLUSTER_MAX_DOC_FREQ) via extensions.cluster_pairs, r13
-#: verdict marching order 3), which changes the physical plan (broadcast
-#: LEFT-ANTI prune + capped set sizes) even though outputs are identical
-#: on the tested tiers (the cap sits above the densest tested df).
-#: source_dup_matrix is equally changed but already holds window slot 2
-#: as a debut.
-CHANGED_QUERIES: tuple[str, ...] = (
-    "dedup_cluster_stats",
-    "doc_cluster_keep",
-    "doc_dedup_clusters",
-    "source_dup_matrix",
-)
+#: into the recomputation. r15: empty at round open — the planned
+#: changes (the accumulator's first-batch state-probe narrowing, the
+#: e2e-drain workdir cleanup) land mid-round and trigger the standard
+#: ``--changed`` re-plan when they do.
+CHANGED_QUERIES: tuple[str, ...] = ()
 
 #: Names that MUST sit inside the driver's 50-entry window this round:
 #: every query that has never received a driver row, every query whose
@@ -148,16 +132,17 @@ CHANGED_QUERIES: tuple[str, ...] = (
 #: tools/closing_check.py and tests/test_plan_quality.py so a rotation
 #: can never silently strand a debut (r6 verdict, marching order 5).
 #:
-#: r14: steady state — the non-negotiable set is the 5 debuts
-#: (doc_jaccard_prefix, doc_minhash_clusters, doc_ngram_novelty,
-#: source_dup_matrix, streaming_dup_matrix: first driver rows) plus
-#: CHANGED_QUERIES; the planner reports no exhausted deferrals this
-#: round, so the rest of the window is ordinary rotation.
+#: r15: no debuts at round open; the non-negotiable set is the 6
+#: exhausted deferrals (green r11, at the 4-round staleness limit — the
+#: planner marks them exhausted, so deferring again would breach policy)
+#: plus CHANGED_QUERIES as changes land mid-round.
 MUST_VERIFY: tuple[str, ...] = (
-    "doc_jaccard_prefix",
-    "doc_minhash_clusters",
-    "doc_ngram_novelty",
-    "streaming_dup_matrix",
+    "streaming_chunks",
+    "streaming_ingest",
+    "streaming_minhash_dedup",
+    "streaming_scd2",
+    "streaming_sessions",
+    "streaming_window_stats",
 ) + CHANGED_QUERIES
 
 #: DEBUT QUEUE — queries implemented AFTER this round's window was
@@ -170,13 +155,9 @@ MUST_VERIFY: tuple[str, ...] = (
 #: and tools/window_planner.py consumes it to COMPUTE the next round's
 #: window instead of re-deriving the math by hand.
 #:
-#: r14: empty at close. doc_jaccard_prefix registered during the live
-#: CHANGED_QUERIES re-plan and took a slot immediately; the two stretch
-#: debuts (doc_minhash_clusters, streaming_dup_matrix) queued here
-#: mid-round and were pulled into the final window by the closing
-#: re-plan (debuts are never deferred when the window is planned live).
-#: All five r14 debuts were verified oracle-green at BOTH tiers before
-#: or at registration (targeted sf0.1 sweep + the round's full sweeps).
+#: r15: empty at round open (r14 closed with no parked debuts — all
+#: five registered mid-round and took live slots). Any r15 debut queues
+#: here and is pulled in by the standard mid-round re-plan.
 DEBUT_QUEUE: tuple[str, ...] = ()
 
 #: HISTORICAL — the r10 staged catch-up (r11→r13). The lost round 10
