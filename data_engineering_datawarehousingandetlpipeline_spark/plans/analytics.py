@@ -26,6 +26,9 @@ from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric impo
     sql_dsum,
 )
 from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import QuerySpec
+from data_engineering_datawarehousingandetlpipeline_spark.scratch import (
+    materialized_result,
+)
 from data_engineering_datawarehousingandetlpipeline_spark.session import (
     ensure_runtime_confs,
 )
@@ -884,7 +887,9 @@ def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, out_dir, os.path.join(workdir, "ckpt"), available_now=True
     )
     query.awaitTermination()
-    return spark.read.parquet(out_dir).orderBy("user_id", "version")
+    return materialized_result(
+        spark.read.parquet(out_dir).orderBy("user_id", "version"), workdir
+    )
 
 
 SQL_STREAMING_SCD2 = f"""

@@ -44,6 +44,9 @@ from data_engineering_datawarehousingandetlpipeline_spark.plans.extensions impor
     _docs,
 )
 from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import QuerySpec
+from data_engineering_datawarehousingandetlpipeline_spark.scratch import (
+    materialized_result,
+)
 
 #: DSIR hashed-feature space: small enough that the fitted model (one row
 #: per bucket) always broadcasts, large enough that collisions stay rare
@@ -868,7 +871,7 @@ def q_streaming_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now=True,
     )
     query.awaitTermination()
-    return (
+    return materialized_result(
         spark.read.option("basePath", pairs_dir)
         .parquet(pairs_dir)
         .groupBy("source_a", "source_b")
@@ -878,7 +881,8 @@ def q_streaming_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.try_divide(dsum(F.col("jaccard"), wide=True), F.count("*")), 6
             ).alias("avg_jaccard"),
         )
-        .orderBy("source_a", "source_b")
+        .orderBy("source_a", "source_b"),
+        workdir,
     )
 
 
@@ -892,6 +896,16 @@ def _sql_streaming_dup_matrix() -> str:
         "FROM documents",
         f"FROM documents WHERE doc_id % {STREAM_SRCPAIR_MOD} = 0",
     )
+    # the restriction must actually land: if the shared CTE text is ever
+    # reworded so "FROM documents" no longer appears, the replace would
+    # silently no-op and the oracle would cover the FULL corpus while the
+    # Spark side covers the subset — fail at import instead of handing
+    # the driver a confusing hash mismatch
+    if ctes == _SQL_MINHASH_CTES:
+        raise AssertionError(
+            "streaming_dup_matrix oracle: subset restriction did not "
+            "apply — _SQL_MINHASH_CTES no longer scans 'FROM documents'"
+        )
     return f"""
 WITH {ctes}, mpairs AS (
   {_SQL_MINHASH_PAIRS}

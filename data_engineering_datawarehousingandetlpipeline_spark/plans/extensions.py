@@ -38,6 +38,9 @@ from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric impo
     sql_dsum,
 )
 from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import QuerySpec
+from data_engineering_datawarehousingandetlpipeline_spark.scratch import (
+    materialized_result,
+)
 from data_engineering_datawarehousingandetlpipeline_spark.session import (
     ensure_runtime_confs,
 )
@@ -607,15 +610,28 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: IDENTICAL df-cap as the Spark detector (capped-vocabulary Jaccard: set
 #: sizes recomputed over surviving postings), so the driver's hash compare
 #: pins the capped semantics in both engines.
-SQL_CLUSTER_CTES = f"""WITH RECURSIVE toks AS (
+def sql_cluster_ctes(
+    max_doc_freq: int = CLUSTER_MAX_DOC_FREQ,
+    threshold: float = MINHASH_JACCARD_THRESHOLD,
+) -> str:
+    """Build the cluster-graph CTE chain for a given cap/threshold.
+
+    Defaults produce the registered oracles' exact text; the knobs exist
+    so the binding-cap unit test (tests/test_dedup_properties.py) can
+    twin the SAME oracle chain at a cap that actually prunes — the one
+    rung plan-shape gates cannot cover on the driver corpus, where
+    CLUSTER_MAX_DOC_FREQ deliberately never binds (see the constant's
+    docstring).
+    """
+    return f"""WITH RECURSIVE toks AS (
   SELECT doc_id AS doc, list_distinct({SQL_TOKS}) AS t FROM documents
 ), postings AS (
   -- identical doc-frequency cap as jaccard_pairs(max_doc_freq=...):
-  -- tokens in more than {CLUSTER_MAX_DOC_FREQ} docs leave the index
+  -- tokens in more than {max_doc_freq} docs leave the index
   SELECT doc, token FROM (
     SELECT doc, token, COUNT(*) OVER (PARTITION BY token) AS df_count
     FROM (SELECT doc, unnest(t) AS token FROM toks)
-  ) WHERE df_count <= {CLUSTER_MAX_DOC_FREQ}
+  ) WHERE df_count <= {max_doc_freq}
 ), sizes AS (
   -- set sizes over the SURVIVING index (capped-vocabulary Jaccard)
   SELECT doc, COUNT(*) AS n FROM postings GROUP BY doc
@@ -629,7 +645,7 @@ SQL_CLUSTER_CTES = f"""WITH RECURSIVE toks AS (
   JOIN sizes sa ON sa.doc = doc_a
   JOIN sizes sb ON sb.doc = doc_b
   WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE)
-        >= {MINHASH_JACCARD_THRESHOLD}
+        >= {threshold}
 ), edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
@@ -641,6 +657,9 @@ SQL_CLUSTER_CTES = f"""WITH RECURSIVE toks AS (
 ), clusters AS (
   SELECT doc AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc
 )"""
+
+
+SQL_CLUSTER_CTES = sql_cluster_ctes()
 
 SQL_DOC_DEDUP_CLUSTERS = f"""
 {SQL_CLUSTER_CTES}
@@ -1086,7 +1105,9 @@ def q_streaming_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now=True,
     )
     query.awaitTermination()
-    return spark.read.parquet(out_dir).orderBy("doc_id", "chunk_id")
+    return materialized_result(
+        spark.read.parquet(out_dir).orderBy("doc_id", "chunk_id"), workdir
+    )
 
 
 def _sql_streaming_chunks() -> str:
@@ -1155,7 +1176,9 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now=True,
     )
     query.awaitTermination()
-    return spark.read.parquet(out_dir).orderBy("text_hash")
+    return materialized_result(
+        spark.read.parquet(out_dir).orderBy("text_hash"), workdir
+    )
 
 
 SQL_STREAMING_EXACT_DEDUP = f"""
@@ -1224,7 +1247,9 @@ def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now=True,
     )
     query.awaitTermination()
-    return spark.read.parquet(out_dir).orderBy("band", "band_hash")
+    return materialized_result(
+        spark.read.parquet(out_dir).orderBy("band", "band_hash"), workdir
+    )
 
 
 def _sql_streaming_minhash_dedup() -> str:

@@ -26,6 +26,9 @@ from data_engineering_datawarehousingandetlpipeline_spark.operators.skew import 
     salted_agg,
 )
 from data_engineering_datawarehousingandetlpipeline_spark.plans.registry import QuerySpec
+from data_engineering_datawarehousingandetlpipeline_spark.scratch import (
+    materialized_result,
+)
 from data_engineering_datawarehousingandetlpipeline_spark.session import (
     ensure_runtime_confs,
 )
@@ -259,14 +262,15 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         warehouse,
         os.path.join(workdir, "ckpt"),
     )
-    return (
+    return materialized_result(
         warehouse.read()
         .select(
             "station_id",
             "timestamp",
             F.col("temperature").alias("value"),
         )
-        .orderBy("station_id", "timestamp")
+        .orderBy("station_id", "timestamp"),
+        workdir,
     )
 
 
@@ -458,7 +462,9 @@ def q_streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    return spark.table(name).orderBy("window_start", "user_id")
+    return materialized_result(
+        spark.table(name).orderBy("window_start", "user_id"), workdir
+    )
 
 
 SQL_STREAMING_WINDOW_STATS = f"""
@@ -513,7 +519,9 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    return spark.table(name).orderBy("user_id", "session_start")
+    return materialized_result(
+        spark.table(name).orderBy("user_id", "session_start"), workdir
+    )
 
 
 SESSION_GAP_SECONDS = 30 * 60
@@ -1026,7 +1034,7 @@ def q_streaming_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now=True,
     )
     query.awaitTermination()
-    return (
+    return materialized_result(
         spark.read.parquet(out_dir)
         .select(
             F.col("batch_id").cast("int").alias("batch_id"),
@@ -1034,7 +1042,8 @@ def q_streaming_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_violations",
             "passed",
         )
-        .orderBy("batch_id", "check")
+        .orderBy("batch_id", "check"),
+        workdir,
     )
 
 
@@ -1117,10 +1126,11 @@ def q_warehouse_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"manifest failed to prune: read={read} skipped={skipped}"
         )
-    return (
+    return materialized_result(
         S.read_skipping(wh, "value", lo, hi)
         .select("event_id", "user_id", "value")
-        .orderBy("event_id")
+        .orderBy("event_id"),
+        workdir,
     )
 
 
@@ -1228,9 +1238,12 @@ def q_warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"v2 correction not applied: {v2_sum} != 2 * {v1_sum}"
         )
-    return wh.read_as_of(1).select(
-        "event_id", "user_id", "ts", "value"
-    ).orderBy("event_id")
+    return materialized_result(
+        wh.read_as_of(1)
+        .select("event_id", "user_id", "ts", "value")
+        .orderBy("event_id"),
+        workdir,
+    )
 
 
 SQL_WAREHOUSE_TIME_TRAVEL = """
@@ -1274,7 +1287,7 @@ def q_warehouse_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )                                                                 # v2
     wh.delete_where(F.col("user_id") == 2)                            # v3
-    return (
+    return materialized_result(
         wh.changes_between(1, 3, compare_cols=["value"])
         .select(
             "event_id",
@@ -1282,7 +1295,8 @@ def q_warehouse_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("old_value", 6).alias("old_value"),
             F.round("new_value", 6).alias("new_value"),
         )
-        .orderBy("event_id")
+        .orderBy("event_id"),
+        workdir,
     )
 
 
@@ -1352,7 +1366,7 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    return spark.table(name).orderBy("event_id")
+    return materialized_result(spark.table(name).orderBy("event_id"), workdir)
 
 
 SQL_STREAMING_ENRICH = f"""
@@ -1423,7 +1437,9 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    return spark.table(name).orderBy("purchase_id", "click_id")
+    return materialized_result(
+        spark.table(name).orderBy("purchase_id", "click_id"), workdir
+    )
 
 
 SQL_STREAMING_ATTRIBUTION = f"""

@@ -42,25 +42,38 @@ class QuerySpec:
 #: committed history (``PLANNED_FOR_HISTORY`` below) so this tuple can
 #: never drift from the policy.
 #:
-#: Round-15 window: second steady-state rotation. Planner math against
-#: the committed r14 history (``python tools/window_planner.py`` — no
-#: debuts, no changed queries at round open; matches the r14-committed
-#: COVERAGE.md projection verbatim): the 6 green-r11 streaming deferrals
-#: reach exactly the 4-round staleness limit this round, so they are the
-#: EXHAUSTED set and take slots first; the remaining 44 slots go to the
-#: oldest green-r12 rotations (oldest-last-green order, name tiebreak).
-#: Deferred: user_rolling_stats / value_correlations / value_quantiles
-#: (green r12) plus the green-r13/r14 names — all inside the limit.
+#: Round-15 window: second steady-state rotation, re-planned LIVE when
+#: the round's code changes landed (``python tools/window_planner.py
+#: --changed <the 14 names below>``). The 14 CHANGED queries take slots
+#: first — they subsume the 6 green-r11 streaming deferrals that opened
+#: the round as the exhausted set (each is also changed: the e2e-drain
+#: workdir cleanup pins their results and deletes the scratch dirs) —
+#: then the 36 oldest green-r12 rotations (oldest-last-green order, name
+#: tiebreak). Displaced to r16 (where they hit the staleness limit and
+#: become that round's exhausted set): silence_report, source_overlap,
+#: split_leakage_audit, supplier_volume, top_customers,
+#: top_orders_per_customer, user_day_overlap + the three younger-r12
+#: deferrals (user_rolling_stats, value_correlations, value_quantiles).
 WINDOW_HEAD: tuple[str, ...] = (
-    # exhausted deferrals (6, green r11 — at the staleness limit,
-    # non-negotiable): their first driver rows since r11
+    # CHANGED_QUERIES (14, planner order): the streaming accumulator's
+    # narrowed state probe + pair-dedup guard (streaming_dup_matrix) and
+    # the e2e-drain workdir cleanup (all 14 — results now pinned via
+    # scratch.materialized_result, scratch dirs deleted)
+    "streaming_attribution",
     "streaming_chunks",
+    "streaming_contract",
+    "streaming_dup_matrix",
+    "streaming_enrich",
+    "streaming_exact_dedup",
     "streaming_ingest",
     "streaming_minhash_dedup",
     "streaming_scd2",
     "streaming_sessions",
     "streaming_window_stats",
-    # the 44 oldest green-r12 rotations (oldest-last-green, name tiebreak)
+    "warehouse_change_feed",
+    "warehouse_skipping_scan",
+    "warehouse_time_travel",
+    # the 36 oldest green-r12 rotations (oldest-last-green, name tiebreak)
     "approx_sketches",
     "click_days_no_purchase",
     "composite_sort",
@@ -97,14 +110,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     "salted_enrich",
     "salted_rollup",
     "scd2_event_enrich",
-    "silence_report",
-    "source_overlap",
-    "split_leakage_audit",
-    "streaming_exact_dedup",
-    "supplier_volume",
-    "top_customers",
-    "top_orders_per_customer",
-    "user_day_overlap",
 )
 
 #: The CORRECTNESS round the current WINDOW_HEAD was planned against
@@ -119,11 +124,29 @@ PLANNED_FOR_HISTORY: int = 14
 #: row. The builder maintains this per round (the planner cannot see the
 #: diff); the planner pulls these into the window regardless of green
 #: history, and the generalized planner test feeds this exact set back
-#: into the recomputation. r15: empty at round open — the planned
-#: changes (the accumulator's first-batch state-probe narrowing, the
-#: e2e-drain workdir cleanup) land mid-round and trigger the standard
-#: ``--changed`` re-plan when they do.
-CHANGED_QUERIES: tuple[str, ...] = ()
+#: into the recomputation. r15: streaming_dup_matrix's accumulator
+#: narrowed its first-batch state probe to an explicit filesystem check
+#: (transient read failures now fail the batch loudly), gained the
+#: re-delivery pair guards, and ALL 14 e2e-drain queries pin their
+#: results via scratch.materialized_result before deleting their
+#: formerly-leaked workdirs — a physical-plan change (final plan is the
+#: checkpoint scan) with identical values, so all 14 re-verify.
+CHANGED_QUERIES: tuple[str, ...] = (
+    "streaming_attribution",
+    "streaming_chunks",
+    "streaming_contract",
+    "streaming_dup_matrix",
+    "streaming_enrich",
+    "streaming_exact_dedup",
+    "streaming_ingest",
+    "streaming_minhash_dedup",
+    "streaming_scd2",
+    "streaming_sessions",
+    "streaming_window_stats",
+    "warehouse_change_feed",
+    "warehouse_skipping_scan",
+    "warehouse_time_travel",
+)
 
 #: Names that MUST sit inside the driver's 50-entry window this round:
 #: every query that has never received a driver row, every query whose
@@ -132,18 +155,11 @@ CHANGED_QUERIES: tuple[str, ...] = ()
 #: tools/closing_check.py and tests/test_plan_quality.py so a rotation
 #: can never silently strand a debut (r6 verdict, marching order 5).
 #:
-#: r15: no debuts at round open; the non-negotiable set is the 6
-#: exhausted deferrals (green r11, at the 4-round staleness limit — the
-#: planner marks them exhausted, so deferring again would breach policy)
-#: plus CHANGED_QUERIES as changes land mid-round.
-MUST_VERIFY: tuple[str, ...] = (
-    "streaming_chunks",
-    "streaming_ingest",
-    "streaming_minhash_dedup",
-    "streaming_scd2",
-    "streaming_sessions",
-    "streaming_window_stats",
-) + CHANGED_QUERIES
+#: r15: no debuts; the non-negotiable set is exactly CHANGED_QUERIES —
+#: the 6 green-r11 streaming deferrals that opened the round as the
+#: exhausted set are all inside it (each was touched by the workdir
+#: cleanup), so listing them separately would double-count.
+MUST_VERIFY: tuple[str, ...] = CHANGED_QUERIES
 
 #: DEBUT QUEUE — queries implemented AFTER this round's window was
 #: committed: debuts park here and take next-round slots first, per

@@ -476,15 +476,42 @@ def start_source_pair_matrix(
     bands_dir = os.path.join(state_dir, "bands")
     docs_dir = os.path.join(state_dir, "docs")
 
+    def _committed_state_exists(spark: SparkSession, path: str) -> bool:
+        """True iff ``path`` holds at least one COMMITTED ``batch_id=*``
+        partition (a visible data file inside it). Probed explicitly via
+        the Hadoop FileSystem API — never by swallowing read exceptions:
+        the r14 draft caught bare ``Exception`` around the read, so a
+        transient non-missing-path failure (corrupt file, permission)
+        silently degraded the batch to within-batch pairs only, and the
+        exactly-once replay made the shrunken pair graph sticky. With the
+        probe, "no state yet" is a filesystem FACT (root absent, or only
+        a crashed first write's hidden ``_temporary`` droppings), and
+        every actual read failure propagates — the batch fails loudly and
+        the checkpoint retries it."""
+        jvm = spark.sparkContext._jvm
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return False
+        for part in fs.listStatus(root):
+            if not part.getPath().getName().startswith("batch_id="):
+                continue
+            for f in fs.listStatus(part.getPath()):
+                name = f.getPath().getName()
+                # committers hide in-flight output under _ / . prefixes;
+                # one visible file means a committed partition
+                if not name.startswith(("_", ".")):
+                    return True
+        return False
+
     def _read_prior(spark: SparkSession, path: str, epoch_id: int):
-        try:
-            return (
-                spark.read.option("basePath", path)
-                .parquet(path)
-                .filter(F.col("batch_id") < epoch_id)
-            )
-        except Exception:  # first batch: no state directory yet
-            return None
+        if not _committed_state_exists(spark, path):
+            return None  # genuine first batch: no committed state yet
+        return (
+            spark.read.option("basePath", path)
+            .parquet(path)
+            .filter(F.col("batch_id") < epoch_id)
+        )
 
     def _batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -529,10 +556,17 @@ def start_source_pair_matrix(
         if prior_bands is not None:
             # cross candidates: the new doc pairs with every earlier
             # arrival it band-collides with — discovered exactly here,
-            # never again (neither member is "new" in a later batch)
+            # never again (neither member is "new" in a later batch).
+            # The doc inequality guards re-delivery: a doc_id arriving
+            # again in a later shard would otherwise pair with its own
+            # earlier copy and emit a doc_a == doc_b self-pair (j=1.0)
+            # that no batch pair graph contains.
             cross = (
                 bands_b.alias("x")
-                .join(prior_bands.alias("y"), collide)
+                .join(
+                    prior_bands.alias("y"),
+                    collide & (F.col("x.doc") != F.col("y.doc")),
+                )
                 .select(F.col("x.doc").alias("da"), F.col("y.doc").alias("db"))
             )
             cands = cands.unionByName(cross)
@@ -565,6 +599,11 @@ def start_source_pair_matrix(
                 ).alias("jaccard"),
             )
             .filter(F.col("jaccard") >= threshold)
+            # a re-delivered doc_id sits in the doc state under two
+            # batch_ids; the verify join would multiply each of its pairs
+            # by the copy count. Same doc_id → same token set → same
+            # jaccard, so the key-only dedup is lossless.
+            .dropDuplicates(["doc_a", "doc_b"])
         )
 
         # exactly-once: each epoch owns its batch_id partition; replays

@@ -330,3 +330,73 @@ def test_chunking_matches_brute_force_chunker(spark):
         got.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
     got_texts = {k: [t for _, t in sorted(v)] for k, v in got.items()}
     assert got_texts == expect
+
+
+def test_binding_df_cap_cluster_graph_matches_duckdb_end_to_end(spark):
+    """CLUSTER_MAX_DOC_FREQ never binds on the driver corpus (measured df
+    bands sit below it — see the constant's docstring), so the family's
+    plan gates pin the prune's physical PRESENCE but nothing exercises
+    its binding SEMANTICS detector-through-components. This test does: a
+    corpus where a hot token exceeds a small cap, run through the exact
+    code path the family uses (jaccard_pairs(width=1, max_doc_freq=K) →
+    near_dup_clusters) against DuckDB running the registered oracle CTE
+    chain (extensions.sql_cluster_ctes) at the same K — and the cap
+    provably CHANGES the graph (the uncapped run pairs docs the capped
+    run must not)."""
+    import duckdb
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+        dedup as dd,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.extensions import (
+        sql_cluster_ctes,
+    )
+
+    cap, threshold = 2, 0.3
+    rows = [
+        (1, "hot aa bb"),   # (1,2): exact twins — pair with or without cap
+        (2, "hot aa bb"),
+        (3, "hot cc dd"),   # (3,4): twins
+        (4, "hot cc dd"),
+        (5, "hot ee"),      # (5,6): j=1/3 uncapped (via "hot"), 0 capped
+        (6, "hot ff"),
+        (7, "hot"),         # all tokens pruned: must survive as a singleton
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # the cap binds AND matters: uncapped, "hot" (df=7 > 2) glues 5 and 6
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in dd.jaccard_pairs(
+            docs, threshold=threshold, shingle_width=1
+        ).select("doc_a", "doc_b").collect()
+    }
+    assert (5, 6) in uncapped
+
+    pairs = dd.jaccard_pairs(
+        docs, threshold=threshold, shingle_width=1, max_doc_freq=cap
+    )
+    got_pairs = {(r.doc_a, r.doc_b) for r in pairs.select("doc_a", "doc_b").collect()}
+    assert got_pairs == {(1, 2), (3, 4)}  # the hot-token pair is gone
+
+    labels = dd.near_dup_clusters(docs, pairs)
+    got = sorted((r.doc_id, r.cluster_id) for r in labels.collect())
+
+    con = duckdb.connect()
+    try:
+        con.register(
+            "documents",
+            __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]),
+        )
+        expect = sorted(
+            tuple(r)
+            for r in con.execute(
+                sql_cluster_ctes(max_doc_freq=cap, threshold=threshold)
+                + " SELECT doc_id, cluster_id FROM clusters"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+
+    assert got == expect
+    assert (7, 7) in dict(got).items()  # fully-pruned doc stays a singleton

@@ -1813,3 +1813,148 @@ def test_streaming_dup_matrix_accumulates_across_restart(spark, tmp_path):
     # per-pair jaccard rides the sink for the matrix aggregation
     j = {(r.doc_a, r.doc_b): r.jaccard for r in second.collect()}
     assert j[(1, 2)] == 1.0 and j[(3, 4)] == 1.0
+
+def _srcpair_drain(spark, tmp_path, indir, pairs_dir):
+    """One availableNow drain of the source-pair accumulator (the restart
+    test's harness, shared by the failure-mode tests below)."""
+    from pyspark.sql import types as T
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_source_pair_matrix,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    query = start_source_pair_matrix(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir)),
+        str(tmp_path / "state"),
+        pairs_dir,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    query.awaitTermination()
+    return spark.read.option("basePath", pairs_dir).parquet(pairs_dir)
+
+
+def test_streaming_dup_matrix_fails_loudly_on_corrupt_state(spark, tmp_path):
+    """A NON-missing-path state-read failure must fail the batch (so the
+    checkpoint retries it), never silently degrade to within-batch pairs.
+
+    The r14 draft's first-batch probe caught bare ``Exception`` around the
+    prior-state read, so a corrupt state partition shrank that epoch's
+    pair graph with no error surfaced — and the exactly-once replay made
+    the shrunken partition sticky (r14 verdict, "what's wrong" #1; ADVICE
+    r15 medium). The narrowed probe checks path existence explicitly via
+    the filesystem and lets every actual read error propagate: this test
+    corrupts the committed bands state, lands a shard whose twin sits in
+    that state, and asserts the drain RAISES and commits nothing for the
+    failed epoch."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    pairs_dir = str(tmp_path / "pairs")
+
+    with open(indir / "shard1.json", "w") as fh:
+        fh.write(json.dumps(
+            {"doc_id": "1", "text": "alpha beta gamma delta", "source": "s0"}
+        ) + "\n")
+    assert _srcpair_drain(spark, tmp_path, indir, pairs_dir).count() == 0
+
+    # corrupt EVERY committed bands-state data file (visible files only:
+    # the probe rightly ignores hidden committer droppings)
+    bands_dir = tmp_path / "state" / "bands"
+    corrupted = 0
+    for part in bands_dir.glob("batch_id=*/*"):
+        if part.is_file() and not part.name.startswith(("_", ".")):
+            part.write_bytes(b"this is not a parquet file")
+            corrupted += 1
+    assert corrupted > 0, "no committed state files found to corrupt"
+
+    with open(indir / "shard2.json", "w") as fh:
+        fh.write(json.dumps(
+            {"doc_id": "2", "text": "alpha beta gamma delta", "source": "s1"}
+        ) + "\n")
+    with pytest.raises(StreamingQueryException):
+        _srcpair_drain(spark, tmp_path, indir, pairs_dir)
+
+    # the failed epoch committed NO pairs partition: the (1, 2) twin pair
+    # is neither present (it could not be verified against corrupt state)
+    # nor silently replaced by an under-reported within-batch-only row
+    remaining = (
+        spark.read.option("basePath", pairs_dir).parquet(pairs_dir).collect()
+    )
+    assert remaining == []
+
+
+def test_streaming_dup_matrix_treats_crashed_first_write_as_no_state(
+    spark, tmp_path
+):
+    """The one case the old broad except was FOR — "no committed state
+    yet" — must keep working when the state root EXISTS but holds only a
+    crashed first write's hidden committer droppings (``_temporary``), so
+    the explicit probe must look for visible data files, not bare
+    directory existence."""
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    pairs_dir = str(tmp_path / "pairs")
+
+    for sub in ("bands", "docs"):
+        droppings = tmp_path / "state" / sub / "batch_id=0" / "_temporary"
+        droppings.mkdir(parents=True)
+        (droppings / "part-00000").write_bytes(b"uncommitted")
+
+    with open(indir / "shard1.json", "w") as fh:
+        fh.write(json.dumps(
+            {"doc_id": "1", "text": "alpha beta gamma delta", "source": "s0"}
+        ) + "\n")
+        fh.write(json.dumps(
+            {"doc_id": "2", "text": "alpha beta gamma delta", "source": "s1"}
+        ) + "\n")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _srcpair_drain(spark, tmp_path, indir, pairs_dir).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_streaming_dup_matrix_ignores_redelivered_doc(spark, tmp_path):
+    """A doc_id re-delivered in a later shard must not pair with its own
+    earlier copy (no doc_a == doc_b self-pair — ADVICE r15), and a later
+    true twin must still yield its pair exactly once even though the
+    re-delivered doc now sits in the state under two batch_ids."""
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    pairs_dir = str(tmp_path / "pairs")
+
+    def land(name, rows):
+        with open(indir / name, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row) + "\n")
+
+    land("shard1.json", [
+        {"doc_id": "1", "text": "alpha beta gamma delta", "source": "s0"},
+    ])
+    assert _srcpair_drain(spark, tmp_path, indir, pairs_dir).count() == 0
+
+    # the SAME doc lands again: without the x.doc != y.doc guard the
+    # cross join emits (1, 1) with jaccard 1.0
+    land("shard2.json", [
+        {"doc_id": "1", "text": "alpha beta gamma delta", "source": "s0"},
+    ])
+    assert _srcpair_drain(spark, tmp_path, indir, pairs_dir).count() == 0
+
+    # a genuine twin arrives: doc 1 is in state twice (batch 0 AND 1),
+    # but least/greatest + per-batch distinct keep the pair single
+    land("shard3.json", [
+        {"doc_id": "6", "text": "alpha beta gamma delta", "source": "s2"},
+    ])
+    rows = _srcpair_drain(spark, tmp_path, indir, pairs_dir).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 6)]
