@@ -1271,6 +1271,96 @@ ORDER BY band, band_hash
 SQL_STREAMING_MINHASH_DEDUP = _sql_streaming_minhash_dedup()
 
 
+STREAM_EMB_MOD = 3  # vec_id % 3 == 0 subset keeps the e2e drain small
+
+
+def q_streaming_emb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs accumulated INCREMENTALLY as shards land
+    (r15): the dense-side twin of ``streaming_dup_matrix``, extending the
+    exactly-once cross-batch accumulation pattern to the embedding /
+    multimodal pipeline.
+
+    An embedding subset is staged as three range-sharded PARQUET files
+    (parquet, not JSON: float vectors must round-trip bit-exactly into
+    the stream), drained one file per micro-batch through
+    ``streaming/pipeline.start_embedding_near_dup`` — per batch,
+    hyperplane LSH buckets for the NEW vectors only, candidates against
+    the accumulated cross-batch index plus within-batch, exact rounded
+    cosine verify, pair rows landed through the exactly-once
+    batch_id-partitioned sink. Every unordered near-dup pair is
+    discovered exactly once (at its later member's arrival), so the
+    accumulated pair set equals the BATCH LSH pair graph over the same
+    subset — the oracle states exactly that batch semantics
+    (``SQL_EMB_NEAR_DUP``'s bucket/verify chain restricted to the
+    subset). Plane count/tables are the registered batch constants
+    (``NEAR_DUP_PLANES``/``EMBED_TABLES``), so the index geometry — and
+    therefore the candidate graph — is identical in all three places:
+    batch operator, stream, oracle. This is the contract that lets an
+    embedding dedup index stay warm as encoder shards land, without
+    re-pairing the corpus.
+    """
+    import os
+    import tempfile
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_embedding_near_dup,
+    )
+
+    embs = _embs(spark, sf_dir).filter(
+        (F.col("vec_id") % STREAM_EMB_MOD) == 0
+    )
+    # TEST-SCALE ONLY staging (the q_streaming_minhash_dedup convention):
+    # a tempdir stands in for the encoder's landing bucket.
+    workdir = tempfile.mkdtemp(prefix="streaming_emb_dedup_q_")
+    indir = os.path.join(workdir, "incoming")
+    staged = embs.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    staged.repartitionByRange(3, "vec_id").write.mode("overwrite").parquet(indir)
+    pairs_dir = os.path.join(workdir, "pairs")
+    query = start_embedding_near_dup(
+        spark.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir),
+        os.path.join(workdir, "state"),
+        pairs_dir,
+        os.path.join(workdir, "ckpt"),
+        threshold=EMBED_NEAR_DUP_THRESHOLD,
+        n_planes=NEAR_DUP_PLANES,
+        n_tables=EMBED_TABLES,
+        dim=EMBED_DIM,
+        available_now=True,
+    )
+    query.awaitTermination()
+    return materialized_result(
+        spark.read.option("basePath", pairs_dir)
+        .parquet(pairs_dir)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b"),
+        workdir,
+    )
+
+
+def _sql_streaming_emb_dedup() -> str:
+    # the batch near-dup SQL (bucket chain + exact verify), restricted to
+    # the streamed subset in every scan of `embeddings`
+    sql = SQL_EMB_NEAR_DUP.replace(
+        "FROM embeddings",
+        f"FROM embeddings WHERE vec_id % {STREAM_EMB_MOD} = 0",
+    )
+    # the restriction must actually land in BOTH the per-table bucket
+    # scans and the vector CTE — if the shared SQL is reworded the
+    # replace would silently no-op and the oracle would cover the full
+    # corpus (the streaming_dup_matrix lesson, asserted at import)
+    expected = EMBED_TABLES + 1
+    applied = sql.count(f"WHERE vec_id % {STREAM_EMB_MOD} = 0")
+    if applied != expected:
+        raise AssertionError(
+            f"streaming_emb_dedup oracle: subset restriction applied to "
+            f"{applied} scans, expected {expected} — SQL_EMB_NEAR_DUP "
+            "no longer scans 'FROM embeddings' the expected way"
+        )
+    return sql
+
+
 TFIDF_TOP_TERMS = 3
 
 
@@ -2695,6 +2785,11 @@ ORDER BY id_a, id_b
 """
 
 
+#: materialized here, AFTER SQL_EMB_NEAR_DUP exists (the builder asserts
+#: the subset restriction landed in all EMBED_TABLES + 1 scans)
+SQL_STREAMING_EMB_DEDUP = _sql_streaming_emb_dedup()
+
+
 SEMDEDUP_THRESHOLD = EMBED_NEAR_DUP_THRESHOLD
 
 
@@ -3411,6 +3506,11 @@ QUERIES = [
               bench=True, tags=("similarity",)),
     QuerySpec("emb_near_dup", q_emb_near_dup, SQL_EMB_NEAR_DUP,
               "embedding-cosine near-dup pairs (bucketed)", tags=("similarity", "dedup")),
+    QuerySpec("streaming_emb_dedup", q_streaming_emb_dedup,
+              SQL_STREAMING_EMB_DEDUP,
+              "embedding near-dup pairs accumulated incrementally across "
+              "micro-batches (hyperplane LSH detector, exactly-once pair "
+              "sink)", tags=("similarity", "dedup", "streaming")),
     QuerySpec("doc_span_dedup", q_doc_span_dedup, SQL_DOC_SPAN_DEDUP,
               "per-doc duplicated k-gram span fraction (suffix-array-style "
               "dedup signal)", tags=("dedup", "text")),

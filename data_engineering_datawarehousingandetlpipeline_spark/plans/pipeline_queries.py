@@ -1316,6 +1316,117 @@ ORDER BY event_id
 """
 
 
+def q_warehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPTIMIZE rung, driver-verified (r15): fragment a table the way
+    micro-batch ingestion does, bin-pack it with
+    ``WarehouseTable.compact_partitions`` (Delta/Iceberg
+    ``OPTIMIZE`` / ``rewriteDataFiles`` analogue, reference has no
+    maintenance story — its BigQuery tables compact themselves), and
+    prove the maintenance contract end to end:
+
+    - physical assertions raised IN the query (the q_warehouse_time_travel
+      convention): file count strictly drops, every rewritten partition
+      lands exactly at its bin-packed goal and is audit-logged with its
+      true before-count, untouched partitions were already at goal, and a
+      RE-RUN is a no-op (idempotent maintenance — the property that lets
+      a scheduler fire it blindly);
+    - the cross-engine hash proves the rewrite is CONTENT-PRESERVING: the
+      returned per-partition profile (rows / distinct keys / anchored
+      value sum) is read from the table AFTER compaction, while the
+      oracle recomputes it from the raw events the table was built from.
+
+    At 100 TB the driver-side loop is over date partitions (bounded by
+    retention), each rewrite is partition-local, and cost scales with the
+    partitions ingestion actually fragmented — see compact_partitions'
+    docstring; a transactional table format swaps in at the write, not
+    the call site.
+    """
+    import math
+
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
+        WarehouseTable,
+    )
+
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < 5
+    ).select("event_id", "user_id", "ts", "value")
+    # TEST-SCALE ONLY staging (the q_streaming_ingest convention): four
+    # interleaved appends fragment every dt partition into several small
+    # files, exactly what per-trigger micro-batch sinks do to a table.
+    workdir = tempfile.mkdtemp(prefix="compaction_q_")
+    wh = WarehouseTable(
+        spark, os.path.join(workdir, "wh"), keys=["event_id"], ts_col="ts"
+    )
+    for k in range(4):
+        wh.append(
+            events.filter(F.col("event_id") % 4 == k).repartition(2),
+            verify=False,
+        )
+
+    target_file_rows = 1_000_000_000  # bin-packed goal: one file per day
+    pre = wh.partition_file_counts()
+    rewritten = wh.compact_partitions(target_file_rows)
+    post = wh.partition_file_counts()
+
+    # --- physical contract (loud, not returned) -------------------------
+    if sum(post.values()) >= sum(pre.values()):
+        raise AssertionError(
+            f"compaction did not shrink the table: {pre} -> {post}"
+        )
+    log_rows = {
+        r.partition: r
+        for r in wh.maintenance_log()
+        .filter(
+            (F.col("op") == "compact_partitions")
+            & F.col("partition").isNotNull()
+            & (F.col("files_after") > 0)
+        )
+        .collect()
+    }
+    if set(log_rows) != {d for d in pre if pre[d] != post[d]}:
+        raise AssertionError("audit log disagrees with rewritten partitions")
+    for day, n_pre in pre.items():
+        goal = max(1, math.ceil(log_rows[day].n_rows / target_file_rows)) \
+            if day in log_rows else None
+        if day in log_rows:
+            entry = log_rows[day]
+            if not (
+                entry.files_before == n_pre
+                and post[day] == entry.files_after == goal < n_pre
+            ):
+                raise AssertionError(f"bad rewrite accounting for {day}")
+        elif n_pre != post[day] or n_pre > 1:
+            raise AssertionError(f"untouched partition {day} not at goal")
+    if rewritten == 0 or wh.compact_partitions(target_file_rows) != 0:
+        raise AssertionError("compaction must rewrite once, then no-op")
+
+    # --- content preservation (the cross-engine half) -------------------
+    return materialized_result(
+        wh.read()
+        .groupBy("dt")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("event_id").alias("n_events"),
+            F.round(dsum(F.col("value")), 6).alias("value_sum"),
+        )
+        .orderBy("dt"),
+        workdir,
+    )
+
+
+SQL_WAREHOUSE_COMPACTION = f"""
+SELECT CAST(ts AS DATE) AS dt,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
+       round({sql_dsum('value')}, 6) AS value_sum
+FROM events
+WHERE user_id < 5
+GROUP BY 1
+ORDER BY dt
+"""
+
+
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension enrichment, driver-verified: each event on
     the stream picks up its user's lifetime profile from a broadcast
@@ -1554,4 +1665,11 @@ QUERIES = [
               "analogue): update/delete classification with old/new "
               "values, oracle = the mutations derived from the source",
               tags=("warehouse", "dml", "cdc")),
+    QuerySpec("warehouse_compaction", q_warehouse_compaction,
+              SQL_WAREHOUSE_COMPACTION,
+              "partition-granular OPTIMIZE: bin-pack fragmented "
+              "partitions with audit log, idempotence and "
+              "content-preservation proven (rewrite verified against the "
+              "raw source cross-engine)",
+              tags=("warehouse", "maintenance")),
 ]

@@ -43,18 +43,25 @@ class QuerySpec:
 #: never drift from the policy.
 #:
 #: Round-15 window: second steady-state rotation, re-planned LIVE when
-#: the round's code changes landed (``python tools/window_planner.py
-#: --changed <the 14 names below>``). The 14 CHANGED queries take slots
-#: first — they subsume the 6 green-r11 streaming deferrals that opened
-#: the round as the exhausted set (each is also changed: the e2e-drain
-#: workdir cleanup pins their results and deletes the scratch dirs) —
-#: then the 36 oldest green-r12 rotations (oldest-last-green order, name
-#: tiebreak). Displaced to r16 (where they hit the staleness limit and
-#: become that round's exhausted set): silence_report, source_overlap,
-#: split_leakage_audit, supplier_volume, top_customers,
+#: the round's code changes and debuts landed (``python
+#: tools/window_planner.py --changed <the 14 names below>``; the 2
+#: debuts are never-driver-verified, so the planner seats them first
+#: automatically). Then the 14 CHANGED queries — subsuming the 6
+#: green-r11 streaming deferrals that opened the round as the exhausted
+#: set (each is also changed: the e2e-drain workdir cleanup pins their
+#: results and deletes the scratch dirs) — then the 34 oldest green-r12
+#: rotations (oldest-last-green order, name tiebreak). Displaced to r16
+#: (where they hit the staleness limit and become that round's exhausted
+#: set): salted_rollup, scd2_event_enrich, silence_report,
+#: source_overlap, split_leakage_audit, supplier_volume, top_customers,
 #: top_orders_per_customer, user_day_overlap + the three younger-r12
 #: deferrals (user_rolling_stats, value_correlations, value_quantiles).
 WINDOW_HEAD: tuple[str, ...] = (
+    # r15 debuts (2, planner order): the embedding-side cross-batch
+    # accumulator (dense twin of streaming_dup_matrix) and the
+    # OPTIMIZE/compaction rung — first driver rows
+    "streaming_emb_dedup",
+    "warehouse_compaction",
     # CHANGED_QUERIES (14, planner order): the streaming accumulator's
     # narrowed state probe + pair-dedup guard (streaming_dup_matrix) and
     # the e2e-drain workdir cleanup (all 14 — results now pinned via
@@ -73,7 +80,7 @@ WINDOW_HEAD: tuple[str, ...] = (
     "warehouse_change_feed",
     "warehouse_skipping_scan",
     "warehouse_time_travel",
-    # the 36 oldest green-r12 rotations (oldest-last-green, name tiebreak)
+    # the 34 oldest green-r12 rotations (oldest-last-green, name tiebreak)
     "approx_sketches",
     "click_days_no_purchase",
     "composite_sort",
@@ -108,8 +115,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     "retrieval_rrf_ann",
     "revenue_rollup",
     "salted_enrich",
-    "salted_rollup",
-    "scd2_event_enrich",
 )
 
 #: The CORRECTNESS round the current WINDOW_HEAD was planned against
@@ -155,11 +160,14 @@ CHANGED_QUERIES: tuple[str, ...] = (
 #: tools/closing_check.py and tests/test_plan_quality.py so a rotation
 #: can never silently strand a debut (r6 verdict, marching order 5).
 #:
-#: r15: no debuts; the non-negotiable set is exactly CHANGED_QUERIES —
-#: the 6 green-r11 streaming deferrals that opened the round as the
-#: exhausted set are all inside it (each was touched by the workdir
+#: r15: the 2 debuts (first driver rows) plus CHANGED_QUERIES — the 6
+#: green-r11 streaming deferrals that opened the round as the exhausted
+#: set are all inside the changed set (each was touched by the workdir
 #: cleanup), so listing them separately would double-count.
-MUST_VERIFY: tuple[str, ...] = CHANGED_QUERIES
+MUST_VERIFY: tuple[str, ...] = (
+    "streaming_emb_dedup",
+    "warehouse_compaction",
+) + CHANGED_QUERIES
 
 #: DEBUT QUEUE — queries implemented AFTER this round's window was
 #: committed: debuts park here and take next-round slots first, per
@@ -171,9 +179,9 @@ MUST_VERIFY: tuple[str, ...] = CHANGED_QUERIES
 #: and tools/window_planner.py consumes it to COMPUTE the next round's
 #: window instead of re-deriving the math by hand.
 #:
-#: r15: empty at round open (r14 closed with no parked debuts — all
-#: five registered mid-round and took live slots). Any r15 debut queues
-#: here and is pulled in by the standard mid-round re-plan.
+#: r15: empty — both debuts (streaming_emb_dedup, warehouse_compaction)
+#: registered mid-round while the live ``--changed`` re-plan was already
+#: owed, so they took window slots immediately instead of parking.
 DEBUT_QUEUE: tuple[str, ...] = ()
 
 #: HISTORICAL — the r10 staged catch-up (r11→r13). The lost round 10

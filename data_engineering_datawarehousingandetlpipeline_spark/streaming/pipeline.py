@@ -422,6 +422,53 @@ def start_windowed_exact_dedup(
     return writer.start()
 
 
+def _committed_state_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` holds at least one COMMITTED ``batch_id=*``
+    partition (a visible data file inside it). Probed explicitly via the
+    Hadoop FileSystem API — never by swallowing read exceptions: the r14
+    draft caught bare ``Exception`` around the read, so a transient
+    non-missing-path failure (corrupt file, permission) silently degraded
+    the batch to within-batch pairs only, and the exactly-once replay
+    made the shrunken pair graph sticky. With the probe, "no state yet"
+    is a filesystem FACT (root absent, or only a crashed first write's
+    hidden ``_temporary`` droppings), and every actual read failure
+    propagates — the batch fails loudly and the checkpoint retries it.
+
+    Shared by every cross-batch accumulator
+    (:func:`start_source_pair_matrix`, :func:`start_embedding_near_dup`).
+    """
+    jvm = spark.sparkContext._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return False
+    for part in fs.listStatus(root):
+        if not part.getPath().getName().startswith("batch_id="):
+            continue
+        for f in fs.listStatus(part.getPath()):
+            name = f.getPath().getName()
+            # committers hide in-flight output under _ / . prefixes;
+            # one visible file means a committed partition
+            if not name.startswith(("_", ".")):
+                return True
+    return False
+
+
+def _read_prior_state(spark: SparkSession, path: str, epoch_id: int):
+    """Accumulated state strictly below ``epoch_id``, or None when no
+    committed state exists yet (see :func:`_committed_state_exists` for
+    why this is an explicit probe, not an exception catch)."""
+    from pyspark.sql import functions as F
+
+    if not _committed_state_exists(spark, path):
+        return None  # genuine first batch: no committed state yet
+    return (
+        spark.read.option("basePath", path)
+        .parquet(path)
+        .filter(F.col("batch_id") < epoch_id)
+    )
+
+
 def start_source_pair_matrix(
     source: DataFrame,
     state_dir: str,
@@ -476,43 +523,6 @@ def start_source_pair_matrix(
     bands_dir = os.path.join(state_dir, "bands")
     docs_dir = os.path.join(state_dir, "docs")
 
-    def _committed_state_exists(spark: SparkSession, path: str) -> bool:
-        """True iff ``path`` holds at least one COMMITTED ``batch_id=*``
-        partition (a visible data file inside it). Probed explicitly via
-        the Hadoop FileSystem API — never by swallowing read exceptions:
-        the r14 draft caught bare ``Exception`` around the read, so a
-        transient non-missing-path failure (corrupt file, permission)
-        silently degraded the batch to within-batch pairs only, and the
-        exactly-once replay made the shrunken pair graph sticky. With the
-        probe, "no state yet" is a filesystem FACT (root absent, or only
-        a crashed first write's hidden ``_temporary`` droppings), and
-        every actual read failure propagates — the batch fails loudly and
-        the checkpoint retries it."""
-        jvm = spark.sparkContext._jvm
-        root = jvm.org.apache.hadoop.fs.Path(path)
-        fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        if not fs.exists(root):
-            return False
-        for part in fs.listStatus(root):
-            if not part.getPath().getName().startswith("batch_id="):
-                continue
-            for f in fs.listStatus(part.getPath()):
-                name = f.getPath().getName()
-                # committers hide in-flight output under _ / . prefixes;
-                # one visible file means a committed partition
-                if not name.startswith(("_", ".")):
-                    return True
-        return False
-
-    def _read_prior(spark: SparkSession, path: str, epoch_id: int):
-        if not _committed_state_exists(spark, path):
-            return None  # genuine first batch: no committed state yet
-        return (
-            spark.read.option("basePath", path)
-            .parquet(path)
-            .filter(F.col("batch_id") < epoch_id)
-        )
-
     def _batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         docs_b = batch.select(
@@ -536,8 +546,8 @@ def start_source_pair_matrix(
             .localCheckpoint(eager=True)
         )
 
-        prior_bands = _read_prior(spark, bands_dir, epoch_id)
-        prior_docs = _read_prior(spark, docs_dir, epoch_id)
+        prior_bands = _read_prior_state(spark, bands_dir, epoch_id)
+        prior_docs = _read_prior_state(spark, docs_dir, epoch_id)
 
         # band collision + the lossless size prune, on x/y dataset aliases
         collide = (
@@ -616,6 +626,162 @@ def start_source_pair_matrix(
         )
         hv_b.write.mode("overwrite").parquet(
             os.path.join(docs_dir, f"batch_id={epoch_id}")
+        )
+
+    writer = source.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def start_embedding_near_dup(
+    source: DataFrame,
+    state_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    available_now: bool = False,
+    trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Cross-batch EMBEDDING near-dup accumulation: the streaming twin of
+    the batch ``operators/similarity.embedding_near_dup_pairs`` — the
+    embedding-side counterpart of :func:`start_source_pair_matrix`, so
+    the dense/multimodal pipeline accumulates incrementally the way the
+    text side does.
+
+    As embedding shards land, each micro-batch (1) computes the
+    OR-amplified hyperplane LSH bucket ids for ITS vectors only (the
+    identical deterministic ``hyperplane``/``lsh_bucket`` arithmetic as
+    the batch operator, so buckets agree bit-for-bit with any engine that
+    replays the md5 plane construction), (2) generates candidates two
+    ways — new × accumulated index (strictly earlier batches, with the
+    re-delivery ``vid != vid`` guard) and new × new within the batch — so
+    every unordered pair is discovered exactly once, at its LATER
+    member's arrival, (3) verifies candidates with the exact rounded
+    cosine on the full vectors, and (4) lands verified pairs plus its own
+    bucket/vector state through the same EXACTLY-ONCE
+    ``batch_id=<epoch>`` partition-overwrite sink (prior state read
+    strictly below the epoch — a replay cannot see it differently).
+    Union over batches therefore equals the batch LSH pair graph over
+    the same vectors, which is what the oracle states.
+
+    Scale shape per batch: bucket fold is one codegen stage over the
+    shard (``n_tables`` struct expressions, one explode); candidate
+    joins shuffle on (tbl, bucket) — volume is |shard buckets| ×
+    collision rate, never corpus²; state grows O(|shard| × n_tables)
+    bucket rows + O(|shard|) vectors per batch. ``n_planes`` MUST be
+    passed explicitly sized for the eventual corpus
+    (``similarity.planes_for_corpus``): a streaming accumulator cannot
+    re-derive it later without re-bucketing all accumulated state.
+    """
+    from pyspark.sql import functions as F
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.similarity import (
+        cosine,
+        hyperplane,
+        lsh_bucket,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.session import spread
+
+    buckets_dir = os.path.join(state_dir, "buckets")
+    vecs_dir = os.path.join(state_dir, "vecs")
+    table_planes = [
+        [hyperplane(t * n_planes + b, dim) for b in range(n_planes)]
+        for t in range(n_tables)
+    ]
+
+    def _batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        vecs_b = (
+            spread(batch)
+            .select(
+                F.col(id_col).cast("long").alias("vid"),
+                F.col(vec_col).alias("vec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        buckets_b = (
+            vecs_b.select(
+                "vid",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).alias("tbl"),
+                                lsh_bucket(F.col("vec"), planes).alias(
+                                    "bucket"
+                                ),
+                            )
+                            for t, planes in enumerate(table_planes)
+                        ]
+                    )
+                ).alias("tb"),
+            )
+            .select("vid", "tb.tbl", "tb.bucket")
+            .localCheckpoint(eager=True)
+        )
+
+        prior_buckets = _read_prior_state(spark, buckets_dir, epoch_id)
+        prior_vecs = _read_prior_state(spark, vecs_dir, epoch_id)
+
+        collide = (F.col("x.tbl") == F.col("y.tbl")) & (
+            F.col("x.bucket") == F.col("y.bucket")
+        )
+        within = (
+            buckets_b.alias("x")
+            .join(buckets_b.alias("y"), collide & (F.col("x.vid") < F.col("y.vid")))
+            .select(F.col("x.vid").alias("ia"), F.col("y.vid").alias("ib"))
+        )
+        cands = within
+        if prior_buckets is not None:
+            cross = (
+                buckets_b.alias("x")
+                .join(
+                    prior_buckets.alias("y"),
+                    collide & (F.col("x.vid") != F.col("y.vid")),
+                )
+                .select(F.col("x.vid").alias("ia"), F.col("y.vid").alias("ib"))
+            )
+            cands = cands.unionByName(cross)
+        cands = cands.distinct()
+
+        all_vecs = vecs_b if prior_vecs is None else vecs_b.unionByName(
+            prior_vecs.select("vid", "vec")
+        )
+        a = all_vecs.select(F.col("vid").alias("ia"), F.col("vec").alias("va"))
+        b = all_vecs.select(F.col("vid").alias("ib"), F.col("vec").alias("vb"))
+        pair_rows = (
+            cands.join(a, "ia")
+            .join(b, "ib")
+            .select(
+                F.least("ia", "ib").alias("id_a"),
+                F.greatest("ia", "ib").alias("id_b"),
+                cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+            # a re-delivered vec_id sits in the vector state under two
+            # batch_ids; key-only dedup is lossless (same id → same
+            # vector → same cosine)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+
+        pair_rows.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch_id={epoch_id}")
+        )
+        buckets_b.write.mode("overwrite").parquet(
+            os.path.join(buckets_dir, f"batch_id={epoch_id}")
+        )
+        vecs_b.write.mode("overwrite").parquet(
+            os.path.join(vecs_dir, f"batch_id={epoch_id}")
         )
 
     writer = source.writeStream.foreachBatch(_batch).option(

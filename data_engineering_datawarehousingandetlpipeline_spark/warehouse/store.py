@@ -768,6 +768,25 @@ class WarehouseTable:
             )
         return total
 
+    def partition_file_counts(self) -> dict[str, int]:
+        """Visible data files per ``dt=`` partition — the maintenance
+        accounting view ``compact_partitions`` plans from (keyed by the
+        ISO date string). Driver-side listing bounded by partitions ×
+        files, the same budget the compaction loop itself pays."""
+        counts: dict[str, int] = {}
+        if not self.exists():
+            return counts
+        for name in sorted(os.listdir(self.root)):
+            if not name.startswith("dt="):
+                continue
+            path = os.path.join(self.root, name)
+            counts[name[3:]] = sum(
+                1
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+        return counts
+
     # ------------------------------------------------------------ time travel
 
     def _versions_dir(self) -> str:

@@ -1958,3 +1958,93 @@ def test_streaming_dup_matrix_ignores_redelivered_doc(spark, tmp_path):
     ])
     rows = _srcpair_drain(spark, tmp_path, indir, pairs_dir).collect()
     assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 6)]
+
+
+def test_streaming_embedding_near_dup_accumulates_across_restart(spark, tmp_path):
+    """The embedding-side cross-batch accumulator (r15, the dense twin of
+    the source-pair matrix) must (a) discover a pair whose members arrive
+    in DIFFERENT drains, (b) never re-emit a pair on replay/late drains
+    (exactly-once batch_id partitions), and (c) end with the batch LSH
+    pair graph over everything that landed."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        start_embedding_near_dup,
+    )
+
+    dim, n_planes, n_tables, threshold = 8, 4, 2, 0.9
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    pairs_dir = str(tmp_path / "pairs")
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), True),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+    ])
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[(axis + 1) % dim] = eps
+        return v
+
+    def land(rows, name):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"]), schema
+        ).coalesce(1).write.mode("append").parquet(str(indir))
+        # one file per land() call → one micro-batch per new file
+
+    def drain():
+        query = start_embedding_near_dup(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir)),
+            str(tmp_path / "state"),
+            pairs_dir,
+            str(tmp_path / "ckpt"),
+            threshold=threshold,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            dim=dim,
+            available_now=True,
+        )
+        query.awaitTermination()
+        return spark.read.option("basePath", pairs_dir).parquet(pairs_dir)
+
+    # drain 1: an intra-shard twin (1, 2) plus a loner on another axis
+    land([(1, vec(0)), (2, vec(0, eps=0.01)), (3, vec(3))], "s1")
+    first = {(r.id_a, r.id_b) for r in drain().collect()}
+    assert first == {(1, 2)}
+
+    # drain 2 (a RESTART: fresh query, same checkpoint): a twin of doc 3
+    # from drain 1 — the pair spans the restart boundary — plus a loner
+    land([(4, vec(3, eps=0.01)), (5, vec(6))], "s2")
+    second = drain()
+    got = {(r.id_a, r.id_b) for r in second.collect()}
+    assert got == {(1, 2), (3, 4)}
+    assert second.count() == 2  # (1, 2) not re-emitted
+
+    # (c) accumulated pair set == batch detector over everything landed
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, vec(0)), (2, vec(0, eps=0.01)), (3, vec(3)),
+             (4, vec(3, eps=0.01)), (5, vec(6))],
+            columns=["vec_id", "embedding"],
+        ),
+        schema,
+    )
+    expect = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            batch, threshold=threshold, n_planes=n_planes,
+            n_tables=n_tables, dim=dim,
+        ).collect()
+    }
+    assert got == expect
+
+    # verified cosine rides the sink, rounded identically to the batch op
+    sims = {(r.id_a, r.id_b): r.cos_sim for r in second.collect()}
+    assert sims[(1, 2)] >= threshold and sims[(3, 4)] >= threshold
