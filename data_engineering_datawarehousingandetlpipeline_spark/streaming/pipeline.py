@@ -615,6 +615,19 @@ def start_source_pair_matrix(
             # jaccard, so the key-only dedup is lossless.
             .dropDuplicates(["doc_a", "doc_b"])
         )
+        # a re-delivered doc_id also re-collides with partners whose pair
+        # was already emitted when IT was the new arrival — without this
+        # anti-join the pair union would carry cross-epoch duplicates.
+        # Prior pairs are the accumulator's own exactly-once sink below
+        # this epoch, so a replay reads the identical set; the anti-join
+        # shuffles on the pair key, bounded by the emitted pair graph.
+        prior_pairs = _read_prior_state(spark, pairs_dir, epoch_id)
+        if prior_pairs is not None:
+            pair_rows = pair_rows.join(
+                prior_pairs.select("doc_a", "doc_b"),
+                ["doc_a", "doc_b"],
+                "left_anti",
+            )
 
         # exactly-once: each epoch owns its batch_id partition; replays
         # overwrite the identical deterministic content
@@ -773,6 +786,17 @@ def start_embedding_near_dup(
             # vector → same cosine)
             .dropDuplicates(["id_a", "id_b"])
         )
+        # and it re-collides with partners whose pair was already emitted
+        # when IT arrived — anti-join against the exactly-once sink below
+        # this epoch keeps the pair union duplicate-free under any
+        # delivery (same contract as the text accumulator)
+        prior_pairs = _read_prior_state(spark, pairs_dir, epoch_id)
+        if prior_pairs is not None:
+            pair_rows = pair_rows.join(
+                prior_pairs.select("id_a", "id_b"),
+                ["id_a", "id_b"],
+                "left_anti",
+            )
 
         pair_rows.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch_id={epoch_id}")

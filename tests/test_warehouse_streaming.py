@@ -1959,6 +1959,16 @@ def test_streaming_dup_matrix_ignores_redelivered_doc(spark, tmp_path):
     rows = _srcpair_drain(spark, tmp_path, indir, pairs_dir).collect()
     assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 6)]
 
+    # doc 1 re-delivered AFTER its pair was emitted: the new arrival
+    # re-collides with doc 6 in the accumulated index, and without the
+    # anti-join against the exactly-once pair sink the (1, 6) pair would
+    # land a second time under this epoch's partition
+    land("shard4.json", [
+        {"doc_id": "1", "text": "alpha beta gamma delta", "source": "s0"},
+    ])
+    rows = _srcpair_drain(spark, tmp_path, indir, pairs_dir).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 6)]
+
 
 def test_streaming_embedding_near_dup_accumulates_across_restart(spark, tmp_path):
     """The embedding-side cross-batch accumulator (r15, the dense twin of
@@ -2048,3 +2058,10 @@ def test_streaming_embedding_near_dup_accumulates_across_restart(spark, tmp_path
     # verified cosine rides the sink, rounded identically to the batch op
     sims = {(r.id_a, r.id_b): r.cos_sim for r in second.collect()}
     assert sims[(1, 2)] >= threshold and sims[(3, 4)] >= threshold
+
+    # vec 3 re-delivered AFTER its pair was emitted: it re-collides with
+    # vec 4 in the accumulated index; the anti-join against the
+    # exactly-once pair sink must keep the pair union duplicate-free
+    land([(3, vec(3))], "s3")
+    third = drain()
+    assert sorted((r.id_a, r.id_b) for r in third.collect()) == [(1, 2), (3, 4)]
