@@ -42,79 +42,70 @@ class QuerySpec:
 #: committed history (``PLANNED_FOR_HISTORY`` below) so this tuple can
 #: never drift from the policy.
 #:
-#: Round-15 window: second steady-state rotation, re-planned LIVE when
-#: the round's code changes and debuts landed (``python
-#: tools/window_planner.py --changed <the 14 names below>``; the 2
-#: debuts are never-driver-verified, so the planner seats them first
-#: automatically). Then the 14 CHANGED queries — subsuming the 6
-#: green-r11 streaming deferrals that opened the round as the exhausted
-#: set (each is also changed: the e2e-drain workdir cleanup pins their
-#: results and deletes the scratch dirs) — then the 34 oldest green-r12
-#: rotations (oldest-last-green order, name tiebreak). Displaced to r16
-#: (where they hit the staleness limit and become that round's exhausted
-#: set): salted_rollup, scd2_event_enrich, silence_report,
-#: source_overlap, split_leakage_audit, supplier_volume, top_customers,
-#: top_orders_per_customer, user_day_overlap + the three younger-r12
-#: deferrals (user_rolling_stats, value_correlations, value_quantiles).
+#: Round-16 window: third steady-state rotation, planned against the
+#: landed r15 history (``python tools/window_planner.py`` with no
+#: --changed at round open — no code diffs yet). The head is the
+#: planner's output verbatim: the 12-name exhausted set (green r12, at
+#: the 4-round staleness limit this round, non-negotiable) followed by
+#: the 38 oldest green-r13 rotations (oldest-last-green order, name
+#: tiebreak). Deferred: 105, oldest green r13 (small_qty_revenue,
+#: top_supplier, validate_counts, volume_shipping, waiting_suppliers,
+#: watermark_filter — the r17 exhausted set) then the green-r14/r15
+#: tail. Re-planned LIVE with --changed if this round's code touches
+#: registered queries or debuts land (r15 process learning).
 WINDOW_HEAD: tuple[str, ...] = (
-    # r15 debuts (2, planner order): the embedding-side cross-batch
-    # accumulator (dense twin of streaming_dup_matrix) and the
-    # OPTIMIZE/compaction rung — first driver rows
-    "streaming_emb_dedup",
-    "warehouse_compaction",
-    # CHANGED_QUERIES (14, planner order): the streaming accumulator's
-    # narrowed state probe + pair-dedup guard (streaming_dup_matrix) and
-    # the e2e-drain workdir cleanup (all 14 — results now pinned via
-    # scratch.materialized_result, scratch dirs deleted)
-    "streaming_attribution",
-    "streaming_chunks",
-    "streaming_contract",
-    "streaming_dup_matrix",
-    "streaming_enrich",
-    "streaming_exact_dedup",
-    "streaming_ingest",
-    "streaming_minhash_dedup",
-    "streaming_scd2",
-    "streaming_sessions",
-    "streaming_window_stats",
-    "warehouse_change_feed",
-    "warehouse_skipping_scan",
-    "warehouse_time_travel",
-    # the 34 oldest green-r12 rotations (oldest-last-green, name tiebreak)
-    "approx_sketches",
-    "click_days_no_purchase",
-    "composite_sort",
-    "daily_active_cumulative",
-    "dashboard_summary",
-    "dedup_hourly_last",
-    "dedup_keep_first",
-    "doc_dsir_weights",
-    "doc_edit_distance",
-    "doc_exact_dedup",
-    "doc_fingerprints",
-    "doc_gopher_rules",
-    "doc_mixture_sample",
-    "doc_mixture_weights",
-    "doc_pii_scan",
-    "doc_quality_deciles",
-    "doc_simhash",
-    "doc_vocab_drift",
-    "emb_cosine_topk",
-    "emb_hard_negatives",
-    "emb_ivfpq_topk",
-    "emb_pq_topk",
-    "event_cube",
-    "event_funnel",
-    "event_grouping_sets",
-    "media_features",
-    "order_priority",
-    "part_type_stats",
-    "pivot_daily",
-    "pricing_summary",
-    "region_revenue",
-    "retrieval_rrf_ann",
-    "revenue_rollup",
-    "salted_enrich",
+    # the 12-name exhausted set (green r12 — staleness limit reached)
+    "salted_rollup",
+    "scd2_event_enrich",
+    "silence_report",
+    "source_overlap",
+    "split_leakage_audit",
+    "supplier_volume",
+    "top_customers",
+    "top_orders_per_customer",
+    "user_day_overlap",
+    "user_rolling_stats",
+    "value_correlations",
+    "value_quantiles",
+    # the 38 oldest green-r13 rotations (oldest-last-green, name tiebreak)
+    "asof_last_error",
+    "customer_order_distribution",
+    "customer_snapshot_diff",
+    "day_window",
+    "discounted_revenue",
+    "disjunctive_band_revenue",
+    "distinct_counts",
+    "doc_ngram_jaccard",
+    "dup_audit",
+    "dup_audit_hourly",
+    "event_rolling_anomaly",
+    "event_value_percentiles",
+    "excess_volume_suppliers",
+    "filtered_count",
+    "hourly_rollup",
+    "idle_rich_customers",
+    "incremental_star_rollup",
+    "json_props",
+    "json_props_variant",
+    "large_volume_orders",
+    "late_shipment_priority",
+    "lineitem_contract",
+    "long_term_users",
+    "max_ts_per_user",
+    "min_cost_supplier",
+    "missingness",
+    "nation_market_share",
+    "nation_product_profit",
+    "native_session_window",
+    "outliers",
+    "part_concentration",
+    "part_supplier_variety",
+    "promo_revenue_share",
+    "referral_pagerank",
+    "referral_rollup",
+    "schema_projection",
+    "shipping_priority",
+    "sliding_window_stats",
 )
 
 #: The CORRECTNESS round the current WINDOW_HEAD was planned against
@@ -123,35 +114,17 @@ WINDOW_HEAD: tuple[str, ...] = (
 #: planner test recomputes the plan whenever the committed history sits
 #: at exactly this round and asserts WINDOW_HEAD matches; when a newer
 #: CORRECTNESS file lands, the test skips until the builder re-plans.
-PLANNED_FOR_HISTORY: int = 14
+PLANNED_FOR_HISTORY: int = 15
 
 #: Queries whose implementation changed since their last green driver
 #: row. The builder maintains this per round (the planner cannot see the
 #: diff); the planner pulls these into the window regardless of green
 #: history, and the generalized planner test feeds this exact set back
-#: into the recomputation. r15: streaming_dup_matrix's accumulator
-#: narrowed its first-batch state probe to an explicit filesystem check
-#: (transient read failures now fail the batch loudly), gained the
-#: re-delivery pair guards, and ALL 14 e2e-drain queries pin their
-#: results via scratch.materialized_result before deleting their
-#: formerly-leaked workdirs — a physical-plan change (final plan is the
-#: checkpoint scan) with identical values, so all 14 re-verify.
-CHANGED_QUERIES: tuple[str, ...] = (
-    "streaming_attribution",
-    "streaming_chunks",
-    "streaming_contract",
-    "streaming_dup_matrix",
-    "streaming_enrich",
-    "streaming_exact_dedup",
-    "streaming_ingest",
-    "streaming_minhash_dedup",
-    "streaming_scd2",
-    "streaming_sessions",
-    "streaming_window_stats",
-    "warehouse_change_feed",
-    "warehouse_skipping_scan",
-    "warehouse_time_travel",
-)
+#: into the recomputation. r16 round-open: empty — no code diffs yet;
+#: grows live as this round's work (accumulator state compaction, the
+#: bucketed-join debut) touches registered queries, with a --changed
+#: re-plan at each growth step.
+CHANGED_QUERIES: tuple[str, ...] = ()
 
 #: Names that MUST sit inside the driver's 50-entry window this round:
 #: every query that has never received a driver row, every query whose
@@ -160,13 +133,22 @@ CHANGED_QUERIES: tuple[str, ...] = (
 #: tools/closing_check.py and tests/test_plan_quality.py so a rotation
 #: can never silently strand a debut (r6 verdict, marching order 5).
 #:
-#: r15: the 2 debuts (first driver rows) plus CHANGED_QUERIES — the 6
-#: green-r11 streaming deferrals that opened the round as the exhausted
-#: set are all inside the changed set (each was touched by the workdir
-#: cleanup), so listing them separately would double-count.
+#: r16 round-open: the 12-name exhausted set (green r12, at the 4-round
+#: staleness limit — non-negotiable window members this round). Debuts
+#: and changed queries join live as the round's work lands.
 MUST_VERIFY: tuple[str, ...] = (
-    "streaming_emb_dedup",
-    "warehouse_compaction",
+    "salted_rollup",
+    "scd2_event_enrich",
+    "silence_report",
+    "source_overlap",
+    "split_leakage_audit",
+    "supplier_volume",
+    "top_customers",
+    "top_orders_per_customer",
+    "user_day_overlap",
+    "user_rolling_stats",
+    "value_correlations",
+    "value_quantiles",
 ) + CHANGED_QUERIES
 
 #: DEBUT QUEUE — queries implemented AFTER this round's window was
@@ -179,9 +161,10 @@ MUST_VERIFY: tuple[str, ...] = (
 #: and tools/window_planner.py consumes it to COMPUTE the next round's
 #: window instead of re-deriving the math by hand.
 #:
-#: r15: empty — both debuts (streaming_emb_dedup, warehouse_compaction)
-#: registered mid-round while the live ``--changed`` re-plan was already
-#: owed, so they took window slots immediately instead of parking.
+#: r16 round-open: empty — the r15 debuts both seated and went green;
+#: this round's planned debut (warehouse_bucketed_join) will seat via a
+#: live --changed re-plan when it registers, per the r15 process
+#: learning, rather than parking here.
 DEBUT_QUEUE: tuple[str, ...] = ()
 
 #: HISTORICAL — the r10 staged catch-up (r11→r13). The lost round 10
