@@ -834,6 +834,16 @@ def q_streaming_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the contract that lets a data team keep the "which feeds
     duplicate which" dashboard warm as crawls land, without re-pairing
     the corpus.
+
+    r16: after the drain the query COMPACTS the accumulated state + pair
+    sink (``compact_pair_matrix_state`` — the per-epoch ``batch_id=*``
+    partitions fold into one base each, the maintenance op that bounds a
+    long-running stream's O(epochs) state file growth) and reads the
+    matrix from the COMPACTED sink — so the driver's cross-engine hash
+    proves end to end that compaction is content-preserving, the same
+    way ``warehouse_compaction`` proves the table OPTIMIZE rung. The
+    physical contract (folds happened, re-run is a no-op) is asserted
+    loudly in-query.
     """
     import os
     import tempfile
@@ -841,6 +851,7 @@ def q_streaming_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        compact_pair_matrix_state,
         start_source_pair_matrix,
     )
 
@@ -860,17 +871,31 @@ def q_streaming_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     pairs_dir = os.path.join(workdir, "pairs")
+    state_dir = os.path.join(workdir, "state")
+    ckpt_dir = os.path.join(workdir, "ckpt")
     query = start_source_pair_matrix(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .json(indir),
-        os.path.join(workdir, "state"),
+        state_dir,
         pairs_dir,
-        os.path.join(workdir, "ckpt"),
+        ckpt_dir,
         threshold=MINHASH_JACCARD_THRESHOLD,
         available_now=True,
     )
     query.awaitTermination()
+    # --- maintenance contract (loud, not returned) ----------------------
+    # three shards drained one per micro-batch → ≥3 per-epoch state
+    # partitions each for bands/docs; the fold must collapse them, and a
+    # re-run must be a pure no-op (the scheduler-fires-blindly property)
+    folded = compact_pair_matrix_state(spark, state_dir, pairs_dir, ckpt_dir)
+    if folded["bands"] < 3 or folded["docs"] < 3:
+        raise AssertionError(f"state compaction folded too little: {folded}")
+    refold = compact_pair_matrix_state(spark, state_dir, pairs_dir, ckpt_dir)
+    if any(refold.values()):
+        raise AssertionError(f"state compaction re-run not a no-op: {refold}")
+    # the cross-engine hash below proves the fold content-preserving:
+    # the matrix is aggregated from the COMPACTED pair sink
     return materialized_result(
         spark.read.option("basePath", pairs_dir)
         .parquet(pairs_dir)

@@ -1298,11 +1298,19 @@ def q_streaming_emb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch operator, stream, oracle. This is the contract that lets an
     embedding dedup index stay warm as encoder shards land, without
     re-pairing the corpus.
+
+    r16: like ``streaming_dup_matrix``, the query compacts the
+    accumulated state + pair sink after the drain
+    (``compact_embedding_state``) and returns the pairs read from the
+    COMPACTED sink — the driver's hash proves the fold
+    content-preserving; the physical fold/no-op contract is asserted
+    loudly in-query.
     """
     import os
     import tempfile
 
     from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        compact_embedding_state,
         start_embedding_near_dup,
     )
 
@@ -1316,13 +1324,15 @@ def q_streaming_emb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = embs.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
     staged.repartitionByRange(3, "vec_id").write.mode("overwrite").parquet(indir)
     pairs_dir = os.path.join(workdir, "pairs")
+    state_dir = os.path.join(workdir, "state")
+    ckpt_dir = os.path.join(workdir, "ckpt")
     query = start_embedding_near_dup(
         spark.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(indir),
-        os.path.join(workdir, "state"),
+        state_dir,
         pairs_dir,
-        os.path.join(workdir, "ckpt"),
+        ckpt_dir,
         threshold=EMBED_NEAR_DUP_THRESHOLD,
         n_planes=NEAR_DUP_PLANES,
         n_tables=EMBED_TABLES,
@@ -1330,6 +1340,16 @@ def q_streaming_emb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now=True,
     )
     query.awaitTermination()
+    # maintenance contract (the streaming_dup_matrix convention): the
+    # three per-epoch state partitions fold, a re-run no-ops, and the
+    # returned pairs read from the COMPACTED sink so the driver hash
+    # proves the fold content-preserving
+    folded = compact_embedding_state(spark, state_dir, pairs_dir, ckpt_dir)
+    if folded["buckets"] < 3 or folded["vecs"] < 3:
+        raise AssertionError(f"state compaction folded too little: {folded}")
+    refold = compact_embedding_state(spark, state_dir, pairs_dir, ckpt_dir)
+    if any(refold.values()):
+        raise AssertionError(f"state compaction re-run not a no-op: {refold}")
     return materialized_result(
         spark.read.option("basePath", pairs_dir)
         .parquet(pairs_dir)

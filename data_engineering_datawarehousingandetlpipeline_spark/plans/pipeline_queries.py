@@ -1387,17 +1387,24 @@ def q_warehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     if set(log_rows) != {d for d in pre if pre[d] != post[d]}:
         raise AssertionError("audit log disagrees with rewritten partitions")
     for day, n_pre in pre.items():
-        goal = max(1, math.ceil(log_rows[day].n_rows / target_file_rows)) \
-            if day in log_rows else None
         if day in log_rows:
             entry = log_rows[day]
+            goal = max(1, math.ceil(entry.n_rows / target_file_rows))
             if not (
                 entry.files_before == n_pre
                 and post[day] == entry.files_after == goal < n_pre
             ):
                 raise AssertionError(f"bad rewrite accounting for {day}")
-        elif n_pre != post[day] or n_pre > 1:
-            raise AssertionError(f"untouched partition {day} not at goal")
+        elif n_pre != post[day]:
+            raise AssertionError(
+                f"partition {day} changed file count ({n_pre} -> "
+                f"{post[day]}) with no audit row"
+            )
+        elif n_pre > 1:
+            raise AssertionError(
+                f"partition {day} left fragmented ({n_pre} files) but "
+                "was not rewritten or logged"
+            )
     if rewritten == 0 or wh.compact_partitions(target_file_rows) != 0:
         raise AssertionError("compaction must rewrite once, then no-op")
 

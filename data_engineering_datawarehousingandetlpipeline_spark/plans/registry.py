@@ -42,18 +42,24 @@ class QuerySpec:
 #: committed history (``PLANNED_FOR_HISTORY`` below) so this tuple can
 #: never drift from the policy.
 #:
-#: Round-16 window: third steady-state rotation, planned against the
-#: landed r15 history (``python tools/window_planner.py`` with no
-#: --changed at round open — no code diffs yet). The head is the
-#: planner's output verbatim: the 12-name exhausted set (green r12, at
-#: the 4-round staleness limit this round, non-negotiable) followed by
-#: the 38 oldest green-r13 rotations (oldest-last-green order, name
-#: tiebreak). Deferred: 105, oldest green r13 (small_qty_revenue,
-#: top_supplier, validate_counts, volume_shipping, waiting_suppliers,
-#: watermark_filter — the r17 exhausted set) then the green-r14/r15
-#: tail. Re-planned LIVE with --changed if this round's code touches
-#: registered queries or debuts land (r15 process learning).
+#: Round-16 window: third steady-state rotation, re-planned LIVE when
+#: the round's code changes landed (``python tools/window_planner.py
+#: --changed streaming_dup_matrix streaming_emb_dedup
+#: warehouse_compaction``). Planner order: the 3 CHANGED queries (the
+#: accumulators' pfx state layout + in-query compaction; the
+#: compaction-query assert split), then the 12-name exhausted set
+#: (green r12, at the 4-round staleness limit this round,
+#: non-negotiable), then the 35 oldest green-r13 rotations
+#: (oldest-last-green order, name tiebreak). Displaced to the deferral
+#: tail by the 3 changed slots: schema_projection, shipping_priority,
+#: sliding_window_stats — green r13, part of the r17 exhausted set
+#: beside small_qty_revenue, top_supplier, validate_counts,
+#: volume_shipping, waiting_suppliers, watermark_filter.
 WINDOW_HEAD: tuple[str, ...] = (
+    # CHANGED (3, planner order): first driver rows on the r16 code
+    "streaming_dup_matrix",
+    "streaming_emb_dedup",
+    "warehouse_compaction",
     # the 12-name exhausted set (green r12 — staleness limit reached)
     "salted_rollup",
     "scd2_event_enrich",
@@ -67,7 +73,7 @@ WINDOW_HEAD: tuple[str, ...] = (
     "user_rolling_stats",
     "value_correlations",
     "value_quantiles",
-    # the 38 oldest green-r13 rotations (oldest-last-green, name tiebreak)
+    # the 35 oldest green-r13 rotations (oldest-last-green, name tiebreak)
     "asof_last_error",
     "customer_order_distribution",
     "customer_snapshot_diff",
@@ -103,9 +109,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     "promo_revenue_share",
     "referral_pagerank",
     "referral_rollup",
-    "schema_projection",
-    "shipping_priority",
-    "sliding_window_stats",
 )
 
 #: The CORRECTNESS round the current WINDOW_HEAD was planned against
@@ -120,11 +123,20 @@ PLANNED_FOR_HISTORY: int = 15
 #: row. The builder maintains this per round (the planner cannot see the
 #: diff); the planner pulls these into the window regardless of green
 #: history, and the generalized planner test feeds this exact set back
-#: into the recomputation. r16 round-open: empty — no code diffs yet;
-#: grows live as this round's work (accumulator state compaction, the
-#: bucketed-join debut) touches registered queries, with a --changed
-#: re-plan at each growth step.
-CHANGED_QUERIES: tuple[str, ...] = ()
+#: into the recomputation. r16: the two cross-batch accumulator queries
+#: changed for real — pfx-partitioned state layout with pruned prior
+#: reads, and an in-query compaction step whose folded sink now feeds
+#: the returned result — and warehouse_compaction's in-query assertion
+#: flow was restructured (ADVICE r16). Adjudicated NOT changed: the 14
+#: e2e-drain queries touched only via scratch.materialized_result's new
+#: non-local-master guard — in local mode (the only mode the driver,
+#: sweeps and bench run) the executed path, plan and results are
+#: byte-identical, so no re-verification is owed.
+CHANGED_QUERIES: tuple[str, ...] = (
+    "streaming_dup_matrix",
+    "streaming_emb_dedup",
+    "warehouse_compaction",
+)
 
 #: Names that MUST sit inside the driver's 50-entry window this round:
 #: every query that has never received a driver row, every query whose

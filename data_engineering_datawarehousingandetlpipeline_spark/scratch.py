@@ -42,10 +42,22 @@ def materialized_result(result: DataFrame, workdir: str) -> DataFrame:
 
     ``result`` must be the query's FINAL DataFrame (small: an aggregate
     or a bounded report), lazily reading files under ``workdir``. The
-    eager localCheckpoint executes the plan once and keeps the output in
-    block storage, so the returned DataFrame no longer references the
-    deleted files.
+    pinned copy no longer references the deleted files.
+
+    Pinning strategy is master-aware (ADVICE r15): ``localCheckpoint``
+    stores blocks NON-reliably in executor storage, so on a
+    multi-executor cluster an executor loss after ``workdir`` is deleted
+    would make the result unrecomputable (lineage severed, source files
+    gone). In local mode — the only place these drain queries run in
+    this image — the executor IS the driver, so localCheckpoint is safe
+    and cheap and preserves partition contents/order exactly. On any
+    non-local master the result (small by contract) is collected to the
+    driver and recreated instead, which survives executor loss.
     """
-    pinned = result.localCheckpoint(eager=True)
+    spark = result.sparkSession
+    if spark.sparkContext.master.startswith("local"):
+        pinned = result.localCheckpoint(eager=True)
+    else:
+        pinned = spark.createDataFrame(result.collect(), result.schema)
     shutil.rmtree(workdir, ignore_errors=True)
     return pinned

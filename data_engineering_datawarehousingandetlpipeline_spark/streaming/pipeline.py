@@ -34,6 +34,7 @@ from data_engineering_datawarehousingandetlpipeline_spark.schema import (
 )
 from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
     WarehouseTable,
+    is_visible_data_file,
 )
 
 #: reference micro-batch cadence: flush every 10 s (kafka_stream.py:336).
@@ -422,9 +423,32 @@ def start_windowed_exact_dedup(
     return writer.start()
 
 
+#: Default fan-out of the ``pfx`` sub-partition every accumulator state
+#: dir is laid out by (``batch_id=<epoch>/pfx=<k>/``): the key-hash
+#: prefix that lets a micro-batch's prior-state scan PRUNE to the
+#: partitions its own keys can collide with, instead of reading the
+#: whole accumulated corpus every epoch. Steady-state shards touch a
+#: subset of prefixes, so per-epoch read cost tracks the shard's key
+#: coverage; at full coverage (huge shards) the scan degrades to the
+#: pre-r16 full read, never worse. Raise it for larger corpora — more
+#: prefixes = finer pruning, at the cost of more (still bounded:
+#: partitions × prefixes) state files per epoch between compactions.
+DEFAULT_STATE_PREFIXES = 16
+
+
+def _pfx(*cols, n_prefixes: int):
+    """The state-layout partition key: murmur3 of the join key, modded
+    into ``n_prefixes`` buckets. Deterministic across sessions (fixed
+    seed), and computed identically at write and prune time — equal join
+    keys land in (and are pruned to) equal prefixes."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.hash(*cols), F.lit(n_prefixes)).cast("int")
+
+
 def _committed_state_exists(spark: SparkSession, path: str) -> bool:
     """True iff ``path`` holds at least one COMMITTED ``batch_id=*``
-    partition (a visible data file inside it). Probed explicitly via the
+    partition (a visible entry inside it). Probed explicitly via the
     Hadoop FileSystem API — never by swallowing read exceptions: the r14
     draft caught bare ``Exception`` around the read, so a transient
     non-missing-path failure (corrupt file, permission) silently degraded
@@ -434,38 +458,192 @@ def _committed_state_exists(spark: SparkSession, path: str) -> bool:
     hidden ``_temporary`` droppings), and every actual read failure
     propagates — the batch fails loudly and the checkpoint retries it.
 
+    A visible entry may be a data file (flat layout: the pair sink) or a
+    ``pfx=*`` sub-partition directory (the prefix layout below) — both
+    appear only at job commit, when the committer moves output out of
+    ``_temporary``, so either one is proof of a committed write.
+
     Shared by every cross-batch accumulator
     (:func:`start_source_pair_matrix`, :func:`start_embedding_near_dup`).
     """
+    return bool(_state_batch_ids(spark, path))
+
+
+def _state_batch_ids(spark: SparkSession, path: str) -> list[int]:
+    """The COMMITTED ``batch_id=*`` partition values under ``path``
+    (those holding at least one visible entry — see
+    :func:`_committed_state_exists`), sorted. Negative ids are compacted
+    bases (:func:`compact_accumulator_state`); positive ids are epochs."""
     jvm = spark.sparkContext._jvm
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if not fs.exists(root):
-        return False
+        return []
+    ids = []
     for part in fs.listStatus(root):
-        if not part.getPath().getName().startswith("batch_id="):
+        name = part.getPath().getName()
+        if not name.startswith("batch_id="):
             continue
-        for f in fs.listStatus(part.getPath()):
-            name = f.getPath().getName()
-            # committers hide in-flight output under _ / . prefixes;
-            # one visible file means a committed partition
-            if not name.startswith(("_", ".")):
-                return True
-    return False
+        if any(
+            is_visible_data_file(f.getPath().getName())
+            for f in fs.listStatus(part.getPath())
+        ):
+            ids.append(int(name.removeprefix("batch_id=")))
+    return sorted(ids)
 
 
-def _read_prior_state(spark: SparkSession, path: str, epoch_id: int):
+def _read_prior_state(
+    spark: SparkSession,
+    path: str,
+    epoch_id: int,
+    pfx_in: list[int] | None = None,
+):
     """Accumulated state strictly below ``epoch_id``, or None when no
     committed state exists yet (see :func:`_committed_state_exists` for
-    why this is an explicit probe, not an exception catch)."""
+    why this is an explicit probe, not an exception catch).
+
+    ``pfx_in`` prunes the scan to the named key-hash prefixes: the
+    caller passes the (bounded, ≤ ``n_prefixes``) set of prefixes its
+    new batch can actually collide with, and partition pruning skips
+    every other state file — the scan cost tracks the shard, not the
+    accumulated corpus. Compacted bases (negative ``batch_id``) always
+    qualify as prior state: every folded epoch was < any live epoch."""
     from pyspark.sql import functions as F
 
     if not _committed_state_exists(spark, path):
         return None  # genuine first batch: no committed state yet
-    return (
+    state = (
         spark.read.option("basePath", path)
         .parquet(path)
         .filter(F.col("batch_id") < epoch_id)
+    )
+    if pfx_in is not None:
+        state = state.filter(F.col("pfx").isin([int(p) for p in pfx_in]))
+    return state
+
+
+def _delete_state_partition(spark: SparkSession, path: str, batch_id: int) -> None:
+    jvm = spark.sparkContext._jvm
+    part = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(path, f"batch_id={batch_id}")
+    )
+    fs = part.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(part, True)
+
+
+def _fold_state_dir(
+    spark: SparkSession,
+    path: str,
+    key_cols: tuple[str, ...],
+    upto: int,
+    partitioned: bool = False,
+) -> int:
+    """Fold every committed ``batch_id <= upto`` partition of one state
+    dir (including prior compacted bases) into a single fresh base
+    partition, then delete the inputs. Returns the number of partitions
+    folded (0 = already compact, nothing to do).
+
+    Crash safety is the SUPERSET INVARIANT: the new base (a fresh
+    ``batch_id`` below every existing id — base ids descend
+    monotonically, so the write target is never also an input) commits
+    BEFORE any input is deleted, so at every instant the visible union
+    of partitions covers the true accumulated state, with at worst
+    duplicate rows — which every reader of these dirs tolerates (the
+    candidate joins ``distinct()``/``dropDuplicates`` their outputs, the
+    pair sink's readers dedup on the pair key). A crash mid-fold leaves
+    extra partitions, never missing rows, and the next fold completes
+    the cleanup idempotently.
+
+    The key-only ``dropDuplicates`` is lossless under the accumulators'
+    same-payload-per-id re-delivery contract: a key present under two
+    epochs carries identical payload columns by contract, so keeping
+    either copy preserves the state's content.
+    """
+    from pyspark.sql import functions as F
+
+    ids = [i for i in _state_batch_ids(spark, path) if i <= upto]
+    if len(ids) <= 1:
+        return 0
+    new_base = min(min(ids), 0) - 1
+    compacted = (
+        spark.read.option("basePath", path)
+        .parquet(path)
+        .filter(F.col("batch_id") <= upto)
+        .drop("batch_id")
+        .dropDuplicates(list(key_cols))
+    )
+    writer = compacted.write.mode("overwrite")
+    if partitioned:
+        writer = writer.partitionBy("pfx")
+    writer.parquet(os.path.join(path, f"batch_id={new_base}"))
+    for i in ids:
+        _delete_state_partition(spark, path, i)
+    return len(ids)
+
+
+def _compact_accumulator(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    dirs: dict[str, tuple[str, tuple[str, ...], bool]],
+) -> dict[str, int]:
+    """Shared body of the two accumulator-state compactors: fold every
+    dir in ``dirs`` (name → (path, dedup keys, pfx-partitioned)) up to
+    the checkpoint's last COMMITTED epoch. Run on a QUIESCENT stream
+    (between drains / while the query is stopped), like any maintenance
+    op: folding is restricted to committed epochs so a crashed in-flight
+    epoch's partial partitions are left for its replay to overwrite, but
+    deleting a folded partition out from under a concurrently running
+    batch's open scan would fail that batch (it would retry — correct,
+    just wasteful)."""
+    committed = _committed_batch_ids(checkpoint_dir)
+    if not committed:
+        return {name: 0 for name in dirs}
+    upto = max(committed)
+    return {
+        name: _fold_state_dir(spark, path, keys, upto, partitioned=part)
+        for name, (path, keys, part) in dirs.items()
+    }
+
+
+def compact_pair_matrix_state(
+    spark: SparkSession, state_dir: str, pairs_dir: str, checkpoint_dir: str
+) -> dict[str, int]:
+    """Compact :func:`start_source_pair_matrix`'s accumulated state+sink:
+    fold the per-epoch ``batch_id=*`` partitions of bands/docs state and
+    the pair sink into one base partition each (dir name → partitions
+    folded). The OPTIMIZE rung for accumulator state (r15 verdict #2):
+    without it a long-running stream accretes one small parquet
+    partition per epoch forever — per-epoch file listing grows
+    O(epochs) — while after a fold the listing is O(1) + epochs since
+    the last fold. Content-preserving by construction (key-dedup under
+    the same-payload contract) and idempotent; crash-safe via the
+    superset invariant (:func:`_fold_state_dir`). Quiescent-stream
+    maintenance, like ``WarehouseTable.compact_partitions``."""
+    return _compact_accumulator(
+        spark,
+        checkpoint_dir,
+        {
+            "bands": (os.path.join(state_dir, "bands"), ("doc", "band"), True),
+            "docs": (os.path.join(state_dir, "docs"), ("doc",), True),
+            "pairs": (pairs_dir, ("doc_a", "doc_b"), False),
+        },
+    )
+
+
+def compact_embedding_state(
+    spark: SparkSession, state_dir: str, pairs_dir: str, checkpoint_dir: str
+) -> dict[str, int]:
+    """Compact :func:`start_embedding_near_dup`'s accumulated state+sink —
+    the dense twin of :func:`compact_pair_matrix_state` (buckets/vecs
+    state + the cosine pair sink), same contract."""
+    return _compact_accumulator(
+        spark,
+        checkpoint_dir,
+        {
+            "buckets": (os.path.join(state_dir, "buckets"), ("vid", "tbl"), True),
+            "vecs": (os.path.join(state_dir, "vecs"), ("vid",), True),
+            "pairs": (pairs_dir, ("id_a", "id_b"), False),
+        },
     )
 
 
@@ -475,6 +653,7 @@ def start_source_pair_matrix(
     pairs_dir: str,
     checkpoint_dir: str,
     threshold: float = 0.9,
+    n_prefixes: int = DEFAULT_STATE_PREFIXES,
     available_now: bool = False,
     trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
 ) -> StreamingQuery:
@@ -505,10 +684,29 @@ def start_source_pair_matrix(
     lossless size prune inside the condition — volume is
     |shard bands| × collision rate, never corpus²; state grows by
     O(|shard| × bands) rows per batch, exactly the batch operator's
-    index footprint, and the accumulated index is read pruned to the
-    band-key join. Verify is O(|candidates| × doc size) on integer
-    arrays. The source-pair MATRIX itself is an aggregation the reader
-    runs over the pair sink (append-only stream, no retractions).
+    index footprint. Prior-state READS are partition-pruned (r16):
+    state lives under ``batch_id=<epoch>/pfx=<key-hash % n_prefixes>``,
+    the bands scan is pruned to the new shard's own band prefixes and
+    the (heavy, token-array-carrying) docs scan to the candidate
+    PARTNER ids' prefixes — per-epoch read cost tracks the shard's key
+    coverage and the LSH-bounded candidate set, not the accumulated
+    corpus. Verify is O(|candidates| × doc size) on integer arrays. The
+    source-pair MATRIX itself is an aggregation the reader runs over
+    the pair sink (append-only stream, no retractions); long-running
+    streams bound state file counts with
+    :func:`compact_pair_matrix_state` between drains.
+
+    RE-DELIVERY CONTRACT (same-payload-per-id): a ``doc_id`` delivered
+    more than once MUST carry identical payload (text, source) on every
+    delivery — the at-least-once transport retry/replay case this
+    accumulator is built for. All three re-delivery guards (the
+    ``doc != doc`` cross-join inequality, the key-only pair dedup, the
+    anti-join against the accumulator's own prior pairs) and state
+    compaction's key-dedup are lossless ONLY under that contract; an
+    upstream that re-issues an id with CHANGED content is a different
+    document wearing an old key, and must re-key (content-hash ids make
+    the contract structural). The same contract backs
+    ``WarehouseTable.merge_upsert``'s insert-if-absent semantics.
     """
     from pyspark.sql import functions as F
 
@@ -534,6 +732,7 @@ def start_source_pair_matrix(
         bands_b = (
             lsh_band_hashes(sigs)
             .select("doc", "n", "band", "band_hash")
+            .withColumn("pfx", _pfx("band", "band_hash", n_prefixes=n_prefixes))
             .localCheckpoint(eager=True)
         )
         hv_b = (
@@ -543,11 +742,17 @@ def start_source_pair_matrix(
                 "source",
                 token_hash_array(F.col("text")).alias("hv"),
             )
+            .withColumn("pfx", _pfx("doc", n_prefixes=n_prefixes))
             .localCheckpoint(eager=True)
         )
 
-        prior_bands = _read_prior_state(spark, bands_dir, epoch_id)
-        prior_docs = _read_prior_state(spark, docs_dir, epoch_id)
+        # the shard's own band prefixes (bounded: ≤ n_prefixes values,
+        # collected off the pinned frame) prune the prior bands scan —
+        # colliding keys are equal keys, equal keys share a prefix
+        band_pfx = [r.pfx for r in bands_b.select("pfx").distinct().collect()]
+        prior_bands = _read_prior_state(
+            spark, bands_dir, epoch_id, pfx_in=band_pfx
+        )
 
         # band collision + the lossless size prune, on x/y dataset aliases
         collide = (
@@ -580,14 +785,33 @@ def start_source_pair_matrix(
                 .select(F.col("x.doc").alias("da"), F.col("y.doc").alias("db"))
             )
             cands = cands.unionByName(cross)
-        cands = cands.distinct()
+        # pinned: the candidate set is both collected from (partner
+        # prefixes below) and joined through (verify) — without the pin
+        # the band joins would run twice
+        cands = cands.distinct().localCheckpoint(eager=True)
 
         # verify on the hashed token sets of both sides (new side local,
         # old side from the accumulated doc state) — same arithmetic as
-        # the batch operator, so jaccard values hash-match the oracle
-        all_docs = hv_b if prior_docs is None else hv_b.unionByName(
-            prior_docs.select("doc", "source", "hv")
+        # the batch operator, so jaccard values hash-match the oracle.
+        # The heavy docs-state scan (token-hash arrays) is pruned to the
+        # candidate PARTNER ids' prefixes: da is always a new-shard doc
+        # (served by hv_b), only db can live in prior state, and the
+        # LSH-bounded candidate set keeps this prefix list small at
+        # steady state
+        partner_pfx = [
+            r.pfx
+            for r in cands.select(
+                _pfx("db", n_prefixes=n_prefixes).alias("pfx")
+            )
+            .distinct()
+            .collect()
+        ]
+        prior_docs = _read_prior_state(
+            spark, docs_dir, epoch_id, pfx_in=partner_pfx
         )
+        all_docs = hv_b if prior_docs is None else hv_b.select(
+            "doc", "source", "hv"
+        ).unionByName(prior_docs.select("doc", "source", "hv"))
         a = all_docs.select(
             F.col("doc").alias("da"), F.col("source").alias("sa"), F.col("hv").alias("ha")
         )
@@ -630,14 +854,15 @@ def start_source_pair_matrix(
             )
 
         # exactly-once: each epoch owns its batch_id partition; replays
-        # overwrite the identical deterministic content
+        # overwrite the identical deterministic content. State lands
+        # pfx-partitioned so later epochs' reads prune (see above).
         pair_rows.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch_id={epoch_id}")
         )
-        bands_b.write.mode("overwrite").parquet(
+        bands_b.write.mode("overwrite").partitionBy("pfx").parquet(
             os.path.join(bands_dir, f"batch_id={epoch_id}")
         )
-        hv_b.write.mode("overwrite").parquet(
+        hv_b.write.mode("overwrite").partitionBy("pfx").parquet(
             os.path.join(docs_dir, f"batch_id={epoch_id}")
         )
 
@@ -662,6 +887,7 @@ def start_embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    n_prefixes: int = DEFAULT_STATE_PREFIXES,
     available_now: bool = False,
     trigger_seconds: int | None = DEFAULT_TRIGGER_SECONDS,
 ) -> StreamingQuery:
@@ -691,10 +917,25 @@ def start_embedding_near_dup(
     shard (``n_tables`` struct expressions, one explode); candidate
     joins shuffle on (tbl, bucket) — volume is |shard buckets| ×
     collision rate, never corpus²; state grows O(|shard| × n_tables)
-    bucket rows + O(|shard|) vectors per batch. ``n_planes`` MUST be
-    passed explicitly sized for the eventual corpus
-    (``similarity.planes_for_corpus``): a streaming accumulator cannot
-    re-derive it later without re-bucketing all accumulated state.
+    bucket rows + O(|shard|) vectors per batch. Prior-state READS are
+    partition-pruned the way the text accumulator's are (r16): state
+    lives under ``batch_id=<epoch>/pfx=<key-hash % n_prefixes>``, the
+    buckets scan pruned to the shard's own bucket prefixes and the
+    (heavy, vector-carrying) vecs scan to the candidate partner ids'
+    prefixes; :func:`compact_embedding_state` bounds state file counts
+    between drains. ``n_planes`` MUST be passed explicitly sized for
+    the eventual corpus (``similarity.planes_for_corpus``): a streaming
+    accumulator cannot re-derive it later without re-bucketing all
+    accumulated state.
+
+    RE-DELIVERY CONTRACT (same-payload-per-id): a ``vec_id`` delivered
+    more than once MUST carry the identical vector on every delivery —
+    the transport retry/replay case. The re-delivery guards
+    (``vid != vid``, key-only pair dedup, the prior-pairs anti-join)
+    and compaction's key-dedup are lossless ONLY under that contract;
+    a re-issued id with a CHANGED vector is a different embedding
+    wearing an old key and must re-key (content-hash ids make the
+    contract structural).
     """
     from pyspark.sql import functions as F
 
@@ -720,6 +961,7 @@ def start_embedding_near_dup(
                 F.col(id_col).cast("long").alias("vid"),
                 F.col(vec_col).alias("vec"),
             )
+            .withColumn("pfx", _pfx("vid", n_prefixes=n_prefixes))
             .localCheckpoint(eager=True)
         )
         buckets_b = (
@@ -740,11 +982,17 @@ def start_embedding_near_dup(
                 ).alias("tb"),
             )
             .select("vid", "tb.tbl", "tb.bucket")
+            .withColumn("pfx", _pfx("tbl", "bucket", n_prefixes=n_prefixes))
             .localCheckpoint(eager=True)
         )
 
-        prior_buckets = _read_prior_state(spark, buckets_dir, epoch_id)
-        prior_vecs = _read_prior_state(spark, vecs_dir, epoch_id)
+        # shard's own bucket prefixes prune the prior buckets scan
+        bucket_pfx = [
+            r.pfx for r in buckets_b.select("pfx").distinct().collect()
+        ]
+        prior_buckets = _read_prior_state(
+            spark, buckets_dir, epoch_id, pfx_in=bucket_pfx
+        )
 
         collide = (F.col("x.tbl") == F.col("y.tbl")) & (
             F.col("x.bucket") == F.col("y.bucket")
@@ -765,11 +1013,26 @@ def start_embedding_near_dup(
                 .select(F.col("x.vid").alias("ia"), F.col("y.vid").alias("ib"))
             )
             cands = cands.unionByName(cross)
-        cands = cands.distinct()
+        # pinned: collected from (partner prefixes) and joined through
+        cands = cands.distinct().localCheckpoint(eager=True)
 
-        all_vecs = vecs_b if prior_vecs is None else vecs_b.unionByName(
-            prior_vecs.select("vid", "vec")
+        # the vector-carrying vecs scan prunes to candidate partner
+        # prefixes — ia is always new (served by vecs_b), only ib can
+        # live in prior state
+        partner_pfx = [
+            r.pfx
+            for r in cands.select(
+                _pfx("ib", n_prefixes=n_prefixes).alias("pfx")
+            )
+            .distinct()
+            .collect()
+        ]
+        prior_vecs = _read_prior_state(
+            spark, vecs_dir, epoch_id, pfx_in=partner_pfx
         )
+        all_vecs = vecs_b if prior_vecs is None else vecs_b.select(
+            "vid", "vec"
+        ).unionByName(prior_vecs.select("vid", "vec"))
         a = all_vecs.select(F.col("vid").alias("ia"), F.col("vec").alias("va"))
         b = all_vecs.select(F.col("vid").alias("ib"), F.col("vec").alias("vb"))
         pair_rows = (
@@ -801,10 +1064,10 @@ def start_embedding_near_dup(
         pair_rows.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch_id={epoch_id}")
         )
-        buckets_b.write.mode("overwrite").parquet(
+        buckets_b.write.mode("overwrite").partitionBy("pfx").parquet(
             os.path.join(buckets_dir, f"batch_id={epoch_id}")
         )
-        vecs_b.write.mode("overwrite").parquet(
+        vecs_b.write.mode("overwrite").partitionBy("pfx").parquet(
             os.path.join(vecs_dir, f"batch_id={epoch_id}")
         )
 

@@ -72,6 +72,18 @@ from pyspark.sql import types as T
 from data_engineering_datawarehousingandetlpipeline_spark.schema import KEY_COLUMNS
 
 
+def is_visible_data_file(name: str) -> bool:
+    """True iff ``name`` is a COMMITTED data file by the Hadoop committer
+    convention: in-flight / metadata output hides under ``_`` or ``.``
+    prefixes (``_temporary``, ``_SUCCESS``, ``.crc``). The ONE predicate
+    every file-visibility probe in the engine shares (ADVICE r15:
+    ``partition_file_counts`` matched on a ``.parquet`` suffix while the
+    streaming state probe matched the prefix convention — a committer
+    emitting differently-named data files would have been visible to one
+    and invisible to the other)."""
+    return not name.startswith(("_", "."))
+
+
 class ConcurrentWriteError(RuntimeError):
     """Two writers raced on the same table version (see ``_claim_version``)."""
 
@@ -781,9 +793,7 @@ class WarehouseTable:
                 continue
             path = os.path.join(self.root, name)
             counts[name[3:]] = sum(
-                1
-                for f in os.listdir(path)
-                if f.endswith(".parquet") and not f.startswith(".")
+                1 for f in os.listdir(path) if is_visible_data_file(f)
             )
         return counts
 

@@ -1869,10 +1869,11 @@ def test_streaming_dup_matrix_fails_loudly_on_corrupt_state(spark, tmp_path):
     assert _srcpair_drain(spark, tmp_path, indir, pairs_dir).count() == 0
 
     # corrupt EVERY committed bands-state data file (visible files only:
-    # the probe rightly ignores hidden committer droppings)
+    # the probe rightly ignores hidden committer droppings; data files
+    # sit under batch_id=*/pfx=*/ since the r16 pruned-state layout)
     bands_dir = tmp_path / "state" / "bands"
     corrupted = 0
-    for part in bands_dir.glob("batch_id=*/*"):
+    for part in bands_dir.glob("batch_id=*/**/*"):
         if part.is_file() and not part.name.startswith(("_", ".")):
             part.write_bytes(b"this is not a parquet file")
             corrupted += 1
@@ -2065,3 +2066,323 @@ def test_streaming_embedding_near_dup_accumulates_across_restart(spark, tmp_path
     land([(3, vec(3))], "s3")
     third = drain()
     assert sorted((r.id_a, r.id_b) for r in third.collect()) == [(1, 2), (3, 4)]
+
+
+def _state_partition_names(root):
+    return sorted(
+        p.name for p in root.glob("batch_id=*")
+        if any(
+            f.is_file() and not f.name.startswith(("_", "."))
+            for f in p.glob("**/*")
+        )
+    )
+
+
+def test_streaming_dup_matrix_compaction_preserves_pairs(spark, tmp_path):
+    """compact_pair_matrix_state (r16): folding the per-epoch state +
+    pair partitions into one base each must (a) preserve the pair graph
+    a LATER drain accumulates against — a twin arriving after the fold
+    still finds its partner through the compacted index — (b) leave
+    exactly one base partition per dir, (c) be idempotent, and (d) the
+    final pair set must equal the batch detector over everything landed
+    (compacted ≡ uncompacted)."""
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        compact_pair_matrix_state,
+    )
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    pairs_dir = str(tmp_path / "pairs")
+
+    def land(name, rows):
+        with open(indir / name, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row) + "\n")
+
+    # two drains → two epochs of state (an intra-batch twin in the first)
+    land("shard1.json", [
+        {"doc_id": "1", "text": "alpha beta gamma delta", "source": "s0"},
+        {"doc_id": "2", "text": "alpha beta gamma delta", "source": "s1"},
+    ])
+    _srcpair_drain(spark, tmp_path, indir, pairs_dir)
+    land("shard2.json", [
+        {"doc_id": "3", "text": "epsilon zeta eta theta", "source": "s0"},
+    ])
+    _srcpair_drain(spark, tmp_path, indir, pairs_dir)
+
+    folded = compact_pair_matrix_state(
+        spark, str(tmp_path / "state"), pairs_dir, str(tmp_path / "ckpt")
+    )
+    assert folded["bands"] == 2 and folded["docs"] == 2, folded
+    # exactly one (base) partition per state dir after the fold
+    assert _state_partition_names(tmp_path / "state" / "bands") == ["batch_id=-1"]
+    assert _state_partition_names(tmp_path / "state" / "docs") == ["batch_id=-1"]
+    # idempotent: nothing left to fold
+    refold = compact_pair_matrix_state(
+        spark, str(tmp_path / "state"), pairs_dir, str(tmp_path / "ckpt")
+    )
+    assert not any(refold.values()), refold
+
+    # a twin of doc 3 arrives AFTER the fold: the pair must be found
+    # through the compacted index, exactly once
+    land("shard3.json", [
+        {"doc_id": "4", "text": "epsilon zeta eta theta", "source": "s2"},
+    ])
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _srcpair_drain(spark, tmp_path, indir, pairs_dir).collect()
+    }
+    batch_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "epsilon zeta eta theta"), (4, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    expect = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup_pairs(batch_docs, threshold=0.9).collect()
+    }
+    assert got == expect == {(1, 2), (3, 4)}
+
+    # second fold absorbs the base + the new epoch (bands/docs: 2 each)
+    refold = compact_pair_matrix_state(
+        spark, str(tmp_path / "state"), pairs_dir, str(tmp_path / "ckpt")
+    )
+    assert refold["bands"] == 2 and refold["docs"] == 2, refold
+    # base ids descend monotonically (fresh dir every fold — the write
+    # target is never also an input, the superset-invariant precondition)
+    assert _state_partition_names(tmp_path / "state" / "bands") == ["batch_id=-2"]
+    # pair rows unchanged by the folds
+    final = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.option("basePath", pairs_dir)
+        .parquet(pairs_dir).collect()
+    }
+    assert final == expect
+
+
+def test_streaming_dup_matrix_compaction_dedups_redelivered_state(
+    spark, tmp_path
+):
+    """Key-only dedup in the fold is lossless under the same-payload
+    contract: a doc_id re-delivered across epochs sits in state under
+    two batch_ids; after compaction it must occupy ONE state row, and a
+    later twin must still pair with it exactly once."""
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        compact_pair_matrix_state,
+    )
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    pairs_dir = str(tmp_path / "pairs")
+
+    def land(name, rows):
+        with open(indir / name, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row) + "\n")
+
+    land("shard1.json", [
+        {"doc_id": "1", "text": "alpha beta gamma delta", "source": "s0"},
+    ])
+    _srcpair_drain(spark, tmp_path, indir, pairs_dir)
+    # the SAME doc re-delivered in a later epoch
+    land("shard2.json", [
+        {"doc_id": "1", "text": "alpha beta gamma delta", "source": "s0"},
+    ])
+    _srcpair_drain(spark, tmp_path, indir, pairs_dir)
+
+    compact_pair_matrix_state(
+        spark, str(tmp_path / "state"), pairs_dir, str(tmp_path / "ckpt")
+    )
+    docs_state = spark.read.option(
+        "basePath", str(tmp_path / "state" / "docs")
+    ).parquet(str(tmp_path / "state" / "docs"))
+    assert docs_state.count() == 1  # one row for doc 1, not two
+
+    land("shard3.json", [
+        {"doc_id": "6", "text": "alpha beta gamma delta", "source": "s2"},
+    ])
+    rows = _srcpair_drain(spark, tmp_path, indir, pairs_dir).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 6)]
+
+
+def test_streaming_dup_matrix_readers_tolerate_duplicate_partitions(
+    spark, tmp_path
+):
+    """The fold's crash contract is the SUPERSET invariant: a crash
+    between the base write and the input deletes leaves DUPLICATE state
+    partitions, never missing rows. Simulate that window by copying the
+    compacted base back in as a stale positive partition: the next drain
+    must still emit a duplicate-free pair graph, and the next fold must
+    clean the leftovers up."""
+    import shutil
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        compact_pair_matrix_state,
+    )
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    pairs_dir = str(tmp_path / "pairs")
+
+    def land(name, rows):
+        with open(indir / name, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row) + "\n")
+
+    land("shard1.json", [
+        {"doc_id": "1", "text": "alpha beta gamma delta", "source": "s0"},
+    ])
+    _srcpair_drain(spark, tmp_path, indir, pairs_dir)
+    land("shard1b.json", [
+        {"doc_id": "2", "text": "epsilon zeta eta theta", "source": "s1"},
+    ])
+    _srcpair_drain(spark, tmp_path, indir, pairs_dir)
+    compact_pair_matrix_state(
+        spark, str(tmp_path / "state"), pairs_dir, str(tmp_path / "ckpt")
+    )
+    # crashed-fold simulation: the folded input partition was never
+    # deleted (batch_id=0 duplicates the batch_id=-1 base)
+    for sub in ("bands", "docs"):
+        root = tmp_path / "state" / sub
+        shutil.copytree(root / "batch_id=-1", root / "batch_id=0")
+
+    # twins of BOTH docs arrive: each pair must land exactly once even
+    # though every prior-state row now exists twice
+    land("shard2.json", [
+        {"doc_id": "3", "text": "alpha beta gamma delta", "source": "s2"},
+        {"doc_id": "4", "text": "epsilon zeta eta theta", "source": "s2"},
+    ])
+    rows = _srcpair_drain(spark, tmp_path, indir, pairs_dir).collect()
+    assert sorted((r.doc_a, r.doc_b) for r in rows) == [(1, 3), (2, 4)]
+
+    # the next fold completes the crashed cleanup idempotently
+    folded = compact_pair_matrix_state(
+        spark, str(tmp_path / "state"), pairs_dir, str(tmp_path / "ckpt")
+    )
+    assert folded["bands"] >= 2 and folded["docs"] >= 2
+    assert _state_partition_names(tmp_path / "state" / "bands") == ["batch_id=-2"]
+
+
+def test_prior_state_scan_prunes_to_prefixes(spark, tmp_path):
+    """The r16 state layout's point: a prior-state read restricted to
+    the new shard's key prefixes must PRUNE at the partition level —
+    the pfx filter shows up in the scan's PartitionFilters, so state
+    files outside the shard's collision set are never opened."""
+    import re
+
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        _read_prior_state,
+    )
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    pairs_dir = str(tmp_path / "pairs")
+    with open(indir / "shard1.json", "w") as fh:
+        for i in range(20):
+            fh.write(json.dumps({
+                "doc_id": str(i),
+                "text": f"word{i} token{i} item{i} thing{i}",
+                "source": "s0",
+            }) + "\n")
+    _srcpair_drain(spark, tmp_path, indir, pairs_dir)
+
+    bands_dir = str(tmp_path / "state" / "bands")
+    pruned = _read_prior_state(spark, bands_dir, 99, pfx_in=[0, 1])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^]]*pfx", plan), plan
+    # and the prune is real: only the named prefixes' rows come back
+    assert {r.pfx for r in pruned.select("pfx").distinct().collect()} <= {0, 1}
+    full = _read_prior_state(spark, bands_dir, 99)
+    assert pruned.count() < full.count()
+
+
+def test_embedding_state_compaction_preserves_pairs(spark, tmp_path):
+    """compact_embedding_state (r16): the dense twin of the
+    source-pair fold — compacted state must serve a post-fold twin's
+    pair discovery, the fold must be idempotent, and the final pair set
+    must equal the batch detector (compacted ≡ uncompacted)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.streaming.pipeline import (
+        compact_embedding_state,
+        start_embedding_near_dup,
+    )
+
+    dim, n_planes, n_tables, threshold = 8, 4, 2, 0.9
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    pairs_dir = str(tmp_path / "pairs")
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), True),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+    ])
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[(axis + 1) % dim] = eps
+        return v
+
+    def land(rows):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"]), schema
+        ).coalesce(1).write.mode("append").parquet(str(indir))
+
+    def drain():
+        query = start_embedding_near_dup(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir)),
+            str(tmp_path / "state"),
+            pairs_dir,
+            str(tmp_path / "ckpt"),
+            threshold=threshold,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            dim=dim,
+            available_now=True,
+        )
+        query.awaitTermination()
+        return spark.read.option("basePath", pairs_dir).parquet(pairs_dir)
+
+    land([(1, vec(0)), (2, vec(0, eps=0.01))])
+    drain()
+    land([(3, vec(3))])
+    drain()
+
+    folded = compact_embedding_state(
+        spark, str(tmp_path / "state"), pairs_dir, str(tmp_path / "ckpt")
+    )
+    assert folded["buckets"] == 2 and folded["vecs"] == 2, folded
+    assert _state_partition_names(tmp_path / "state" / "vecs") == ["batch_id=-1"]
+    refold = compact_embedding_state(
+        spark, str(tmp_path / "state"), pairs_dir, str(tmp_path / "ckpt")
+    )
+    assert not any(refold.values()), refold
+
+    # a twin of vec 3 arrives AFTER the fold
+    land([(4, vec(3, eps=0.01))])
+    got = {(r.id_a, r.id_b) for r in drain().collect()}
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, vec(0)), (2, vec(0, eps=0.01)), (3, vec(3)),
+             (4, vec(3, eps=0.01))],
+            columns=["vec_id", "embedding"],
+        ),
+        schema,
+    )
+    expect = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            batch, threshold=threshold, n_planes=n_planes,
+            n_tables=n_tables, dim=dim,
+        ).collect()
+    }
+    assert got == expect == {(1, 2), (3, 4)}
