@@ -1434,6 +1434,121 @@ ORDER BY dt
 """
 
 
+def q_warehouse_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-layout co-located join, driver-verified (r16 debut): the
+    write-once-shuffle-never property of ``warehouse/bucketing.py``
+    proven end to end on the warehouse's hottest join shape
+    (orders ⋈ lineitem — the star-join pair that dominates the TPC-H
+    tier, SURVEY §2.6; the reference delegates this layout decision to
+    BigQuery clustering, here it is explicit and plan-gated).
+
+    Both sides are STAGED as hash-bucketed, bucket-sorted external
+    tables on the join key (``bucketBy``+``sortBy``, one file per
+    bucket), then joined via ``co_located_join`` under a disabled
+    broadcast threshold — the no-dim-fits-in-memory regime of a real
+    100 TB warehouse. The physical contract is asserted loudly IN the
+    query (the warehouse_compaction convention): the join plan must be
+    a SortMergeJoin with NO Exchange on either side (co-location comes
+    from the bucket layout, written once) and NO per-query Sort (the
+    bucket files are pre-sorted runs). The driver's cross-engine hash
+    then proves the bucketed layout is CONTENT-PRESERVING: the returned
+    per-priority revenue profile is computed THROUGH the bucketed
+    tables, while the oracle recomputes it from the raw parquet.
+
+    At 100 TB: the bucketed write pays the orders/lineitem shuffle once
+    at load time; every subsequent join or aggregation on the bucket
+    key — the daily star-join workload — reads co-located buckets and
+    shuffles only its (tiny) final aggregate. Bucket count scales with
+    the cluster (buckets ≥ executor cores keeps all cores fed); the
+    staging here is test-scale plumbing, a production warehouse writes
+    the bucketed layout at ingestion.
+    """
+    import uuid
+
+    from data_engineering_datawarehousingandetlpipeline_spark.warehouse.bucketing import (
+        co_located_join,
+        write_bucketed,
+    )
+
+    ensure_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    items = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    workdir = tempfile.mkdtemp(prefix="bucketed_join_q_")
+    tag = uuid.uuid4().hex[:8]
+    t_orders, t_items = f"bj_orders_{tag}", f"bj_items_{tag}"
+    n_buckets = 8
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(
+            orders, t_orders, bucket_col="orderkey", n_buckets=n_buckets,
+            sort_cols=("orderkey",), path=os.path.join(workdir, "orders"),
+        )
+        write_bucketed(
+            items, t_items, bucket_col="orderkey", n_buckets=n_buckets,
+            sort_cols=("orderkey",), path=os.path.join(workdir, "items"),
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # exploiting sortBy order at scan time is legacy-gated since
+        # Spark 3.0 (valid only with one file per bucket — which
+        # write_bucketed enforces)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        joined = co_located_join(spark, t_items, t_orders, on="orderkey")
+        # --- physical contract (loud, not returned): gate the BUILDER
+        # frame — the returned result is a pinned checkpoint scan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise AssertionError(
+                f"bucketed join planned an Exchange:\n{plan}"
+            )
+        if "SortMergeJoin" not in plan:
+            raise AssertionError(f"expected a SortMergeJoin:\n{plan}")
+        if "Sort " in plan.replace("SortMergeJoin", ""):
+            raise AssertionError(
+                f"bucket-sorted layout still planned a Sort:\n{plan}"
+            )
+        return materialized_result(
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.countDistinct("orderkey").alias("n_orders"),
+                F.round(
+                    dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    6,
+                ).alias("revenue"),
+            )
+            .orderBy("o_orderpriority"),
+            workdir,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
+        for t in (t_orders, t_items):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+SQL_WAREHOUSE_BUCKETED_JOIN = f"""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       round({sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}, 6)
+         AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension enrichment, driver-verified: each event on
     the stream picks up its user's lifetime profile from a broadcast
@@ -1679,4 +1794,10 @@ QUERIES = [
               "content-preservation proven (rewrite verified against the "
               "raw source cross-engine)",
               tags=("warehouse", "maintenance")),
+    QuerySpec("warehouse_bucketed_join", q_warehouse_bucketed_join,
+              SQL_WAREHOUSE_BUCKETED_JOIN,
+              "bucketed-layout co-located star join (orders ⋈ lineitem): "
+              "SortMergeJoin with no Exchange and no Sort, plan-gated "
+              "in-query, content proven cross-engine",
+              tags=("warehouse", "join", "layout")),
 ]
