@@ -312,6 +312,59 @@ def kmeans_centroids(
     return cents
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest TRAINED centroid —
+    the IVF index-maintenance rung (r16): folding a new embedding shard
+    into an existing index is exactly this assignment pass over the NEW
+    shard only, no re-clustering, no full-corpus pass.
+
+    ``cents`` is a trained quantizer table (cid, cvec) — from
+    :func:`kmeans_centroids` at build time, or read back from wherever
+    the index persists it. Returns (vid, cid, ccos): the winning
+    centroid and the rounded assignment cosine (−2-anchored like every
+    centroid cosine here) — the quality signal an index monitor
+    aggregates to detect quantizer drift (new data scoring
+    systematically low cosines means the coarse quantizer no longer
+    fits the incoming distribution and a re-train is due).
+
+    Scale shape: the centroid table broadcasts, the shard streams
+    through one codegen stage, and the argmax is the partial-agg
+    ``min(struct(-cos, cid, -cos))`` — the shuffle carries one small row
+    per vector, never one per (vector × centroid). At 100 TB the daily
+    index maintenance cost is proportional to the day's NEW shard.
+    """
+    vecs = (
+        spread(corpus)
+        .select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("dv")
+        )
+        .withColumn("nv", norm(F.col("dv")))
+    )
+    if "cnorm" not in cents.columns:
+        cents = cents.withColumn("cnorm", norm(F.col("cvec")))
+    pairs = vecs.crossJoin(F.broadcast(cents)).select(
+        "vid",
+        "cid",
+        (-_centroid_cosine(F.col("dv"), F.col("nv"))).alias("negc"),
+    )
+    best = F.min(
+        F.struct(
+            F.col("negc").alias("n"),
+            F.col("cid").alias("c"),
+            F.col("negc").alias("n2"),
+        )
+    )
+    return pairs.groupBy("vid").agg(
+        best.getField("c").alias("cid"),
+        (-best.getField("n2")).alias("ccos"),
+    )
+
+
 def cosine_top_k_ivf(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2348,6 +2348,108 @@ ORDER BY query_id, rank
 """
 
 
+EMB_APPEND_MOD = 3  # vec_id % 3 == 0 is the "new shard" folded in
+
+
+def q_emb_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (r16 debut): fold a NEW
+    embedding shard into the TRAINED IVF quantizer's assignments
+    without re-clustering — the batch complement of the
+    ``streaming_emb_dedup`` accumulator (r15 verdict stretch).
+
+    The corpus splits deterministically into the existing index
+    (``vec_id % 3 != 0`` — the shards the quantizer was trained on) and
+    the arriving shard (``vec_id % 3 == 0``). The quantizer trains on
+    the INDEX ONLY (``kmeans_centroids`` — seeded, rounded,
+    engine-portable); both populations then run the SAME assignment
+    pass (``similarity.ivf_assign``: broadcast centroid table,
+    partial-agg argmax). Returned: the per-centroid index profile after
+    the fold — existing/new/total counts plus the new shard's mean
+    assignment cosine per centroid, the drift signal an index monitor
+    watches (new data scoring systematically low means the coarse
+    quantizer no longer fits the incoming distribution and a re-train
+    is due). The oracle unrolls the identical Lloyd iterations on the
+    index subset and assigns both populations in SQL, so the hash match
+    proves the maintenance fold bit-for-bit.
+
+    At 100 TB: the index's assignments are persisted state (here
+    recomputed — test-scale staging of a stable index); the per-shard
+    maintenance cost is ONE broadcast-join codegen pass over the new
+    shard + a 16-row aggregate — no full-corpus pass, no re-train.
+    """
+    embs = _embs(spark, sf_dir)
+    index = embs.filter((F.col("vec_id") % EMB_APPEND_MOD) != 0)
+    new = embs.filter((F.col("vec_id") % EMB_APPEND_MOD) == 0)
+    cents = sim.kmeans_centroids(
+        index, n_centroids=IVF_CENTROIDS, iterations=IVF_ITERATIONS
+    )
+    old_counts = (
+        sim.ivf_assign(index, cents)
+        .groupBy("cid")
+        .agg(F.count("*").alias("n_index"))
+    )
+    new_stats = (
+        sim.ivf_assign(new, cents)
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_new"),
+            F.round(nm.davg(F.col("ccos"), wide=True), 6).alias("avg_new_ccos"),
+        )
+    )
+    return (
+        cents.select("cid")
+        .join(old_counts, "cid", "left")
+        .join(new_stats, "cid", "left")
+        .select(
+            F.col("cid").cast("int").alias("cid"),
+            F.coalesce("n_index", F.lit(0)).cast("bigint").alias("n_index"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            (F.coalesce("n_index", F.lit(0)) + F.coalesce("n_new", F.lit(0)))
+            .cast("bigint")
+            .alias("n_total"),
+            "avg_new_ccos",
+        )
+        .orderBy("cid")
+    )
+
+
+def _sql_emb_ivf_append() -> str:
+    """Oracle: train on the index subset (the shared unrolled-Lloyd
+    CTEs read ``FROM v``, so defining ``v`` as the subset retrains
+    nothing new), assign BOTH populations, aggregate per centroid."""
+    ccos_all = f"COALESCE({_SQL_COS.format(a='a.vv', b='c.cvec')}, -2.0)"
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+           FROM embeddings WHERE vec_id % {EMB_APPEND_MOD} <> 0),
+{_sql_kmeans_ctes()},
+allv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv,
+         (vec_id % {EMB_APPEND_MOD} = 0) AS is_new
+  FROM embeddings
+),
+assign AS (
+  SELECT vec_id, is_new, cid, ccos FROM (
+    SELECT a.vec_id, a.is_new, c.cid, {ccos_all} AS ccos,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {ccos_all} DESC, c.cid ASC) AS rn
+    FROM allv a CROSS JOIN {_CF} c) t
+  WHERE rn = 1
+)
+SELECT CAST(c.cid AS INTEGER) AS cid,
+       CAST(COUNT(CASE WHEN NOT s.is_new THEN 1 END) AS BIGINT) AS n_index,
+       CAST(COUNT(CASE WHEN s.is_new THEN 1 END) AS BIGINT) AS n_new,
+       CAST(COUNT(s.vec_id) AS BIGINT) AS n_total,
+       round({nm.sql_davg('CASE WHEN s.is_new THEN s.ccos END', wide=True)},
+             6) AS avg_new_ccos
+FROM {_CF} c LEFT JOIN assign s ON s.cid = c.cid
+GROUP BY c.cid
+ORDER BY c.cid
+"""
+
+
+SQL_EMB_IVF_APPEND = _sql_emb_ivf_append()
+
+
 def q_retrieval_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval, ANN-served: RRF over the IVF dense pool ⊕ BM25.
 
@@ -3524,6 +3626,11 @@ QUERIES = [
     QuerySpec("emb_ivf_topk", q_emb_ivf_topk, SQL_EMB_IVF_TOPK,
               "IVF coarse-quantized ANN top-k (probe nearest clusters)",
               bench=True, tags=("similarity",)),
+    QuerySpec("emb_ivf_append", q_emb_ivf_append, SQL_EMB_IVF_APPEND,
+              "incremental ANN index maintenance: fold a new embedding "
+              "shard into the trained IVF quantizer's assignments "
+              "without re-clustering (per-centroid profile + drift "
+              "signal)", tags=("similarity", "maintenance")),
     QuerySpec("emb_near_dup", q_emb_near_dup, SQL_EMB_NEAR_DUP,
               "embedding-cosine near-dup pairs (bucketed)", tags=("similarity", "dedup")),
     QuerySpec("streaming_emb_dedup", q_streaming_emb_dedup,

@@ -47,20 +47,22 @@ class QuerySpec:
 #: tools/window_planner.py --changed streaming_dup_matrix
 #: streaming_emb_dedup warehouse_compaction``; the debut is
 #: never-driver-verified, so the planner seats it first automatically).
-#: Planner order: the r16 debut (warehouse_bucketed_join — the one r15
-#: component without a driver row), the 3 CHANGED queries (the
+#: Planner order: the 2 r16 debuts (emb_ivf_append — incremental ANN
+#: index maintenance, the r15 stretch; warehouse_bucketed_join — the
+#: one r15 component without a driver row), the 3 CHANGED queries (the
 #: accumulators' pfx state layout + in-query compaction; the
 #: compaction-query assert split), the 12-name exhausted set (green
 #: r12, at the 4-round staleness limit this round, non-negotiable),
-#: then the 34 oldest green-r13 rotations (oldest-last-green order,
-#: name tiebreak). Displaced to the deferral tail by the debut + 3
-#: changed slots: referral_rollup, schema_projection,
-#: shipping_priority, sliding_window_stats — green r13, part of the
-#: r17 exhausted set beside small_qty_revenue, top_supplier,
-#: validate_counts, volume_shipping, waiting_suppliers,
+#: then the 33 oldest green-r13 rotations (oldest-last-green order,
+#: name tiebreak). Displaced to the deferral tail by the 2 debut + 3
+#: changed slots: referral_pagerank, referral_rollup,
+#: schema_projection, shipping_priority, sliding_window_stats — green
+#: r13, part of the r17 exhausted set beside small_qty_revenue,
+#: top_supplier, validate_counts, volume_shipping, waiting_suppliers,
 #: watermark_filter.
 WINDOW_HEAD: tuple[str, ...] = (
-    # r16 debut (planner seats never-driver-verified first)
+    # r16 debuts (planner seats never-driver-verified first)
+    "emb_ivf_append",
     "warehouse_bucketed_join",
     # CHANGED (3, planner order): first driver rows on the r16 code
     "streaming_dup_matrix",
@@ -79,7 +81,7 @@ WINDOW_HEAD: tuple[str, ...] = (
     "user_rolling_stats",
     "value_correlations",
     "value_quantiles",
-    # the 34 oldest green-r13 rotations (oldest-last-green, name tiebreak)
+    # the 33 oldest green-r13 rotations (oldest-last-green, name tiebreak)
     "asof_last_error",
     "customer_order_distribution",
     "customer_snapshot_diff",
@@ -113,7 +115,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     "part_concentration",
     "part_supplier_variety",
     "promo_revenue_share",
-    "referral_pagerank",
 )
 
 #: The CORRECTNESS round the current WINDOW_HEAD was planned against
@@ -150,10 +151,11 @@ CHANGED_QUERIES: tuple[str, ...] = (
 #: tools/closing_check.py and tests/test_plan_quality.py so a rotation
 #: can never silently strand a debut (r6 verdict, marching order 5).
 #:
-#: r16: the debut (first driver row), the 3 changed queries (via
+#: r16: the 2 debuts (first driver rows), the 3 changed queries (via
 #: CHANGED_QUERIES below), and the 12-name exhausted set (green r12, at
 #: the 4-round staleness limit — non-negotiable window members).
 MUST_VERIFY: tuple[str, ...] = (
+    "emb_ivf_append",
     "warehouse_bucketed_join",
     "salted_rollup",
     "scd2_event_enrich",

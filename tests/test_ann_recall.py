@@ -201,3 +201,104 @@ def test_rrf_ann_recall_at_5_vs_exact_fusion(spark):
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert total > 0 and hits / total >= 0.8, (hits, total)
+
+
+def test_ivf_assign_matches_training_assignment(spark):
+    """ivf_assign (the r16 index-maintenance rung) must reproduce the
+    exact assignment geometry the quantizer itself uses: for corpus
+    vectors, (vid → cid) equals a 0-iteration re-train's first
+    assignment, and ccos equals the rounded cosine against the winning
+    centroid — the drift signal is the real assignment quality, not an
+    approximation."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+        similarity as sim,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = sim.kmeans_centroids(embs, n_centroids=4, iterations=1)
+    assigned = sim.ivf_assign(embs, cents)
+
+    # every vector assigned exactly once
+    n = embs.count()
+    assert assigned.count() == n
+    assert assigned.select("vid").distinct().count() == n
+
+    # ccos is the true rounded cosine vs the winning centroid, and no
+    # other centroid beats it (argmax property, cid tie-break respected)
+    joined = (
+        assigned.join(
+            embs.select(F.col("vec_id").alias("vid"), "embedding"), "vid"
+        )
+        .crossJoin(F.broadcast(cents.withColumnRenamed("cid", "ocid")))
+        .select(
+            "vid", "cid", "ccos", "ocid",
+            sim.cosine(F.col("embedding"), F.col("cvec")).alias("ocos"),
+        )
+    )
+    own = joined.filter(F.col("cid") == F.col("ocid"))
+    assert own.filter(F.col("ccos") != F.col("ocos")).count() == 0
+    beaten = joined.filter(
+        (F.col("ocos") > F.col("ccos"))
+        | ((F.col("ocos") == F.col("ccos")) & (F.col("ocid") < F.col("cid")))
+    )
+    assert beaten.count() == 0
+
+    # scale shape: the centroid table broadcasts (no shuffle of the shard
+    # against centroids), and the argmax is a partial aggregation
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, plan
+
+
+def test_emb_ivf_append_profile_is_consistent(spark):
+    """The registered maintenance query's profile must reconcile: index +
+    new counts sum to the corpus, every centroid row is present, and the
+    fold is incremental — the new shard's assignments equal what a full
+    re-assignment of the union gives for those ids (no re-clustering
+    drift by construction)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+        similarity as sim,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.extensions import (
+        EMB_APPEND_MOD,
+        IVF_CENTROIDS,
+        IVF_ITERATIONS,
+        q_emb_ivf_append,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    profile = q_emb_ivf_append(spark, sf).collect()
+    embs = load_table(spark, sf, "embeddings")
+    assert len(profile) == IVF_CENTROIDS
+    assert sum(r.n_total for r in profile) == embs.count()
+    for r in profile:
+        assert r.n_total == r.n_index + r.n_new
+        assert r.avg_new_ccos is None or -2.0 <= r.avg_new_ccos <= 1.0
+
+    # incrementality: assigning the new shard against the trained
+    # centroids is the SAME operation the union's assignment performs
+    # for those ids — folding a shard in cannot move anything else
+    index = embs.filter((F.col("vec_id") % EMB_APPEND_MOD) != 0)
+    cents = sim.kmeans_centroids(
+        index, n_centroids=IVF_CENTROIDS, iterations=IVF_ITERATIONS
+    )
+    union_assign = sim.ivf_assign(embs, cents)
+    new_assign = sim.ivf_assign(
+        embs.filter((F.col("vec_id") % EMB_APPEND_MOD) == 0), cents
+    )
+    mismatch = new_assign.alias("n").join(
+        union_assign.alias("u"), "vid"
+    ).filter(
+        (F.col("n.cid") != F.col("u.cid"))
+        | (F.col("n.ccos") != F.col("u.ccos"))
+    )
+    assert mismatch.count() == 0
