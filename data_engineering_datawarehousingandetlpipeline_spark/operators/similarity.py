@@ -185,24 +185,36 @@ def _centroid_cosine(dv: Column, nv: Column) -> Column:
     )
 
 
-def _nearest_cid(vecs: DataFrame, cents: DataFrame) -> Column:
-    """(vid, cid) arg-max-cosine assignment via broadcast join + partial agg.
+def _nearest_cid(vecs: DataFrame, cents: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(vid, cid[, carry...]) arg-max-cosine assignment via broadcast join +
+    partial agg.
 
     ``vecs`` carries (vid, dv, nv); ``cents`` (cid, cvec, cnorm) and is
     small (the centroid table), so it broadcasts and the corpus streams.
     The argmax is ``min(struct(-cos, cid))`` — a partial-aggregatable
     shape, so the shuffle carries ONE small row per vector, not one per
     (vector × centroid). Ties break toward the lowest cid.
+
+    ``carry`` columns of ``vecs`` ride the aggregation via ``any_value``
+    (they are constant within a vid group — the crossJoin replicates the
+    same corpus row across centroids — so any value IS the value, and the
+    aggregate stays partial-aggregatable). Carrying the payload through
+    the argmax replaces the join back to the corpus that every caller
+    otherwise pays: one corpus shuffle of (vid, cid, payload) instead of
+    a second full corpus pass + a sort-merge join at warehouse scale
+    (guide §2.4: remove shuffles outright).
     """
     pairs = vecs.crossJoin(F.broadcast(cents)).select(
         "vid",
         "cid",
         (-_centroid_cosine(F.col("dv"), F.col("nv"))).alias("negc"),
+        *carry,
     )
     return pairs.groupBy("vid").agg(
         F.min(F.struct(F.col("negc").alias("n"), F.col("cid").alias("c")))
         .getField("c")
-        .alias("cid")
+        .alias("cid"),
+        *[F.any_value(F.col(c)).alias(c) for c in carry],
     )
 
 
@@ -224,12 +236,23 @@ def kmeans_centroids(
     cosines with cid tie-breaks; the update is a per-dimension
     decimal-anchored average (exact, order-independent sum) rounded to the
     cosine scale — so the DuckDB oracle's unrolled iterations reproduce
-    the centroids bit-for-bit. Per round: one broadcast-join scan for
-    assignment (partial-agg argmax), one posexplode + two aggregations for
-    the update — all shuffle keys are well distributed (vid, (cid, dim)).
-    An empty cluster keeps its previous centroid (left join + coalesce).
-    ``localCheckpoint`` pins each round's 16-row result so the final plan
-    does not re-execute the training cascade per downstream use.
+    the centroids bit-for-bit. An empty cluster keeps its previous
+    centroid (left join + coalesce). ``localCheckpoint`` pins each
+    round's 16-row result so the final plan does not re-execute the
+    training cascade per downstream use.
+
+    r16 optimization (guide §2.4): the assignment argmax carries ``dv``
+    through its aggregation (``_nearest_cid`` carry), so the update's
+    posexplode reads the argmax output directly — the per-round
+    ``assigned ⋈ train`` equi-join (a second corpus pass + sort-merge
+    join at warehouse scale) is gone. Per round: one broadcast-join scan
+    + argmax, one posexplode + two aggregations — three exchanges, was
+    four. (A fully fused alternative — one groupBy(cid) over ``dim``
+    per-dimension decimal averages, no explode — was measured SLOWER:
+    a 64-wide decimal aggregate exceeds codegen's practical width and
+    runs interpreted; the explode keeps every stage narrow and
+    codegen-friendly. Measured r16 at sf0.1: fused 3.3–4.8 s vs explode
+    1.4–1.8 s for the 2-iteration training.)
 
     ``train_fraction`` subsamples the Lloyd iterations deterministically
     (keep iff ``md5(id) < fraction × 2³²`` — reproducible on any engine,
@@ -281,10 +304,10 @@ def kmeans_centroids(
             < F.lit(int(train_fraction * (1 << 32)))
         )
     for _ in range(iterations):
-        assigned = _nearest_cid(train, cents.withColumn("cnorm", norm(F.col("cvec"))))
+        cents_n = cents.withColumn("cnorm", norm(F.col("cvec")))
+        assigned = _nearest_cid(train, cents_n, carry=("dv",))
         per_dim = (
-            assigned.join(train, "vid")
-            .select("cid", F.posexplode("dv").alias("dim", "val"))
+            assigned.select("cid", F.posexplode("dv").alias("dim", "val"))
             .groupBy("cid", "dim")
             .agg(F.round(davg(F.col("val"), wide=True), COSINE_SCALE).alias("cval"))
         )
@@ -387,22 +410,23 @@ def cosine_top_k_ivf(
     dominate execution. The only wide operations are the partial-agg
     argmax and the final per-query top-k; the IVF win is scoring
     ~n_probe/n_centroids of the corpus instead of all of it.
+
+    r16: the corpus assignment carries the vector payload through the
+    argmax (``_nearest_cid`` carry) instead of joining back to the
+    corpus — one corpus pass and one exchange fewer (guide §2.4).
     """
     cents = kmeans_centroids(
         corpus, n_centroids, iterations, id_col, vec_col, train_fraction
     ).withColumn("cnorm", norm(F.col("cvec")))
 
     corpus_pre = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
+        F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         _as_double(F.col(vec_col)).alias("dv"),
     ).withColumn("nv", norm(F.col("dv")))
-    assigned = corpus_pre.join(
-        _nearest_cid(
-            corpus_pre.select(F.col("neighbor_id").alias("vid"), "dv", "nv"), cents
-        ).withColumnRenamed("vid", "neighbor_id"),
-        "neighbor_id",
-    ).select("neighbor_id", "vec", "cid")
+    assigned = _nearest_cid(corpus_pre, cents, carry=("vec",)).select(
+        F.col("vid").alias("neighbor_id"), "vec", "cid"
+    )
 
     query_pre = queries.select(
         F.col(id_col).alias("query_id"),
@@ -483,20 +507,17 @@ def cosine_top_k_ivfpq(
     ).withColumn("cnorm", norm(F.col("cvec")))
 
     corpus_pre = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
+        F.col(id_col).alias("vid"),
         _as_double(F.col(vec_col)).alias("dv"),
         scalar_quantize(F.col(vec_col)).alias("quant"),
     ).withColumn("nv", norm(F.col("dv")))
     # the inverted file: (cid, neighbor_id, quant) — codes only, no
     # full-precision vectors (those re-join from the parquet scan at
-    # re-rank time, column-pruned to the survivor ids).
-    assigned = corpus_pre.join(
-        _nearest_cid(
-            corpus_pre.select(F.col("neighbor_id").alias("vid"), "dv", "nv"),
-            cents,
-        ).withColumnRenamed("vid", "neighbor_id"),
-        "neighbor_id",
-    ).select("neighbor_id", "quant", "cid")
+    # re-rank time, column-pruned to the survivor ids). The codes ride
+    # the argmax aggregation (carry) instead of a join back to the scan.
+    assigned = _nearest_cid(corpus_pre, cents, carry=("quant",)).select(
+        F.col("vid").alias("neighbor_id"), "quant", "cid"
+    )
 
     query_pre = queries.select(
         F.col(id_col).alias("query_id"),
