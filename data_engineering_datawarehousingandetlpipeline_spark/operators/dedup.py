@@ -101,6 +101,51 @@ def size_prune_cond(n_a: Column, n_b: Column, threshold: float) -> Column:
     )
 
 
+def _capped_postings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_doc_freq: int | None,
+    shingle_width: int,
+) -> DataFrame:
+    """(doc, n, shingle) posting list, df-capped when ``max_doc_freq`` set.
+
+    The skew-immune pruning shape :func:`jaccard_pairs` documents: doc
+    frequencies from a partial-aggregated groupBy, over-cap shingles
+    broadcast, postings pruned by a broadcast LEFT ANTI join, set sizes
+    recomputed over the surviving index via a doc-keyed window. Split out
+    (r16) so the plan gate can assert this shape on the subtree itself —
+    the caller pins the result with ``localCheckpoint``, which hides the
+    subtree behind an ExistingRDD scan in the final query plan.
+    """
+    shingled = spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_width)).alias("shingles"),
+    )
+    if max_doc_freq is None:
+        return shingled.select(
+            "doc", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
+        )
+    exploded = shingled.select(
+        "doc", F.explode("shingles").alias("shingle")
+    ).localCheckpoint(eager=False)
+    # shingles are distinct per doc, so count(*) IS the doc frequency
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count("*").alias("df_count"))
+        .filter(F.col("df_count") > max_doc_freq)
+        .select("shingle")
+    )
+    return (
+        exploded.join(F.broadcast(hot), "shingle", "left_anti")
+        # set sizes over the SURVIVING index (capped-vocabulary Jaccard);
+        # doc-keyed window groups are bounded by document length, never
+        # by corpus skew
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc")))
+        .select("doc", "n", "shingle")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -146,33 +191,16 @@ def jaccard_pairs(
     the frequency pass and both self-join sides share one shingling of
     the corpus instead of three.
     """
-    shingled = spread(df).select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_width)).alias("shingles"),
-    )
+    postings = _capped_postings(df, text_col, id_col, max_doc_freq, shingle_width)
     if max_doc_freq is not None:
-        exploded = shingled.select(
-            "doc", F.explode("shingles").alias("shingle")
-        ).localCheckpoint(eager=False)
-        # shingles are distinct per doc, so count(*) IS the doc frequency
-        hot = (
-            exploded.groupBy("shingle")
-            .agg(F.count("*").alias("df_count"))
-            .filter(F.col("df_count") > max_doc_freq)
-            .select("shingle")
-        )
-        postings = (
-            exploded.join(F.broadcast(hot), "shingle", "left_anti")
-            # set sizes over the SURVIVING index (capped-vocabulary
-            # Jaccard); doc-keyed window groups are bounded by document
-            # length, never by corpus skew
-            .withColumn("n", F.count("*").over(Window.partitionBy("doc")))
-            .select("doc", "n", "shingle")
-        )
-    else:
-        postings = shingled.select(
-            "doc", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
-        )
+        # pinned (r16): both self-join sides read the SAME pruned postings
+        # — without the pin each side re-runs the anti-join AND the
+        # doc-window size pass (a full postings shuffle + sort each). The
+        # pin costs one in-memory copy of (doc, n, shingle). The
+        # skew-immune pruning shape is plan-gated on _capped_postings
+        # directly (tests/test_plan_quality.py), since the pin hides the
+        # subtree behind an ExistingRDD scan in the query's own plan.
+        postings = postings.localCheckpoint(eager=False)
     # Qualified-alias self-join (same shape as minhash_near_dup_pairs):
     # projections of one parent make the shared `shingle` column ambiguous
     # to the analyzer, which logs a "trivially true equals predicate" repair
@@ -271,6 +299,11 @@ def prefix_index(
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= prefix_len)
         .select("doc", "n", "shingle")
+        # pinned (r16): both sides of the candidate self-join read this
+        # index — without the pin each side re-runs the df join and BOTH
+        # doc-windows (size + rarest-first rank). Same local-mode caveat
+        # as the `exploded` pin above.
+        .localCheckpoint(eager=False)
     )
     return prefix, surviving
 
@@ -363,7 +396,14 @@ def jaccard_pairs_prefix(
     # arrays from `surviving`, which descends from the CHECKPOINTED
     # `exploded`, so the corpus is shingled exactly once end-to-end
     # (reading `shingled` here would re-shingle it for the arrays side).
-    arrays = surviving.groupBy("doc").agg(F.collect_set("shingle").alias("s"))
+    arrays = (
+        surviving.groupBy("doc")
+        .agg(F.collect_set("shingle").alias("s"))
+        # pinned (r16): both verify sides read the same per-doc arrays —
+        # without the pin each side re-aggregates the surviving postings
+        # (a full shuffle of the corpus's shingles each).
+        .localCheckpoint(eager=False)
+    )
     a = arrays.select(F.col("doc").alias("doc_a"), F.col("s").alias("sa"))
     b = arrays.select(F.col("doc").alias("doc_b"), F.col("s").alias("sb"))
     common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
@@ -396,31 +436,23 @@ def token_hash_array(text: Column) -> Column:
     return F.transform(F.array_distinct(tokens(text)), u32_hash)
 
 
-def minhash_signatures(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def minhash_signatures_from_hashes(
+    hashed: DataFrame,
     perms: int = MINHASH_PERMS,
     carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """MinHash signature (array<bigint> of length ``perms``) per document.
+    """MinHash signatures from a prepared (doc, hs) token-hash table.
 
-    Two projections: (1) hash the distinct tokens once (``hs``), then
-    (2) fold per-token affine permutation values into an element-wise min.
-    The fold references ``hs`` exactly once, so even if the optimizer
-    inlines the first projection the md5 work stays O(tokens) per row —
-    NOT O(tokens × perms) (subexpressions inside higher-order-function
-    lambdas are never hoisted; shaping the expression is the only control).
-    No explode, no shuffle: one codegen stage over the scan.
+    ``hashed`` carries (doc, hs array<bigint>[, carry...]) — the shape
+    :func:`token_hash_array` produces. Split out of
+    :func:`minhash_signatures` (r16) so a pipeline that needs BOTH the
+    signatures and the raw token-hash arrays (the near-dup verify stage)
+    can hash the corpus once and share the table, instead of tokenizing
+    and md5-hashing it twice.
     """
     coeffs = perm_coefficients(perms)
     a_arr = F.array(*[F.lit(a) for a, _ in coeffs])  # constant-folded
     b_arr = F.array(*[F.lit(b) for _, b in coeffs])
-    hashed = spread(df).select(
-        F.col(id_col).alias("doc"),
-        token_hash_array(F.col(text_col)).alias("hs"),
-        *carry_cols,
-    )
     per_token = F.transform(
         F.col("hs"),
         lambda h: F.transform(
@@ -439,6 +471,31 @@ def minhash_signatures(
     return hashed.select(
         "doc", sig.alias("sig"), F.size("hs").alias("n"), *carry_cols
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    perms: int = MINHASH_PERMS,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """MinHash signature (array<bigint> of length ``perms``) per document.
+
+    Two projections: (1) hash the distinct tokens once (``hs``), then
+    (2) fold per-token affine permutation values into an element-wise min.
+    The fold references ``hs`` exactly once, so even if the optimizer
+    inlines the first projection the md5 work stays O(tokens) per row —
+    NOT O(tokens × perms) (subexpressions inside higher-order-function
+    lambdas are never hoisted; shaping the expression is the only control).
+    No explode, no shuffle: one codegen stage over the scan.
+    """
+    hashed = spread(df).select(
+        F.col(id_col).alias("doc"),
+        token_hash_array(F.col(text_col)).alias("hs"),
+        *carry_cols,
+    )
+    return minhash_signatures_from_hashes(hashed, perms, carry_cols)
 
 
 def lsh_band_hashes(
@@ -491,8 +548,21 @@ def minhash_near_dup_pairs(
     LSH false positives (false negatives follow the s-curve, ≈ 10⁻⁴ at
     J = 0.9 with the 16 × 8 calibration).
     """
-    sigs = minhash_signatures(df, text_col, id_col, perms)
-    banded = lsh_band_hashes(sigs, perms, band_rows)
+    # ONE tokenize + md5 pass serves both the signature fold and the
+    # verify stage (r16, guide §2.3: don't compute things twice). The
+    # checkpointed table is (doc, hs) — id + token hashes only, no text;
+    # eager=False materializes it inside the first action. On a
+    # multi-executor cluster swap for a reliable checkpoint dir (same
+    # caveat as the postings checkpoint in jaccard_pairs).
+    hashes = spread(df).select(
+        F.col(id_col).alias("doc"), token_hash_array(F.col(text_col)).alias("hs")
+    ).localCheckpoint(eager=False)
+    sigs = minhash_signatures_from_hashes(hashes, perms)
+    # The banded table is pinned as well (r16): both sides of the
+    # candidate self-join read it, and without the pin each side re-runs
+    # the 128-permutation signature fold + band hashing from the pinned
+    # hash table. Pinned size is bands × docs small rows.
+    banded = lsh_band_hashes(sigs, perms, band_rows).localCheckpoint(eager=False)
     # Lossless size prune INSIDE the candidate join (same bound as
     # jaccard_pairs): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair with
     # size-incompatible token sets can never pass the threshold. The
@@ -518,11 +588,10 @@ def minhash_near_dup_pairs(
     # intersection is several× cheaper, and the oracle applies the identical
     # hash so a (vanishingly unlikely) 32-bit collision perturbs both sides
     # identically. Set sizes are unchanged (transform preserves length).
-    hashes = spread(df).select(
-        F.col(id_col).alias("doc"), token_hash_array(F.col(text_col)).alias("h")
-    )
-    a = hashes.select(F.col("doc").alias("doc_a"), F.col("h").alias("ha"))
-    b = hashes.select(F.col("doc").alias("doc_b"), F.col("h").alias("hb"))
+    # Both verify sides read the SAME checkpointed hash table the
+    # signatures derive from — the corpus is hashed exactly once.
+    a = hashes.select(F.col("doc").alias("doc_a"), F.col("hs").alias("ha"))
+    b = hashes.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hb"))
     common = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
     # The threshold filter is deliberately left pushable: Catalyst folds it
     # into the verify join's condition, which evaluates the intersect twice
@@ -627,7 +696,17 @@ def simhash_near_dup_pairs(
         )
     band_width = bits // bands
     mask = (1 << band_width) - 1
-    fps = simhash_fingerprints(df, text_col, id_col, bits)
+    # ONE fingerprint pass serves the banding and both verify sides (r16,
+    # guide §2.3: don't compute things twice — the un-pinned plan
+    # tokenizes + md5-hashes + vote-folds the corpus FOUR times: both
+    # branches of the banded self-join and both verify joins). The pinned
+    # table is (doc, simhash) — two longs per document. eager=False
+    # materializes it inside the first action; on a multi-executor
+    # cluster swap for a reliable checkpoint dir (same caveat as the
+    # postings checkpoint in jaccard_pairs).
+    fps = simhash_fingerprints(df, text_col, id_col, bits).localCheckpoint(
+        eager=False
+    )
     banded = fps.select(
         "doc",
         F.explode(
@@ -847,7 +926,15 @@ def duplicated_span_stats(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), width)).alias("gram"),
     ).select("doc", F.md5("gram").alias("g"))
-    local = grams.groupBy("g", "doc").agg(F.count("*").alias("occ"))
+    # pinned (r16): the per-doc occurrence table feeds BOTH the corpus
+    # totals aggregation and the postings join — without the pin each
+    # consumer re-shingles and re-hashes the corpus (shuffle 1 runs
+    # twice). Local-mode caveat as in jaccard_pairs.
+    local = (
+        grams.groupBy("g", "doc")
+        .agg(F.count("*").alias("occ"))
+        .localCheckpoint(eager=False)
+    )
     totals = local.groupBy("g").agg(F.sum("occ").alias("tot"))
     return (
         local.join(totals, "g")

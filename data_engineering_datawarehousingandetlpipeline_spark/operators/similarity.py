@@ -902,6 +902,76 @@ def planes_for_corpus(n_rows: int, target_bucket_size: int = 64) -> int:
     return max(4, math.ceil(math.log2(max(2, n_rows / target_bucket_size))))
 
 
+def _near_dup_tagged(
+    df: DataFrame,
+    n_planes: int | None,
+    n_tables: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    corpus_rows: int | None,
+    target_bucket_size: int,
+    auto_count_limit: int,
+) -> DataFrame:
+    """(vid, tbl, bucket) LSH bucket tags, one row per vector per table.
+
+    The sizing / plane-count-derivation seam of
+    :func:`embedding_near_dup_pairs` (docstring there). Split out (r16)
+    so the derived plane count stays observable in an analyzed plan: the
+    caller pins the result with ``localCheckpoint``, which hides the
+    bucket expression behind a Scan ExistingRDD in the final query plan.
+    """
+    if n_planes is None:
+        if corpus_rows is None:
+            import warnings
+
+            warnings.warn(
+                "embedding_near_dup_pairs: neither n_planes nor corpus_rows "
+                "given — running an eager sizing count (one extra corpus "
+                "scan, capped at auto_count_limit+1 rows) to size the LSH "
+                "index. Pass corpus_rows (any recent estimate) at "
+                "warehouse scale.",
+                stacklevel=2,
+            )
+            # limit(N+1) short-circuits the probe: an over-limit corpus
+            # refuses after ~N rows instead of after a full scan, and an
+            # under-limit probe equals the exact count.
+            corpus_rows = df.limit(auto_count_limit + 1).count()
+            if corpus_rows > auto_count_limit:
+                raise ValueError(
+                    f"embedding_near_dup_pairs: corpus exceeds "
+                    f"auto_count_limit={auto_count_limit} rows. At this "
+                    "scale the sizing scan must not be implicit — pass "
+                    "corpus_rows (any recent estimate) or an explicit "
+                    "n_planes."
+                )
+        n_planes = planes_for_corpus(corpus_rows, target_bucket_size)
+    table_planes = [
+        [hyperplane(t * n_planes + b, dim) for b in range(n_planes)]
+        for t in range(n_tables)
+    ]
+    # candidates carry only the ids — verification re-joins the vectors
+    # from df, so the exploded per-table stream stays narrow.
+    return (
+        spread(df)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+                        )
+                        for t, planes in enumerate(table_planes)
+                    ]
+                )
+            ).alias("tb"),
+        )
+        .select("vid", "tb.tbl", "tb.bucket")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
@@ -943,51 +1013,24 @@ def embedding_near_dup_pairs(
     vectors and filtered by exact rounded cosine — verify work is
     O(distinct candidates). Output (id_a, id_b, cos_sim), id_a < id_b.
     """
-    if n_planes is None:
-        if corpus_rows is None:
-            import warnings
-
-            warnings.warn(
-                "embedding_near_dup_pairs: neither n_planes nor corpus_rows "
-                "given — running an eager sizing count (one extra corpus "
-                "scan, capped at auto_count_limit+1 rows) to size the LSH "
-                "index. Pass corpus_rows (any recent estimate) at "
-                "warehouse scale.",
-                stacklevel=2,
-            )
-            # limit(N+1) short-circuits the probe: an over-limit corpus
-            # refuses after ~N rows instead of after a full scan, and an
-            # under-limit probe equals the exact count.
-            corpus_rows = df.limit(auto_count_limit + 1).count()
-            if corpus_rows > auto_count_limit:
-                raise ValueError(
-                    f"embedding_near_dup_pairs: corpus exceeds "
-                    f"auto_count_limit={auto_count_limit} rows. At this "
-                    "scale the sizing scan must not be implicit — pass "
-                    "corpus_rows (any recent estimate) or an explicit "
-                    "n_planes."
-                )
-        n_planes = planes_for_corpus(corpus_rows, target_bucket_size)
-    table_planes = [
-        [hyperplane(t * n_planes + b, dim) for b in range(n_planes)]
-        for t in range(n_tables)
-    ]
-    # candidates carry only the ids — verification re-joins the vectors
-    # from df, so the exploded per-table stream stays narrow.
-    tagged = spread(df).select(
-        F.col(id_col).alias("vid"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-                    )
-                    for t, planes in enumerate(table_planes)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vid", "tb.tbl", "tb.bucket")
+    # Sizing + bucket tagging live in the pre-pin seam so the plane-count
+    # derivation stays observable in an analyzed plan (the pin below hides
+    # the bucket expression behind a Scan ExistingRDD).
+    tagged = _near_dup_tagged(
+        df,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        corpus_rows=corpus_rows,
+        target_bucket_size=target_bucket_size,
+        auto_count_limit=auto_count_limit,
+        # pinned (r16): both sides of the bucket self-join read this table
+        # — without the pin each side recomputes all n_tables × n_planes
+        # hyperplane dot products over the corpus. Pinned size is
+        # n_tables rows of (vid, tbl, bucket) per vector.
+    ).localCheckpoint(eager=False)
     cand = (
         tagged.alias("x")
         .join(tagged.alias("y"), ["tbl", "bucket"])

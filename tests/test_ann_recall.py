@@ -133,16 +133,41 @@ def test_near_dup_planes_derive_from_corpus_size(spark):
         # observable of the resolved plane count.
         return df._jdf.queryExecution().analyzed().toString().count("CASE WHEN")
 
-    small = sim.embedding_near_dup_pairs(embs, corpus_rows=1_000)
-    large = sim.embedding_near_dup_pairs(embs, corpus_rows=1_000_000)
+    # Since r16 the public operator pins the tagged-bucket table
+    # (localCheckpoint shared by both self-join sides), which hides the
+    # bucket expression behind a Scan ExistingRDD — gate the derivation on
+    # the pre-pin seam the operator actually calls (same code path).
+    def tagged(**kw):
+        return sim._near_dup_tagged(
+            embs,
+            n_planes=None,
+            n_tables=4,
+            dim=64,
+            id_col="vec_id",
+            vec_col="embedding",
+            target_bucket_size=64,
+            auto_count_limit=1_000_000,
+            **kw,
+        )
+
+    small = tagged(corpus_rows=1_000)
+    large = tagged(corpus_rows=1_000_000)
     assert bucket_legs(large) > bucket_legs(small)
+
+    # the public operator routes through the seam and pins its result:
+    # the pinned table is what both self-join sides scan
+    pinned = sim.embedding_near_dup_pairs(embs, corpus_rows=1_000)
+    pinned_plan = pinned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Scan ExistingRDD" in pinned_plan
 
     # no hint at all: a one-time sizing count (limit-probed, so an
     # over-limit refusal never pays a full scan) sizes the index the same
     # way the equivalent explicit hint would — and warns about the scan
     with pytest.warns(UserWarning, match="eager sizing count"):
-        counted = sim.embedding_near_dup_pairs(embs)
-    hinted = sim.embedding_near_dup_pairs(embs, corpus_rows=embs.count())
+        counted = tagged(corpus_rows=None)
+    hinted = tagged(corpus_rows=embs.count())
     assert bucket_legs(counted) == bucket_legs(hinted)
 
     # past the auto-count limit the bare form fails LOUDLY instead of

@@ -976,23 +976,42 @@ def test_jaccard_doc_freq_cap_prunes_postings_before_the_join(spark):
     shingle's posting list never rides a shingle-keyed exchange. Capping
     after the join (or via a window over the shingle) would re-create the
     hot-group straggler the cap exists to kill."""
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.dedup import (
+        _capped_postings,
+    )
     from data_engineering_datawarehousingandetlpipeline_spark.plans.extensions import (
         NGRAM_MAX_DOC_FREQ,
     )
+    from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    # Since r16 the pruned postings are pinned (localCheckpoint) and
+    # shared by both self-join sides, so the pruning subtree no longer
+    # appears in the query's own plan — gate the shape on the subtree the
+    # operator actually builds (same code path, pre-pin).
+    docs = load_table(spark, SF_DIR, "documents")
+    sub = _capped_postings(docs, "text", "doc_id", NGRAM_MAX_DOC_FREQ, 3)
+    subplan = sub._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # the over-cap filter on the aggregated doc frequency
+    assert "df_count" in subplan
+    assert f"> {NGRAM_MAX_DOC_FREQ})" in subplan
+    # pruning is a broadcast anti-join, never a shingle-keyed window
+    assert "LeftAnti, BuildRight" in subplan
+    assert "windowspecdefinition(shingle" not in subplan
+    # set sizes recomputed over the SURVIVING index: a doc-keyed count
+    # window (doc groups bounded by document length, not skew)
+    assert subplan.count("windowspecdefinition(doc#") == 1
 
     plan = _plan(spark, "doc_ngram_jaccard")
-    # the over-cap filter on the aggregated doc frequency, per join side
-    assert plan.count("df_count") >= 2
-    assert f"> {NGRAM_MAX_DOC_FREQ})" in plan
-    # pruning is a broadcast anti-join, never a shingle-keyed window
-    assert "LeftAnti, BuildRight" in plan
-    assert "windowspecdefinition(shingle" not in plan
-    # set sizes recomputed over the SURVIVING index: a doc-keyed count
-    # window per side (doc groups bounded by document length, not skew)
-    assert plan.count("windowspecdefinition(doc#") == 2
-    # the exploded postings are pinned and shared (frequency pass + both
-    # self-join sides reuse one shingling of the corpus)
+    # the pinned postings feed BOTH self-join sides as ExistingRDD scans —
+    # one shingling + pruning pass per query, and no anti-join or
+    # doc-window may re-materialize downstream of the pin
     assert "Scan ExistingRDD" in plan
+    assert "windowspecdefinition(doc#" not in plan
+    assert "LeftAnti" not in plan
     # the join itself stays shingle-keyed equi (the never-degenerate audit
     # and the pair-operator gate cover the degenerate forms)
     assert "CartesianProduct" not in plan
@@ -1097,8 +1116,20 @@ def test_cluster_family_pair_detector_is_df_cap_bounded(spark):
         extensions,
     )
 
-    plan = extensions.cluster_pairs(
-        extensions._docs(spark, SF_DIR)
+    from data_engineering_datawarehousingandetlpipeline_spark.operators.dedup import (
+        _capped_postings,
+    )
+
+    # Since r16 the pruned postings are pinned (localCheckpoint) and
+    # shared by both self-join sides, so the pruning subtree no longer
+    # appears in cluster_pairs' own plan — gate the shape on the subtree
+    # the detector actually builds (same code path, pre-pin).
+    subplan = _capped_postings(
+        extensions._docs(spark, SF_DIR),
+        "text",
+        "doc_id",
+        extensions.CLUSTER_MAX_DOC_FREQ,
+        1,
     )._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "simple"
@@ -1107,18 +1138,29 @@ def test_cluster_family_pair_detector_is_df_cap_bounded(spark):
     # the over-cap filter on the aggregated doc frequency (loose match:
     # node presence + the cap literal, not Spark's exact expression-id
     # rendering — an upgrade's formatting change must not flip the gate)
-    assert plan.count("df_count") >= 2
-    assert re.search(rf">\s*{extensions.CLUSTER_MAX_DOC_FREQ}\b", plan)
+    assert "df_count" in subplan
+    assert re.search(rf">\s*{extensions.CLUSTER_MAX_DOC_FREQ}\b", subplan)
     # pruning is a broadcast anti-join, never a shingle-keyed window
-    assert re.search(r"BroadcastHashJoin\b.*\bLeftAnti\b", plan)
-    # capped set sizes come from doc-keyed count windows per join side
-    # (doc groups bounded by document length, not corpus skew): every
-    # window in the plan partitions by the doc key — asserted by NAME,
-    # with at least one per join side
-    window_keys = re.findall(r"windowspecdefinition\((\w+)#", plan)
-    assert len(window_keys) >= 2 and set(window_keys) == {"doc"}, window_keys
-    # one pinned shingling feeds the frequency pass + both join sides
+    assert re.search(r"BroadcastHashJoin\b.*\bLeftAnti\b", subplan)
+    # capped set sizes come from a doc-keyed count window (doc groups
+    # bounded by document length, not corpus skew): every window in the
+    # subtree partitions by the doc key — asserted by NAME
+    window_keys = re.findall(r"windowspecdefinition\((\w+)#", subplan)
+    assert len(window_keys) >= 1 and set(window_keys) == {"doc"}, window_keys
+
+    plan = extensions.cluster_pairs(
+        extensions._docs(spark, SF_DIR)
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    # the pinned postings feed BOTH self-join sides as ExistingRDD scans —
+    # one shingling + pruning pass per query, nothing re-materializes
+    # downstream of the pin
     assert "Scan ExistingRDD" in plan
+    assert "windowspecdefinition(doc#" not in plan
+    assert "LeftAnti" not in plan
     assert "CartesianProduct" not in plan
 
     # every family member routes through the one shared detector — no
