@@ -40,6 +40,28 @@ def davg(expr: Column | str, wide: bool = False) -> Column:
     return F.try_divide(dsum(col, wide=wide), F.count(col))
 
 
+def dsum_over(expr: Column | str, window, wide: bool = False) -> Column:
+    """Windowed twin of :func:`dsum` — the same decimal-anchored exact sum
+    evaluated OVER a window instead of a groupBy.
+
+    Bit-identical to joining the groupBy aggregate back on the window's
+    partition key (decimal addition is associative and order-independent),
+    which is exactly why a correlated-aggregate query can swap the
+    aggregate + self-join for one window pass without perturbing a single
+    output value (r16, guide §2.4: the window rides the partition key's
+    existing exchange; the join needed a second one).
+    """
+    col = F.col(expr) if isinstance(expr, str) else expr
+    anchor = ANCHOR_TYPE_WIDE if wide else ANCHOR_TYPE
+    return F.sum(col.cast(anchor)).over(window).cast("double")
+
+
+def davg_over(expr: Column | str, window, wide: bool = False) -> Column:
+    """Windowed twin of :func:`davg` (see :func:`dsum_over`)."""
+    col = F.col(expr) if isinstance(expr, str) else expr
+    return F.try_divide(dsum_over(col, window, wide), F.count(col).over(window))
+
+
 def sql_dsum(expr: str, wide: bool = False) -> str:
     """Oracle-side twin of :func:`dsum` (ANSI SQL text for DuckDB).
 

@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
     ANCHOR_TYPE,
     davg,
+    davg_over,
     dsum,
+    dsum_over,
     sql_davg,
     sql_dsum,
 )
@@ -1696,6 +1698,20 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups are bounded (lineitems per order), so the window is safe at
     any scale; the only fact shuffles are the orderkey join/agg. Top-k
     is a TakeOrdered, ties broken by s_name.
+
+    r16 (guide §2.4): ONE orderkey exchange serves both the pair
+    aggregate and the per-order window. Grouping by (orderkey, suppkey)
+    directly would shuffle on the pair key and the window would then
+    re-shuffle on orderkey alone — two full fact exchanges. An explicit
+    ``repartition("l_orderkey")`` establishes the coarser partitioning
+    first; hash(orderkey) co-locates every (orderkey, suppkey) group AND
+    every window partition, so both run exchange-free on top of it.
+    Map-side partial aggregation is no loss here: (orderkey, suppkey)
+    pairs are ~distinct in lineitem (~1.03 rows per pair at any TPC-H
+    scale), so the pre-aggregated shuffle carried the same row count —
+    and the shuffled row narrows to (bigint, bigint, int) because the
+    lateness flag is computed before the exchange instead of shipping
+    two timestamps.
     """
     ensure_runtime_confs(spark)
     lineitem = load_table(spark, sf_dir, "lineitem").select(
@@ -1712,8 +1728,11 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_os = (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        # narrow the exchange: flag instead of two timestamps (§2.3)
+        .select("l_orderkey", "l_suppkey", late.cast("int").alias("late_flag"))
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late.cast("int")).alias("is_late"))
+        .agg(F.max("late_flag").alias("is_late"))
     )
     w = Window.partitionBy("l_orderkey")
     blamed = (
@@ -2031,15 +2050,18 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-shaped: yearly revenue lost to small-quantity orders.
 
     The textbook correlates ``l_quantity < 0.2 * (SELECT AVG(l_quantity)
-    ... WHERE l_partkey = p_partkey)`` per outer row. Decorrelated: the
-    brand's lineitems are materialized once (pinned — they feed the
-    per-part average AND the threshold filter), the per-part average is a
-    filtered-part-sized aggregate joined back on the partkey the rows are
-    already partitioned by, and the threshold compare is row-local. The
-    average is decimal-anchored so the 0.2× threshold is bit-identical
-    across engines. At 100 TB: one shuffle of the brand-filtered
-    lineitems by partkey covers the join, the average, and the re-join
-    (Exchange reuse); nothing is per-row correlated.
+    ... WHERE l_partkey = p_partkey)`` per outer row. Decorrelated as ONE
+    windowed pass (r16, guide §2.4): the per-part average is the
+    decimal-anchored window aggregate over ``l_partkey`` — bit-identical
+    to the aggregate-and-join-back form because the decimal sum is
+    order-independent — and the threshold compare is row-local. The
+    previous form pinned the brand lineitems and joined the per-part
+    aggregate back: two partkey exchanges plus a sort-merge join and a
+    materialized copy; the window form is a single partkey exchange, one
+    sort, zero joins, zero pins. Per-part groups are bounded (suppliers ×
+    order lines per part — a TPC-H constant), so the window is skew-safe
+    at any scale. At 100 TB: one shuffle of the brand-filtered lineitems,
+    full stop.
     """
     ensure_runtime_confs(spark)
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -2049,11 +2071,10 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
         .join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
         .drop("p_partkey")
-        .localCheckpoint(eager=False)
     )
-    per_part = li.groupBy("l_partkey").agg(davg("l_quantity").alias("__avg_qty"))
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(per_part, "l_partkey")
+        li.withColumn("__avg_qty", davg_over("l_quantity", w))
         .filter(F.col("l_quantity") < F.lit(0.2).cast("double") * F.col("__avg_qty"))
         .agg(
             (dsum("l_extendedprice", wide=True) / F.lit(7.0)).alias("avg_yearly")
@@ -3019,15 +3040,25 @@ def q_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - the PROMO part filter prunes the FACT scan via a broadcast
       semi-join before anything aggregates;
-    - ONE windowed scan aggregates quantity per (partkey, suppkey) and is
-      pinned (``localCheckpoint(eager=False)``) because it feeds BOTH the
-      per-part total and the threshold compare — unpinned, Spark would
-      scan lineitem twice;
+    - one map-side-combined aggregate reduces the fact rows to quantity
+      per (partkey, suppkey) — the partial aggregation shrinks the
+      shuffle ~|lineitems per pair|-fold, which is why the aggregate
+      comes FIRST and not after a partkey repartition;
     - the per-part total is an aggregate OF THAT AGGREGATE (decimal
       re-sum of the per-supplier sums — exact and order-independent, so
       the ``>`` compare agrees bit-for-bit with DuckDB's correlated
       scalar), joined back partkey-keyed — part-dimension-sized, AQE
-      broadcasts it;
+      broadcasts it. The pair aggregate is pinned
+      (``localCheckpoint(eager=False)``) because it feeds BOTH the total
+      and the threshold side. (A window rewrite — ``dsum_over`` of
+      ``supp_qty`` over ``l_partkey``, as small_qty_revenue does since
+      r16 — was measured SLOWER here: 1.02-1.16 s pinned-join vs
+      1.20-1.60 s windowed at sf0.1, because the pair table must be
+      RE-exchanged partkey-keyed and sorted for the window, while the
+      join-back rides the dimension-sized totals as an AQE broadcast
+      with no second fact-side exchange. Q17 wins with the window only
+      because its window rides the SAME exchange the rows need anyway;
+      Q20's pair aggregate is keyed (partkey, suppkey), so it doesn't.);
     - the threshold multiply-compare is map-side (0.5 is a power of two:
       the product is exact), and qualifying rows group per supplier with
       the 100-row supplier dim joined last.

@@ -700,16 +700,39 @@ def test_top_supplier_pins_revenue_and_broadcasts_max(spark):
 
 
 def test_small_qty_revenue_reuses_one_partkey_exchange(spark):
-    """Q17 decorrelation: the brand lineitems pin once and both the
-    per-part average and the threshold join key on l_partkey — at most
-    two hash exchanges (one per SMJ side, the agg side reusing its
-    partitioning into the join; statistics may instead broadcast the
-    dim-sized average at small SF, leaving one). No correlated per-row
-    work, no Python."""
+    """Q17 decorrelation (r16 window form): the per-part average is a
+    decimal window aggregate over l_partkey riding the ONE partkey
+    exchange the brand lineitems need anyway — no pin, no join-back, no
+    sort-merge join, and exactly one hash exchange in the whole plan
+    (the global sum's SinglePartition exchange is not hash-keyed). No
+    correlated per-row work, no Python."""
     plan = _plan(spark, "small_qty_revenue")
-    assert plan.count("Scan ExistingRDD") == 2  # pinned brand lineitems
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "windowspecdefinition(l_partkey" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Scan ExistingRDD" not in plan  # nothing pinned anymore
     assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_waiting_suppliers_single_fact_exchange(spark):
+    """Q21 decorrelation (r16): ONE orderkey-keyed exchange
+    (REPARTITION_BY_COL) feeds both the (orderkey, suppkey) aggregate
+    and the per-order window — grouping straight on the pair key would
+    add a second full fact exchange for the window. The only other hash
+    exchange is the dimension-sized blamed-supplier aggregate, and the
+    lateness flag is computed BEFORE the exchange so the shuffled row is
+    (bigint, bigint, int), not two timestamps."""
+    plan = _plan(spark, "waiting_suppliers")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "REPARTITION_BY_COL" in plan
+    assert "windowspecdefinition(l_orderkey" in plan
+    # the window rides the repartition: no exchange re-keys the fact rows
+    # between the aggregate and the window (the second exchange is the
+    # post-filter suppkey aggregate, keyed on l_suppkey)
+    assert plan.count("hashpartitioning(l_orderkey") == 1
+    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
