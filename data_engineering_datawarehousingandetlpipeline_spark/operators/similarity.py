@@ -170,51 +170,74 @@ def cosine_top_k_lsh(
     )
 
 
-def _centroid_cosine(dv: Column, nv: Column) -> Column:
-    """Rounded cosine against a joined centroid row, NULL-anchored to −2.
+def _centroid_cosine_of(
+    dv: Column, nv: Column, cvec: Column, cnorm: Column
+) -> Column:
+    """Rounded cosine against a centroid (vector, norm), NULL-anchored to −2.
 
     ``try_divide`` makes a zero-norm side NULL; coalescing to −2 (below any
     real cosine) keeps NULL out of argmax orderings, where Spark and the
     oracle would otherwise need matching NULLS placement everywhere.
     """
     return F.coalesce(
-        F.round(
-            F.try_divide(dot(dv, F.col("cvec")), nv * F.col("cnorm")), COSINE_SCALE
-        ),
+        F.round(F.try_divide(dot(dv, cvec), nv * cnorm), COSINE_SCALE),
         F.lit(-2.0),
     )
 
 
-def _nearest_cid(vecs: DataFrame, cents: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
-    """(vid, cid[, carry...]) arg-max-cosine assignment via broadcast join +
-    partial agg.
+def _centroid_cosine(dv: Column, nv: Column) -> Column:
+    """:func:`_centroid_cosine_of` against a joined centroid ROW."""
+    return _centroid_cosine_of(dv, nv, F.col("cvec"), F.col("cnorm"))
+
+
+def _packed_centroids(cents: DataFrame) -> DataFrame:
+    """The centroid table folded to ONE row: (cs array<struct<cid, cvec,
+    cnorm>>) — the broadcast form the per-row argmax consumes."""
+    return cents.agg(F.collect_list(F.struct("cid", "cvec", "cnorm")).alias("cs"))
+
+
+def _best_centroid(dv: Column, nv: Column) -> Column:
+    """struct(n = −cos, c = cid) of the nearest centroid in ``cs``.
+
+    ``array_min`` over per-centroid (−cos, cid) structs is the argmax
+    with lowest-cid tie-break — identical ordering to
+    ``min(struct(-cos, cid))`` but evaluated per ROW over the broadcast
+    centroid array, order-independent, no aggregation anywhere.
+    """
+    return F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                (-_centroid_cosine_of(dv, nv, c["cvec"], c["cnorm"])).alias("n"),
+                c["cid"].alias("c"),
+            ),
+        )
+    )
+
+
+def _nearest_cid(
+    vecs: DataFrame, cents: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vid, cid[, carry...]) arg-max-cosine assignment, zero exchanges.
 
     ``vecs`` carries (vid, dv, nv); ``cents`` (cid, cvec, cnorm) and is
-    small (the centroid table), so it broadcasts and the corpus streams.
-    The argmax is ``min(struct(-cos, cid))`` — a partial-aggregatable
-    shape, so the shuffle carries ONE small row per vector, not one per
-    (vector × centroid). Ties break toward the lowest cid.
-
-    ``carry`` columns of ``vecs`` ride the aggregation via ``any_value``
-    (they are constant within a vid group — the crossJoin replicates the
-    same corpus row across centroids — so any value IS the value, and the
-    aggregate stays partial-aggregatable). Carrying the payload through
-    the argmax replaces the join back to the corpus that every caller
-    otherwise pays: one corpus shuffle of (vid, cid, payload) instead of
-    a second full corpus pass + a sort-merge join at warehouse scale
-    (guide §2.4: remove shuffles outright).
+    small (the centroid table). r16 (guide §2.4): the table folds to a
+    one-row ARRAY that broadcasts, and the argmax is a per-row
+    ``array_min`` over per-centroid (−cos, cid) structs — same flops,
+    same lowest-cid tie-break as the previous ``groupBy(vid) ·
+    min(struct(-cos, cid))`` form, but with NO 16×-row candidate blowup,
+    no hash aggregate, and no exchange: the previous shape shuffled one
+    row per vector only to reunite groups that were already co-located
+    (the broadcast crossJoin emits every (vid, centroid) pair on the
+    vid's own partition). ``carry`` columns simply stay on the row —
+    the ``any_value`` plumbing is gone. An empty centroid table yields
+    NULL cids, filtered to preserve the old empty-result contract.
     """
-    pairs = vecs.crossJoin(F.broadcast(cents)).select(
-        "vid",
-        "cid",
-        (-_centroid_cosine(F.col("dv"), F.col("nv"))).alias("negc"),
-        *carry,
-    )
-    return pairs.groupBy("vid").agg(
-        F.min(F.struct(F.col("negc").alias("n"), F.col("cid").alias("c")))
-        .getField("c")
-        .alias("cid"),
-        *[F.any_value(F.col(c)).alias(c) for c in carry],
+    best = _best_centroid(F.col("dv"), F.col("nv"))
+    return (
+        vecs.crossJoin(F.broadcast(_packed_centroids(cents)))
+        .select("vid", best.getField("c").alias("cid"), *carry)
+        .filter(F.col("cid").isNotNull())
     )
 
 
@@ -241,18 +264,22 @@ def kmeans_centroids(
     round's 16-row result so the final plan does not re-execute the
     training cascade per downstream use.
 
-    r16 optimization (guide §2.4): the assignment argmax carries ``dv``
-    through its aggregation (``_nearest_cid`` carry), so the update's
-    posexplode reads the argmax output directly — the per-round
-    ``assigned ⋈ train`` equi-join (a second corpus pass + sort-merge
-    join at warehouse scale) is gone. Per round: one broadcast-join scan
-    + argmax, one posexplode + two aggregations — three exchanges, was
-    four. (A fully fused alternative — one groupBy(cid) over ``dim``
-    per-dimension decimal averages, no explode — was measured SLOWER:
-    a 64-wide decimal aggregate exceeds codegen's practical width and
-    runs interpreted; the explode keeps every stage narrow and
-    codegen-friendly. Measured r16 at sf0.1: fused 3.3–4.8 s vs explode
-    1.4–1.8 s for the 2-iteration training.)
+    r16 optimization (guide §2.4), in two steps: (1) the assignment
+    argmax carries ``dv`` through to the update's posexplode, so the
+    per-round ``assigned ⋈ train`` equi-join (a second corpus pass +
+    sort-merge join at warehouse scale) is gone; (2) the argmax itself
+    became the per-row ``array_min`` over a broadcast centroid ARRAY
+    (:func:`_nearest_cid`), deleting the corpus-wide argmax exchange.
+    Per round: one exchange-free assignment scan, one posexplode + two
+    aggregations — two exchanges, was four. (A fully fused alternative —
+    one groupBy(cid) over ``dim`` per-dimension decimal averages, no
+    explode — was measured SLOWER: a 64-wide decimal aggregate exceeds
+    codegen's practical width and runs interpreted; the explode keeps
+    every stage narrow and codegen-friendly. Measured r16 at sf0.1:
+    fused 3.3–4.8 s vs explode 1.4–1.8 s for the 2-iteration training.
+    The array argmax measured a local wash vs the groupBy argmax —
+    2.1–2.9 s both, interleaved — and is kept for the structural win:
+    one fewer full-corpus exchange per assignment pass.)
 
     ``train_fraction`` subsamples the Lloyd iterations deterministically
     (keep iff ``md5(id) < fraction × 2³²`` — reproducible on any engine,
@@ -355,11 +382,12 @@ def ivf_assign(
     systematically low cosines means the coarse quantizer no longer
     fits the incoming distribution and a re-train is due).
 
-    Scale shape: the centroid table broadcasts, the shard streams
-    through one codegen stage, and the argmax is the partial-agg
-    ``min(struct(-cos, cid, -cos))`` — the shuffle carries one small row
-    per vector, never one per (vector × centroid). At 100 TB the daily
-    index maintenance cost is proportional to the day's NEW shard.
+    Scale shape (r16): the centroid table folds to a one-row broadcast
+    ARRAY and the argmax is a per-row ``array_min`` over (−cos, cid)
+    structs (:func:`_best_centroid`) — the shard streams through one
+    codegen stage with NO exchange and no per-(vector × centroid) row
+    blowup. At 100 TB the daily index maintenance cost is proportional
+    to the day's NEW shard, and is scan-bound, not shuffle-bound.
     """
     vecs = (
         spread(corpus)
@@ -370,21 +398,18 @@ def ivf_assign(
     )
     if "cnorm" not in cents.columns:
         cents = cents.withColumn("cnorm", norm(F.col("cvec")))
-    pairs = vecs.crossJoin(F.broadcast(cents)).select(
-        "vid",
-        "cid",
-        (-_centroid_cosine(F.col("dv"), F.col("nv"))).alias("negc"),
-    )
-    best = F.min(
-        F.struct(
-            F.col("negc").alias("n"),
-            F.col("cid").alias("c"),
-            F.col("negc").alias("n2"),
+    # two projections, one `b` reference each: CollapseProject keeps the
+    # non-cheap array_min alias un-inlined, so the argmax evaluates once
+    # even though two output columns read it.
+    return (
+        vecs.crossJoin(F.broadcast(_packed_centroids(cents)))
+        .select("vid", _best_centroid(F.col("dv"), F.col("nv")).alias("b"))
+        .select(
+            "vid",
+            F.col("b").getField("c").alias("cid"),
+            (-F.col("b").getField("n")).alias("ccos"),
         )
-    )
-    return pairs.groupBy("vid").agg(
-        best.getField("c").alias("cid"),
-        (-best.getField("n2")).alias("ccos"),
+        .filter(F.col("cid").isNotNull())
     )
 
 

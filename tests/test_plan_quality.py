@@ -99,6 +99,37 @@ def test_ivf_joins_are_centroid_bounded(spark):
         assert frag.startswith(" BuildRight, Cross"), frag[:60]
 
 
+def test_ivf_assignment_is_exchange_free(spark):
+    """The argmax assignment (r16) is a per-row array_min over the
+    broadcast one-row centroid ARRAY: the corpus side must stream with
+    NO hash exchange and no corpus-keyed aggregate — the previous
+    groupBy(vid) argmax shuffled one row per vector for groups that were
+    already co-located. The only aggregate allowed is the centroid-count
+    collect_list fold on the broadcast side."""
+    from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+        similarity as sim,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.extensions import (
+        _embs,
+    )
+
+    embs = _embs(spark, SF_DIR)
+    cents = sim.kmeans_centroids(embs, 4, 1)
+    plan = (
+        sim.ivf_assign(embs, cents)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    )
+    assert "array_min" in plan
+    assert "hashpartitioning" not in plan  # no corpus-keyed exchange
+    assert "partial_min" not in plan       # no argmax aggregate
+    assert "CartesianProduct" not in plan
+
+
 def test_simhash_fingerprints_are_shuffle_free(spark):
     """The per-row fold formulation must not aggregate or hash-shuffle —
     fingerprinting is a pure scan (the exploded groupBy shape costs two
