@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from data_engineering_datawarehousingandetlpipeline_spark.warehouse.store import (
     WarehouseTable,
+    single_slice_df,
 )
 
 
@@ -138,8 +139,7 @@ def analyze_file_stats(
         )
     )
     (
-        table.spark.createDataFrame(normalized, schema)
-        .coalesce(1)
+        single_slice_df(table.spark, normalized, schema)
         .write.mode("overwrite")
         .parquet(_stats_dir(table))
     )

@@ -84,6 +84,22 @@ def is_visible_data_file(name: str) -> bool:
     return not name.startswith(("_", "."))
 
 
+def single_slice_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Local rows as a ONE-partition DataFrame (audit/manifest shape).
+
+    ``createDataFrame(list)`` parallelizes the rows into
+    ``defaultParallelism`` PythonRDD slices, and a downstream
+    ``coalesce(1)`` then drains every slice SEQUENTIALLY through one
+    task — one Python-worker round-trip per core, ~5 s at local[32] to
+    write a handful of audit rows (guide §4: each JVM↔Python crossing
+    costs milliseconds; pay it once, not once per core). One explicit
+    slice keeps a driver-local write at exactly one round-trip.
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema
+    )
+
+
 class ConcurrentWriteError(RuntimeError):
     """Two writers raced on the same table version (see ``_claim_version``)."""
 
@@ -706,13 +722,12 @@ class WarehouseTable:
         """
         import datetime
         import math
+        from concurrent.futures import ThreadPoolExecutor
 
         if not self.exists():
             return 0
-        rewritten = 0
-        rewritten_days: list[datetime.date] = []
-        entries: list[tuple] = []
         anchor = before.isoformat() if before is not None else None
+        candidates: list[tuple[datetime.date, str, int]] = []
         for name in sorted(os.listdir(self.root)):
             if not name.startswith("dt="):
                 continue
@@ -728,13 +743,28 @@ class WarehouseTable:
                 for f in os.listdir(path)
                 if f.endswith(".parquet") and not f.startswith(".")
             )
-            if n_files <= 1:
-                continue
+            if n_files > 1:
+                candidates.append((day, path, n_files))
+
+        def rewrite(item) -> tuple | None:
+            """Rewrite one partition; returns its audit entry or None.
+
+            Partition rewrites touch disjoint directories and disjoint
+            retained-mirror days, so they are independent jobs — running
+            2-3 in flight lets the next partition's tasks back-fill the
+            executor tail of the current one (guide §2.6) instead of
+            serializing ~3 driver jobs per partition. Job descriptions
+            are thread-local, so each rewrite labels its own jobs.
+            """
+            day, path, n_files = item
+            self.spark.sparkContext.setJobDescription(
+                f"compact_partitions: dt={day.isoformat()}"
+            )
             part = self.spark.read.parquet(path)
             rows = part.count()  # parquet footer metadata, no data read
             goal = max(1, math.ceil(rows / target_file_rows))
             if n_files <= goal:
-                continue
+                return None
             self._retain_days([day])  # this partition is about to rewrite
             snapshot = part.localCheckpoint(eager=True)
             if zorder:
@@ -742,22 +772,44 @@ class WarehouseTable:
                     with_zorder,
                 )
 
+                zordered = with_zorder(snapshot, zorder)
                 writer = (
-                    with_zorder(snapshot, zorder)
-                    .repartitionByRange(goal, F.col("__z"))
+                    # goal == 1 needs no range partitioner (and skips its
+                    # sampling job): one output file either way
+                    (
+                        zordered.coalesce(1)
+                        if goal == 1
+                        else zordered.repartitionByRange(goal, F.col("__z"))
+                    )
                     .sortWithinPartitions("__z")
                     .drop("__z")
                 )
             else:
-                writer = snapshot.repartitionByRange(
-                    goal, *self.keys
+                writer = (
+                    snapshot.coalesce(1)
+                    if goal == 1
+                    else snapshot.repartitionByRange(goal, *self.keys)
                 ).sortWithinPartitions(*self.keys)
             writer.write.mode("overwrite").parquet(path)
-            rewritten += 1
-            rewritten_days.append(day)
-            entries.append(
-                ("compact_partitions", name[3:], n_files, goal, rows, anchor)
-            )
+            return ("compact_partitions", day.isoformat(), n_files, goal, rows, anchor)
+
+        # 2-3 in-flight jobs suffice when rewrites are executor-bound
+        # (guide §2.6); fragmented micro-batch partitions are typically a
+        # handful of small files each, where the bottleneck is driver
+        # job-scheduling round-trips instead — 8 in flight keeps the
+        # driver busy without starving a genuinely large rewrite.
+        if candidates:
+            with ThreadPoolExecutor(
+                max_workers=min(8, len(candidates))
+            ) as pool:
+                results = list(pool.map(rewrite, candidates))
+        else:
+            results = []
+        # candidates are date-sorted and pool.map preserves order, so the
+        # audit log stays deterministic regardless of completion order
+        entries = [e for e in results if e is not None]
+        rewritten = len(entries)
+        rewritten_days = [datetime.date.fromisoformat(e[1]) for e in entries]
         if rewritten:
             self.spark.catalog.refreshByPath(self.root)
             self._snapshot_version("compact_partitions", rewritten_days)
@@ -1269,10 +1321,11 @@ class WarehouseTable:
         prev = self.maintenance_log().agg(F.max("run_id")).first()[0]
         run_id = (prev or 0) + 1
         (
-            self.spark.createDataFrame(
-                [(run_id, *e) for e in entries], self.MAINTENANCE_SCHEMA
+            single_slice_df(
+                self.spark,
+                [(run_id, *e) for e in entries],
+                self.MAINTENANCE_SCHEMA,
             )
-            .coalesce(1)
             .write.mode("append")
             .parquet(os.path.join(self.root, "_maintenance"))
         )
