@@ -689,6 +689,18 @@ def simhash_near_dup_pairs(
     ``max_hamming < bands`` the result is exact, not approximate
     (pigeonhole: ≤ max_hamming differing bits cannot touch all bands).
     Output (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    r16 (guide §2.3/§2.4): the fingerprint RIDES the band rows — verifying
+    a candidate needs only the two 8-byte fingerprints, which are exactly
+    the "keys and metadata instead of payloads" case, so carrying one long
+    through the band exchange deletes BOTH verify joins (two shuffles +
+    two reads of the fingerprint table): the Hamming distance is computed
+    directly on the band join's output, the ``≤ max_hamming`` filter runs
+    BEFORE the pair dedup (shrinking the distinct's exchange to true
+    pairs), and the distinct on (doc_a, doc_b, hamming) equals the old
+    pair-distinct because the fingerprint pair — hence the distance — is
+    functionally determined by the pair. Plan: 3 exchanges total (two band
+    join sides + the distinct), was 3 + two id-keyed verify joins.
     """
     if max_hamming >= bands:
         raise ValueError(
@@ -696,10 +708,9 @@ def simhash_near_dup_pairs(
         )
     band_width = bits // bands
     mask = (1 << band_width) - 1
-    # ONE fingerprint pass serves the banding and both verify sides (r16,
-    # guide §2.3: don't compute things twice — the un-pinned plan
-    # tokenizes + md5-hashes + vote-folds the corpus FOUR times: both
-    # branches of the banded self-join and both verify joins). The pinned
+    # ONE fingerprint pass serves both band-join sides (r16, guide §2.3:
+    # don't compute things twice — the un-pinned plan tokenizes +
+    # md5-hashes + vote-folds the corpus once per join branch). The pinned
     # table is (doc, simhash) — two longs per document. eager=False
     # materializes it inside the first action; on a multi-executor
     # cluster swap for a reliable checkpoint dir (same caveat as the
@@ -709,6 +720,7 @@ def simhash_near_dup_pairs(
     )
     banded = fps.select(
         "doc",
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -722,27 +734,20 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("bv"),
-    ).select("doc", "bv.band", "bv.band_value")
-    cand = (
+    ).select("doc", "simhash", "bv.band", "bv.band_value")
+    return (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "band_value"])
         .filter(F.col("x.doc") < F.col("y.doc"))
-        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
-        .distinct()
-    )
-    a = fps.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sa"))
-    b = fps.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sb"))
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
         .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
             .cast("int")
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

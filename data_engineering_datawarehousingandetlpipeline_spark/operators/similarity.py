@@ -669,6 +669,50 @@ def hard_negative_mine(
     ).orderBy("query_id")
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared-L2 distance.
+
+    Bit-identical to the previous ``dot(zip_with(a,b,−), zip_with(a,b,−))``
+    form — element i contributes ``(a_i−b_i)·(a_i−b_i)`` and the fold order
+    is the same sequential ``aggregate`` — but builds ONE diff array per
+    evaluation instead of two.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _packed_codebooks(codebooks: DataFrame) -> DataFrame:
+    """The PQ codebook table folded to ONE row: (cbs array<struct<s, cid,
+    cvec>>) — the broadcast form the per-row argmin consumes (the
+    :func:`_packed_centroids` pattern, subspace-keyed)."""
+    return codebooks.agg(F.collect_list(F.struct("s", "cid", "cvec")).alias("cbs"))
+
+
+def _best_codeword(sub: Column, s: Column) -> Column:
+    """struct(d, c, v) of subspace ``s``'s nearest codeword in ``cbs``.
+
+    ``array_min`` over per-codeword (rounded L2², cid, cvec) structs —
+    identical ordering to the previous ``min(struct(d, c[, v]))``
+    aggregate argmin ((d, c) is unique per subspace, so the carried ``v``
+    never participates in a comparison), but evaluated per ROW over the
+    broadcast codebook array: no candidate-row explosion, no aggregation,
+    no exchange (the :func:`_best_centroid` pattern).
+    """
+    return F.array_min(
+        F.transform(
+            F.filter(F.col("cbs"), lambda c: c["s"] == s),
+            lambda c: F.struct(
+                F.round(_l2sq(sub, c["cvec"]), COSINE_SCALE).alias("d"),
+                c["cid"].alias("c"),
+                c["cvec"].alias("v"),
+            ),
+        )
+    )
+
+
 def pq_codebooks(
     corpus: DataFrame,
     dim: int,
@@ -694,11 +738,24 @@ def pq_codebooks(
     :data:`COSINE_SCALE` with cid tie-breaks, decimal-anchored
     per-dimension mean updates, empty clusters keep their previous
     codeword — but runs ALL ``m`` subspaces in one keyed plan: the
-    subvector table (``m`` rows per vector) joins the broadcast codebook
-    table on subspace, the argmin is a partial-agg ``min(struct)`` per
-    (vector, subspace), and the update groups by (subspace, codeword,
+    subvector table (``m`` rows per vector) streams against the broadcast
+    one-row codebook ARRAY, and the update groups by (subspace, codeword,
     dimension). No per-subspace driver loop — adding subspaces widens the
     keyed tables, not the plan.
+
+    r16 (guide §2.4, the :func:`_nearest_cid` pattern): the per-(vector,
+    subspace) argmin is a per-row ``array_min`` over the broadcast
+    codebook array filtered to the row's subspace — the previous shape
+    exploded ``n_codewords`` candidate rows per subvector and shuffled a
+    ``groupBy(vid, s) · min(struct(d2, cid))`` argmin (a corpus × m row
+    exchange per Lloyd round) only to reunite rows the broadcast join had
+    already co-located; and the winning assignment CARRIES ``sub``
+    through to the update's posexplode, deleting the per-round
+    ``assigned ⋈ subs`` join (a second subvector-table pass). Identical
+    arithmetic: the rounded sequential-fold L2² and the (d2, cid) struct
+    ordering are unchanged expression-for-expression. Per round: one
+    exchange-free assignment scan + the (s, cid, dim)-keyed update
+    aggregate — two exchanges, was four plus a join.
 
     Returns (s, cid, cvec array<double>), ``m × n_codewords`` rows.
     """
@@ -714,7 +771,6 @@ def pq_codebooks(
         return F.array(*[F.slice(dv, s * sub_d + 1, sub_d) for s in range(m)])
 
     subs = spread(corpus).select(
-        F.col(id_col).alias("vid"),
         F.posexplode(slices(_as_double(F.col(vec_col)))).alias("s", "sub"),
     )
     # seed ranking via packed sort, not a window (kmeans_centroids
@@ -734,23 +790,18 @@ def pq_codebooks(
         )
         .select("s", "cid", "cvec")
     )
-    diff_sq = lambda a, b: dot(F.zip_with(a, b, lambda x, y: x - y),  # noqa: E731
-                               F.zip_with(a, b, lambda x, y: x - y))
     for _ in range(iterations):
-        pairs = subs.join(F.broadcast(cents), "s").select(
-            "vid",
-            "s",
-            "cid",
-            F.round(diff_sq(F.col("sub"), F.col("cvec")), COSINE_SCALE).alias("d2"),
-        )
-        assigned = pairs.groupBy("vid", "s").agg(
-            F.min(F.struct(F.col("d2").alias("d"), F.col("cid").alias("c")))
-            .getField("c")
-            .alias("cid")
+        assigned = (
+            subs.crossJoin(F.broadcast(_packed_codebooks(cents)))
+            .select(
+                "s",
+                _best_codeword(F.col("sub"), F.col("s")).getField("c").alias("cid"),
+                "sub",
+            )
+            .filter(F.col("cid").isNotNull())
         )
         per_dim = (
-            assigned.join(subs, ["vid", "s"])
-            .select("s", "cid", F.posexplode("sub").alias("dim", "val"))
+            assigned.select("s", "cid", F.posexplode("sub").alias("dim", "val"))
             .groupBy("s", "cid", "dim")
             .agg(F.round(davg(F.col("val"), wide=True), COSINE_SCALE).alias("cval"))
         )
@@ -787,56 +838,50 @@ def pq_reconstruct(
     cid tie-break contract as training) immediately composed with the
     decode (concatenate the m winning codewords): returns
     (``id_col``, recon array<double>), the lossy vector the compressed
-    index actually scores. Plan: subvector table ⋈ broadcast(codebooks)
-    → partial-agg argmin per (vector, subspace) carrying the winning
-    codeword → regroup to one row per vector (``m`` small rows through
-    the shuffle, never the raw vectors).
+    index actually scores.
+
+    r16 (guide §2.4): fully per-row. The previous shape exploded ``m``
+    subvector rows per vector, shuffled a ``groupBy(vid, s)`` argmin over
+    the ``m × n_codewords`` candidate join, then shuffled AGAIN on
+    ``vid`` to reassemble the winners — two corpus-sized exchanges to
+    compute something every row can decide alone. Now the codebook table
+    folds to a one-row broadcast array and each vector picks all ``m``
+    winners with per-row ``array_min`` (:func:`_best_codeword`) over its
+    pre-projected subvector slices, concatenated in subspace order —
+    ZERO exchanges, one codegen stage over the scan. Same flops, same
+    rounded-L2² + cid tie-break, so the reconstruction is bit-identical.
+    Contract: ``codebooks`` must cover every subspace 0..m−1 (what
+    :func:`pq_codebooks` produces) — rows reconstruct NULL and are
+    dropped otherwise.
     """
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_d = dim // m
-    subs = spread(corpus).select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(_as_double(F.col(vec_col)), s * sub_d + 1, sub_d)
-                    for s in range(m)
-                ]
-            )
-        ).alias("s", "sub"),
-    )
-    diff = F.zip_with(F.col("sub"), F.col("cvec"), lambda x, y: x - y)
-    best = (
-        subs.join(F.broadcast(codebooks), "s")
+    # two-step projection: the double cast evaluates once (multi-reference
+    # aliases stay un-inlined), then each slice materializes once per row
+    # and feeds its subspace's argmin as a cheap column reference.
+    pre = (
+        spread(corpus)
+        .select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("dvv"))
         .select(
             "vid",
-            "s",
-            F.round(dot(diff, diff), COSINE_SCALE).alias("d2"),
-            "cid",
-            "cvec",
-        )
-        .groupBy("vid", "s")
-        .agg(
-            F.min(
-                F.struct(
-                    F.col("d2").alias("d"),
-                    F.col("cid").alias("c"),
-                    F.col("cvec").alias("v"),
-                )
-            )
-            .getField("v")
-            .alias("cvec")
+            *[
+                F.slice(F.col("dvv"), s * sub_d + 1, sub_d).alias(f"__sub{s}")
+                for s in range(m)
+            ],
         )
     )
-    return best.groupBy("vid").agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("s", "cvec"))),
-                lambda st: st["cvec"],
-            )
-        ).alias("recon")
-    ).select(F.col("vid").alias(id_col), "recon")
+    recon = F.concat(
+        *[
+            _best_codeword(F.col(f"__sub{s}"), F.lit(s)).getField("v")
+            for s in range(m)
+        ]
+    )
+    return (
+        pre.crossJoin(F.broadcast(_packed_codebooks(codebooks)))
+        .select(F.col("vid").alias(id_col), recon.alias("recon"))
+        .filter(F.col("recon").isNotNull())
+    )
 
 
 def cosine_top_k_pq(
@@ -1182,14 +1227,21 @@ def cluster_profile(
     (radius). Empty clusters surface with ``n_vecs = 0`` and NULL stats —
     exactly the clusters wasting index slots.
 
-    One broadcast-join scan computes assignment AND the member-to-centroid
-    cosine together (the argmax carries the winning cosine in the same
-    partial-aggregatable ``min(struct(...))`` — no second pass over the
-    corpus); the profile is then a partial-agg groupBy on ``cid`` whose
-    state is three numbers per cluster. Mean cosine is decimal-anchored
-    (:func:`...functions.numeric.davg`) so the profile value-hash-matches
-    any engine at any partitioning. Scale: one corpus scan + one
-    ``n_centroids``-sized shuffle — scan-bound at 100 TB.
+    One broadcast scan computes assignment AND the member-to-centroid
+    cosine together; the profile is then a partial-agg groupBy on ``cid``
+    whose state is three numbers per cluster. Mean cosine is
+    decimal-anchored (:func:`...functions.numeric.davg`) so the profile
+    value-hash-matches any engine at any partitioning. Scale: one corpus
+    scan + one ``n_centroids``-sized shuffle — scan-bound at 100 TB.
+
+    r16 (guide §2.4): the per-vector argmax is :func:`ivf_assign`'s
+    per-row ``array_min`` over the broadcast one-row centroid ARRAY —
+    the previous ``groupBy(vid) · min(struct(negc, cid))`` shuffled one
+    row per corpus vector only to reunite (vid, centroid) rows that the
+    broadcast crossJoin had already co-located. Same (−cos, cid)
+    ordering, same winning cosine; the corpus-keyed exchange is gone and
+    the only shuffle left is the ~``n_centroids``-group profile
+    aggregate.
     """
     from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
         davg,
@@ -1198,26 +1250,7 @@ def cluster_profile(
     cents = kmeans_centroids(
         corpus, n_centroids, iterations, id_col, vec_col, train_fraction
     ).withColumn("cnorm", norm(F.col("cvec")))
-    vecs = (
-        spread(corpus)
-        .select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("dv"))
-        .withColumn("nv", norm(F.col("dv")))
-    )
-    # same shape as _nearest_cid, but the struct keeps the winning cosine.
-    pairs = vecs.crossJoin(F.broadcast(cents)).select(
-        "vid",
-        "cid",
-        (-_centroid_cosine(F.col("dv"), F.col("nv"))).alias("negc"),
-    )
-    best = (
-        pairs.groupBy("vid")
-        .agg(
-            F.min(F.struct(F.col("negc").alias("n"), F.col("cid").alias("c"))).alias(
-                "b"
-            )
-        )
-        .select(F.col("b.c").alias("cid"), (-F.col("b.n")).alias("ccos"))
-    )
+    best = ivf_assign(corpus, cents, id_col, vec_col).select("cid", "ccos")
     prof = best.groupBy("cid").agg(
         F.count("*").alias("n_vecs"),
         F.round(davg(F.col("ccos"), wide=True), COSINE_SCALE).alias("avg_cos"),

@@ -130,6 +130,60 @@ def test_ivf_assignment_is_exchange_free(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash_pairs_verify_rides_the_band_join(spark):
+    """The fingerprint rides the band rows (r16): Hamming verification is
+    computed ON the band join's output, so the plan's ONLY join is the
+    (band, band_value) self-join — the two id-keyed verify joins that
+    re-attached fingerprints to candidate pairs are gone, and the pair
+    dedup aggregates post-filter survivors only."""
+    plan = _plan(spark, "doc_simhash_pairs")
+    joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin")
+    )
+    assert joins == 1, plan
+    assert "bit_count" in plan  # hamming inline, not in a post-join project
+
+
+def test_cluster_profile_argmax_is_exchange_free(spark):
+    """The per-vector assignment argmax (r16) is the per-row array_min
+    over the broadcast centroid array — the only aggregate allowed is the
+    ~n_centroids-group profile rollup, never a corpus-keyed groupBy(vid)."""
+    plan = _plan(spark, "emb_cluster_profile")
+    assert "array_min" in plan
+    assert "partial_min(struct" not in plan  # no argmax aggregate
+
+
+def test_pq_encode_is_exchange_free(spark):
+    """pq_reconstruct (r16) must stream: per-row array_min over the
+    broadcast one-row codebook array, no subvector explode, no
+    corpus-keyed exchange, no argmin aggregate — encode+decode is one
+    codegen stage over the scan."""
+    from data_engineering_datawarehousingandetlpipeline_spark.operators import (
+        similarity as sim,
+    )
+    from data_engineering_datawarehousingandetlpipeline_spark.plans.extensions import (
+        EMBED_DIM, PQ_CODEWORDS, PQ_M, _embs,
+    )
+
+    embs = _embs(spark, SF_DIR)
+    books = sim.pq_codebooks(embs, EMBED_DIM, PQ_M, PQ_CODEWORDS, 1)
+    plan = (
+        sim.pq_reconstruct(embs, books, EMBED_DIM, PQ_M)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    )
+    assert "array_min" in plan
+    assert "hashpartitioning" not in plan  # no corpus-keyed exchange
+    assert "partial_min" not in plan       # no argmin aggregate
+    assert "Generate posexplode" not in plan
+
+
 def test_simhash_fingerprints_are_shuffle_free(spark):
     """The per-row fold formulation must not aggregate or hash-shuffle —
     fingerprinting is a pure scan (the exploded groupBy shape costs two
