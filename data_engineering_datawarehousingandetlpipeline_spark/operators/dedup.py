@@ -627,6 +627,16 @@ def simhash_fingerprints(
     adds, so accumulation order cannot matter and the oracle's
     explode + GROUP BY formulation produces identical values. Ties (zero
     vote sum) set the bit, matching the oracle's ``>= 0``.
+
+    r16 (guide §1.2 per-task work): the per-token vote is ONE
+    ``zip_with(acc, powers, ...)`` — the previous shape built a 32-element
+    ±1 array per token (``transform`` over a ``sequence``) and then zipped
+    it into the accumulator, allocating twice per token for identical
+    integer arithmetic. Measured on the sf0.1 fingerprint scan: ~0.93 →
+    ~0.85 s warm, 5.8 → 4.8 s first execution (the smaller expression also
+    JIT-compiles faster, which is the regime the interleaved bench runs
+    in); per-element values bit-identical (asserted by sorted-collect
+    compare).
     """
     powers = F.array(*[F.lit(1 << i).cast("bigint") for i in range(bits)])
     # NULL-text docs are dropped (not emitted with a NULL fingerprint):
@@ -644,11 +654,8 @@ def simhash_fingerprints(
         F.array_repeat(F.lit(0).cast("bigint"), bits),
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: F.when(h.bitwiseAND(powers[i]) != 0, 1).otherwise(-1),
-            ),
-            lambda u, v: u + v,
+            powers,
+            lambda u, p: u + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
         ),
     )
     sim = F.aggregate(
