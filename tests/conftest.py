@@ -3,9 +3,31 @@
 from __future__ import annotations
 
 import math
+from pathlib import Path
 
 import duckdb
 import pytest
+
+#: r17 fast/slow split: nodeids listed in slow_manifest.txt (recorded
+#: call time >= 3 s in a full --durations=0 run) are auto-marked `slow`;
+#: pytest.ini's `addopts = -m "not slow"` deselects them so the default
+#: tier — the one the round driver runs — finishes in ~7 min instead of
+#: ~32. Run everything with `python -m pytest tests/ -m ''`.
+_SLOW_MANIFEST = Path(__file__).parent / "slow_manifest.txt"
+
+
+def pytest_collection_modifyitems(config, items):
+    if not _SLOW_MANIFEST.exists():
+        return
+    slow_ids = {
+        line.split("#")[0].strip()
+        for line in _SLOW_MANIFEST.read_text().splitlines()
+        if line.strip() and not line.lstrip().startswith("#")
+    }
+    for item in items:
+        # nodeid is rootdir-relative (tests/<file>::<name>[param])
+        if item.nodeid in slow_ids:
+            item.add_marker(pytest.mark.slow)
 
 from data_engineering_datawarehousingandetlpipeline_spark.session import get_spark
 from data_engineering_datawarehousingandetlpipeline_spark.sources.readers import (

@@ -1,8 +1,9 @@
-"""Dump .explain('formatted') for bench-tier queries to plans/r16/.
+"""Dump .explain('formatted') for bench-tier queries to plans/<round>/.
 
 Usage: python tools/bench_explain.py <suffix> [name ...]
-Writes plans/r16/<query>_<suffix>.txt for every bench-flagged query plus
-the TPC-H tier (union of the two bench.py tiers), or only the names given.
+Writes plans/$PLANS_ROUND/<query>_<suffix>.txt (PLANS_ROUND defaults to
+r17) for every bench-flagged query plus the TPC-H tier (union of the two
+bench.py tiers), or only the names given.
 SPARK_GRAFT_SF_DIR overrides the table dir (default sf0.1 — the bench tier).
 """
 import io
@@ -24,7 +25,11 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r16"
+    out_dir = (
+        Path(__file__).resolve().parent.parent
+        / "plans"
+        / os.environ.get("PLANS_ROUND", "r17")
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name="dwh-bench-explain")
     specs = all_queries()
