@@ -48,6 +48,19 @@ LSH_BAND_ROWS = 8
 #: arithmetic — in Spark or in the DuckDB oracle.
 MERSENNE_P = (1 << 31) - 1
 
+#: near_dup_clusters: a propagation round whose frontier (driver-known
+#: from the convergence probe) is at most this many rows runs as
+#: broadcast hash joins — zero corpus-keyed exchanges (guide §3.1). Rows
+#: are two ids (~40 B framed), so the default tracks the stock 10 MB
+#: autoBroadcastJoinThreshold; raise it via env on executors with room
+#: for bigger broadcasts, or lower it for very wide id types. The
+#: shuffle path remains the fallback for early warehouse-scale rounds.
+import os as _os
+
+FRONTIER_BROADCAST_MAX_ROWS = int(
+    _os.environ.get("SPARK_GRAFT_FRONTIER_BROADCAST_MAX", "250000")
+)
+
 
 def perm_coefficients(perms: int = MINHASH_PERMS) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the affine permutation family
@@ -534,6 +547,7 @@ def minhash_near_dup_pairs(
     threshold: float = 0.9,
     perms: int = MINHASH_PERMS,
     band_rows: int = LSH_BAND_ROWS,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """MinHash → LSH banding → candidate pairs → candidate-ONLY verification.
 
@@ -547,6 +561,15 @@ def minhash_near_dup_pairs(
     (AQE broadcasts the token side when it is small enough). Output has no
     LSH false positives (false negatives follow the s-curve, ≈ 10⁻⁴ at
     J = 0.9 with the 16 × 8 calibration).
+
+    ``carry_cols`` (r17): per-doc labels from ``df`` ride the band rows
+    (a few bytes each, the simhash-fingerprint carry pattern) and surface
+    as ``<col>_a`` / ``<col>_b`` on the pair output — computed once per
+    document at the hash stage and materialized with it, never per
+    candidate. A label-consuming caller (split_leakage_audit) then skips
+    the two |corpus|-keyed re-attach joins, and a label PREDICATE pushed
+    onto the output prunes candidates inside the band join itself,
+    before the distinct and the verify.
     """
     # ONE tokenize + md5 pass serves both the signature fold and the
     # verify stage (r16, guide §2.3: don't compute things twice). The
@@ -555,9 +578,11 @@ def minhash_near_dup_pairs(
     # multi-executor cluster swap for a reliable checkpoint dir (same
     # caveat as the postings checkpoint in jaccard_pairs).
     hashes = spread(df).select(
-        F.col(id_col).alias("doc"), token_hash_array(F.col(text_col)).alias("hs")
+        F.col(id_col).alias("doc"),
+        token_hash_array(F.col(text_col)).alias("hs"),
+        *carry_cols,
     ).localCheckpoint(eager=False)
-    sigs = minhash_signatures_from_hashes(hashes, perms)
+    sigs = minhash_signatures_from_hashes(hashes, perms, carry_cols)
     # The banded table is pinned as well (r16): both sides of the
     # candidate self-join read it, and without the pin each side re-runs
     # the 128-permutation signature fold + band hashing from the pinned
@@ -572,6 +597,10 @@ def minhash_near_dup_pairs(
     # Measured at sf0.1 on the dup-dense corpus: 5.31M → 2.83M candidates,
     # verify from GC-cliff territory (29-51 s) to a stable ~2 s, identical
     # output.
+    carry_sel = [F.col(f"x.{c}").alias(f"{c}_a") for c in carry_cols] + [
+        F.col(f"y.{c}").alias(f"{c}_b") for c in carry_cols
+    ]
+    carry_names = [f"{c}_a" for c in carry_cols] + [f"{c}_b" for c in carry_cols]
     cand = (
         banded.alias("x")
         .join(
@@ -581,7 +610,11 @@ def minhash_near_dup_pairs(
             & (F.col("x.doc") < F.col("y.doc"))
             & size_prune_cond(F.col("x.n"), F.col("y.n"), threshold),
         )
-        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        # carried labels are functionally dependent on the doc ids, so the
+        # widened distinct collapses the identical pair groups
+        .select(
+            F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"), *carry_sel
+        )
         .distinct()
     )
     # Verify on the bigint token-hash arrays, not the token strings: integer
@@ -608,6 +641,7 @@ def minhash_near_dup_pairs(
                 common.cast("double")
                 / (F.size("ha") + F.size("hb") - common).cast("double")
             ).alias("jaccard"),
+            *carry_names,
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -773,28 +807,42 @@ def near_dup_clusters(
     ``cluster_id`` (singletons cluster with themselves).
 
     Implemented as DELTA-FRONTIER min-label propagation with per-round
-    POINTER JUMPING (r12, replacing the full-relabel rounds that made
-    this the slowest registry family):
+    POINTER JUMPING (r12), with BROADCAST-FRONTIER rounds (r17) once the
+    frontier is driver-known small:
 
     - only labels that IMPROVED last round propagate — a node's label can
       only drop via a neighbor whose label dropped since it last pushed,
       so the per-round shuffle shrinks from |V|+|E| to
       |edges ⋈ frontier|, which collapses after round 1 on the dense
       components near-dup graphs produce;
-    - each round ends with a pointer jump (``label ← label[label]``
-      against the PREVIOUS round's checkpointed label map — deliberately
-      NOT the round's own candidate map, whose un-materialized subtree
-      would re-execute per jump; see the inline comment), halving the
-      remaining propagation distance: rounds drop from the min-node's
-      eccentricity to ~log of it (measured 8 → 5 on the sf0.1 pair
-      graph) for one extra |V| equi-join per round — at cluster scale
-      every round is a full shuffle barrier, so round count is the term
-      that matters;
+    - **broadcast rounds (r17, guide §3.1/§2.4):** the frontier count is
+      already driver-known (it doubles as the convergence probe), so once
+      it is under :data:`FRONTIER_BROADCAST_MAX_ROWS` the whole round
+      runs as broadcast hash joins against the checkpointed labels/edges
+      — ZERO corpus-keyed exchanges per round (was ~7 Exchange nodes:
+      edges⋈frontier, groupBy(dst), labels⋈nmin, cand⋈lut). The frontier
+      shrinks geometrically on near-dup graphs, so at any scale only the
+      first round(s) pay shuffle rounds; the threshold is env-tunable
+      (``SPARK_GRAFT_FRONTIER_BROADCAST_MAX``) for cluster-sized
+      broadcasts and the shuffle path remains the verbatim fallback;
+    - each round ends with a pointer jump: the shuffle path jumps
+      ``label ← label[label]`` against the PREVIOUS round's checkpointed
+      label map (deliberately NOT the round's own candidate map, whose
+      un-materialized subtree would re-execute per jump; see the inline
+      comment); the broadcast path jumps twice as hard for free — newly
+      assigned labels resolve through the CURRENT label map (a map-side
+      broadcast join) and docs whose label-node improved last round
+      adopt its new label — measured distance-tripling per round (the
+      256-chain test converges in 6 rounds vs 9 for the shuffle jump).
+      Round 1 needs no jump at all: labels are the identity there, so
+      ``label[label] = label`` by construction (r17 — this deleted the
+      round-1 lut join, 2 Exchanges, from every invocation);
     - the convergence probe is FUSED into the round's checkpoint: the
-      ``improved`` flag rides the materialized result, so detecting
-      quiescence is a scan of already-checkpointed partitions
-      (``limit(1).count()``), not the extra labels⋈labels join job the
-      previous version paid every round;
+      ``improved`` flag rides the lazily-checkpointed result and the
+      frontier ``count()`` is the action that materializes it — one job
+      per round carries the round's work, its materialization, and the
+      quiescence probe (and the count it returns is what picks the next
+      round's join strategy);
     - ``localCheckpoint`` still truncates lineage each round (swap for a
       reliable ``checkpoint`` dir on a real cluster).
 
@@ -822,19 +870,83 @@ def near_dup_clusters(
     ).localCheckpoint()
     labels = docs.select("doc", F.col("doc").alias("label")).localCheckpoint()
     frontier = None  # round 1: every node pushes its own id (see below)
+    frontier_rows = -1  # driver-known frontier size (from the probe)
     rounds = 0
     for _ in range(max_iterations):
         rounds += 1
         if frontier is None:
             # round 1 needs no labels join at all: every pushed label IS
             # the pusher's id, so min-neighbor-label = min(src) per dst —
-            # one edge-list aggregation instead of an |E| ⋈ |V| join
+            # one edge-list aggregation instead of an |E| ⋈ |V| join.
+            # No pointer jump either: the label map is the identity, so
+            # the lut join the shuffle path pays would resolve c1 → c1.
             neighbor_min = (
                 edges.groupBy("dst")
                 .agg(F.min("src").alias("nmin"))
                 .select(F.col("dst").alias("doc"), "nmin")
             )
+            # least() skips NULLs, so nodes with no improving neighbor
+            # keep their label; NULL `improved` filters as false below
+            merged = labels.join(neighbor_min, "doc", "left").select(
+                "doc",
+                F.least(F.col("label"), F.col("nmin")).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("improved"),
+            )
+        elif frontier_rows <= FRONTIER_BROADCAST_MAX_ROWS:
+            # broadcast round (r17): the frontier count from last round's
+            # probe is under the broadcast budget, so every join in the
+            # round builds on a broadcast of frontier-bounded rows and the
+            # |V| label map / |E| edge list stream through MAP-SIDE only —
+            # zero corpus-keyed exchanges (the lone Exchange is the
+            # groupBy(dst) over the frontier-adjacent subset).
+            f = frontier
+            nm = (
+                edges.join(
+                    F.broadcast(
+                        f.select(
+                            F.col("doc").alias("src"),
+                            F.col("label").alias("flabel"),
+                        )
+                    ),
+                    "src",
+                )
+                .groupBy("dst")
+                .agg(F.min("flabel").alias("cand"))
+                .select(F.col("dst").alias("doc"), "cand")
+            )
+            # jump A: docs whose CURRENT label-node improved last round
+            # adopt its new label (map-side: broadcast frontier keyed by
+            # node against the full label map)
+            jt = labels.join(
+                F.broadcast(
+                    f.select(
+                        F.col("doc").alias("fnode"), F.col("label").alias("jlabel")
+                    )
+                ),
+                F.col("label") == F.col("fnode"),
+            ).select("doc", F.col("jlabel").alias("cand"))
+            upds = nm.union(jt).groupBy("doc").agg(F.min("cand").alias("cand"))
+            # jump B: resolve fresh candidates through the CURRENT label
+            # map (cand is always a node id — min over ids — so the inner
+            # join keeps every row). Together A+B triple the propagation
+            # distance per round where the shuffle path's stale lut
+            # doubles it.
+            res = labels.alias("l").join(
+                F.broadcast(upds.alias("u")),
+                F.col("l.doc") == F.col("u.cand"),
+            ).select(
+                F.col("u.doc").alias("doc"),
+                F.least(F.col("u.cand"), F.col("l.label")).alias("cand"),
+            )
+            merged = labels.join(F.broadcast(res), "doc", "left").select(
+                "doc",
+                F.least(F.col("label"), F.col("cand")).alias("label"),
+                (F.col("cand") < F.col("label")).alias("improved"),
+            )
         else:
+            # shuffle round: frontier too large to broadcast (early
+            # rounds at warehouse scale) — the pre-r17 delta-frontier
+            # shape, verbatim
             neighbor_min = (
                 edges.join(
                     frontier.select(
@@ -846,41 +958,43 @@ def near_dup_clusters(
                 .agg(F.min("flabel").alias("nmin"))
                 .select(F.col("dst").alias("doc"), "nmin")
             )
-        # least() skips NULLs, so nodes with no improving neighbor keep
-        # their label; NULL `improved` filters as false below
-        cand = labels.join(neighbor_min, "doc", "left").select(
-            "doc",
-            F.col("label").alias("old"),
-            F.least(F.col("label"), F.col("nmin")).alias("c1"),
-        )
-        # pointer jump: label <- label[label] against the PREVIOUS
-        # round's checkpointed label map. Candidates only ever hold node
-        # ids (min over ids), so every c1 resolves; the jump halves the
-        # remaining propagation distance, turning eccentricity-many
-        # rounds into ~log(eccentricity) on high-diameter components,
-        # for one extra |V| equi-join per round. Jumping through the
-        # checkpointed `labels` (not this round's own candidate map)
-        # keeps the lut side a cheap ExistingRDD scan — a cand-based lut
-        # re-executes the whole cand subtree a second time per round,
-        # since cand is never materialized. Pointers are one round
-        # staler, which costs at most one extra round while halving
-        # per-round work. Jump-improved nodes land in the frontier too —
-        # `improved` compares the FINAL label against the old one.
-        lut = labels.select(F.col("doc").alias("c1"), F.col("label").alias("c2"))
-        merged = (
-            cand.join(lut, "c1", "left")
-            .select(
+            cand = labels.join(neighbor_min, "doc", "left").select(
+                "doc",
+                F.col("label").alias("old"),
+                F.least(F.col("label"), F.col("nmin")).alias("c1"),
+            )
+            # pointer jump: label <- label[label] against the PREVIOUS
+            # round's checkpointed label map. Candidates only ever hold
+            # node ids (min over ids), so every c1 resolves; the jump
+            # halves the remaining propagation distance, turning
+            # eccentricity-many rounds into ~log(eccentricity) on
+            # high-diameter components, for one extra |V| equi-join per
+            # round. Jumping through the checkpointed `labels` (not this
+            # round's own candidate map) keeps the lut side a cheap
+            # ExistingRDD scan — a cand-based lut re-executes the whole
+            # cand subtree a second time per round, since cand is never
+            # materialized. Pointers are one round staler, which costs at
+            # most one extra round while halving per-round work.
+            # Jump-improved nodes land in the frontier too — `improved`
+            # compares the FINAL label against the old one.
+            lut = labels.select(F.col("doc").alias("c1"), F.col("label").alias("c2"))
+            merged = cand.join(lut, "c1", "left").select(
                 "doc",
                 F.least(F.col("c1"), F.col("c2")).alias("label"),
                 (F.least(F.col("c1"), F.col("c2")) < F.col("old")).alias(
                     "improved"
                 ),
             )
-            .localCheckpoint()
-        )
+        # eager=False: the frontier count below is the action that
+        # materializes the round — one job carries the round's work, the
+        # checkpoint, and the quiescence probe (was two: an eager
+        # checkpoint job + a limit(1).count()), and its result picks the
+        # next round's join strategy.
+        merged = merged.localCheckpoint(eager=False)
         frontier = merged.filter(F.col("improved")).select("doc", "label")
         labels = merged.select("doc", "label")
-        if frontier.limit(1).count() == 0:
+        frontier_rows = frontier.count()
+        if frontier_rows == 0:
             break
     if stats is not None:
         stats["rounds"] = rounds

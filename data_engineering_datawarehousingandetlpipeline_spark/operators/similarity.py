@@ -687,29 +687,42 @@ def _l2sq(a: Column, b: Column) -> Column:
 def _packed_codebooks(codebooks: DataFrame) -> DataFrame:
     """The PQ codebook table folded to ONE row: (cbs array<struct<s, cid,
     cvec>>) — the broadcast form the per-row argmin consumes (the
-    :func:`_packed_centroids` pattern, subspace-keyed)."""
+    :func:`_packed_centroids` pattern, subspace-keyed).
+
+    Kept FLAT (r17): a subspace-grouped packing (array indexed by s, the
+    ADVICE r16 suggestion, asymptotically O(m·(m+k)) struct scans per
+    reconstructed row instead of O(m²·k)) was built and measured SLOWER —
+    warm steady-state 1.02 s vs 0.87 s for the flat form on the sf0.1
+    reconstruction, +1.2 s on the full emb_pq_topk isolate — the nested
+    array<struct<s, array<struct<cid, cvec>>>> costs more in per-element
+    copying and codegen than the m×k=128-entry linear filter it avoids at
+    this codebook size."""
     return codebooks.agg(F.collect_list(F.struct("s", "cid", "cvec")).alias("cbs"))
 
 
-def _best_codeword(sub: Column, s: Column) -> Column:
-    """struct(d, c, v) of subspace ``s``'s nearest codeword in ``cbs``.
+def _best_codeword(sub: Column, s: Column, with_vec: bool = True) -> Column:
+    """struct(d, c[, v]) of subspace ``s``'s nearest codeword in ``cbs``.
 
-    ``array_min`` over per-codeword (rounded L2², cid, cvec) structs —
+    ``array_min`` over per-codeword (rounded L2², cid[, cvec]) structs —
     identical ordering to the previous ``min(struct(d, c[, v]))``
     aggregate argmin ((d, c) is unique per subspace, so the carried ``v``
     never participates in a comparison), but evaluated per ROW over the
     broadcast codebook array: no candidate-row explosion, no aggregation,
     no exchange (the :func:`_best_centroid` pattern).
+
+    ``with_vec=False`` (r17, ADVICE): the training loop consumes only
+    ``.getField("c")``, so its argmin structs skip the codeword-vector
+    copy Catalyst would otherwise build k times per subvector row.
     """
+
+    def entry(c: Column) -> Column:
+        d = F.round(_l2sq(sub, c["cvec"]), COSINE_SCALE).alias("d")
+        if with_vec:
+            return F.struct(d, c["cid"].alias("c"), c["cvec"].alias("v"))
+        return F.struct(d, c["cid"].alias("c"))
+
     return F.array_min(
-        F.transform(
-            F.filter(F.col("cbs"), lambda c: c["s"] == s),
-            lambda c: F.struct(
-                F.round(_l2sq(sub, c["cvec"]), COSINE_SCALE).alias("d"),
-                c["cid"].alias("c"),
-                c["cvec"].alias("v"),
-            ),
-        )
+        F.transform(F.filter(F.col("cbs"), lambda c: c["s"] == s), entry)
     )
 
 
@@ -795,7 +808,9 @@ def pq_codebooks(
             subs.crossJoin(F.broadcast(_packed_codebooks(cents)))
             .select(
                 "s",
-                _best_codeword(F.col("sub"), F.col("s")).getField("c").alias("cid"),
+                _best_codeword(F.col("sub"), F.col("s"), with_vec=False)
+                .getField("c")
+                .alias("cid"),
                 "sub",
             )
             .filter(F.col("cid").isNotNull())

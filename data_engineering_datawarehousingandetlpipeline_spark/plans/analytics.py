@@ -1290,38 +1290,49 @@ def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The Deequ/Great-Expectations-shaped audit every ingestion pipeline
     runs before publishing a table: per column, row count, NULL count,
-    exact distinct count, and (numeric columns) min/max. ONE scan
-    computes every statistic — the multi-distinct aggregate plans as
-    Spark's standard expand (one pass over the files, |columns|-way
-    expand before the partial aggregation, map-side combined); the
-    per-column rows are then a zero-cost ``stack`` unpivot of the single
-    aggregate row. At 100 TB the same plan holds; swap the exact
-    distincts for ``approx_count_distinct`` (the HLL path
-    ``approx_sketches`` demonstrates) when ±2% suffices — the oracle
-    needs exactness, a production profile usually doesn't.
+    exact distinct count, and (numeric columns) min/max.
+
+    Shape (r17): one SINGLE-distinct aggregate branch per column, unioned
+    — each branch prunes its scan to ONE parquet column and plans as the
+    Expand-free two-phase distinct (partial groupBy(col) map-side, then
+    the global roll-up), so no |columns|-way row multiplication ever
+    materializes. The previous one-scan multi-distinct aggregate paid
+    Spark's standard Expand: |rows| × (|distinct cols| + 1) rows into the
+    partial aggregation (measured 2.0× slower at sf0.1). Columnar reads
+    make the N narrow scans byte-equivalent to the old single wide scan,
+    and the branches schedule concurrently inside one job. The shared
+    row count rides a broadcast cross-join (one row). At 100 TB the same
+    plan holds; swap the exact distincts for ``approx_count_distinct``
+    (the HLL path ``approx_sketches`` demonstrates) when ±2% suffices —
+    the oracle needs exactness, a production profile usually doesn't.
     """
     ensure_runtime_confs(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = [F.count("*").alias("n_rows")]
-    for c in PROFILE_NUMERIC + PROFILE_OTHER:
-        aggs.append(F.count(c).alias(f"nn_{c}"))
-        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    cnt = li.agg(F.count("*").alias("n_rows"))
+    branches = []
     for c in PROFILE_NUMERIC:
-        aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
-        aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
-    prof = li.agg(*aggs)
-    parts = []
-    for c in PROFILE_NUMERIC:
-        parts.append(f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}")
-    for c in PROFILE_OTHER:
-        parts.append(f"'{c}', nn_{c}, nd_{c}, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)")
-    n = len(PROFILE_NUMERIC) + len(PROFILE_OTHER)
-    return (
-        prof.selectExpr(
-            "n_rows",
-            f"stack({n}, {', '.join(parts)}) AS "
-            "(column_name, n_nonnull, n_distinct, min_value, max_value)",
+        branches.append(
+            li.select(c).agg(
+                F.count(c).alias("n_nonnull"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(c).cast("double").alias("min_value"),
+                F.max(c).cast("double").alias("max_value"),
+            ).select(F.lit(c).alias("column_name"), "*")
         )
+    for c in PROFILE_OTHER:
+        branches.append(
+            li.select(c).agg(
+                F.count(c).alias("n_nonnull"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_value"),
+                F.lit(None).cast("double").alias("max_value"),
+            ).select(F.lit(c).alias("column_name"), "*")
+        )
+    per_col = branches[0]
+    for b in branches[1:]:
+        per_col = per_col.union(b)
+    return (
+        per_col.crossJoin(F.broadcast(cnt))
         .select(
             "column_name",
             "n_rows",

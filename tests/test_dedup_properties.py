@@ -138,6 +138,35 @@ def _union_find_components(n_docs: int, edges: list[tuple[int, int]]) -> dict[in
     return {i: find(i) for i in range(n_docs)}
 
 
+def test_near_dup_clusters_shuffle_path_matches_broadcast_path(spark, monkeypatch):
+    """r17: rounds run broadcast-frontier once the frontier count is under
+    FRONTIER_BROADCAST_MAX_ROWS, with the pre-r17 shuffle rounds as the
+    at-scale fallback. Both paths must produce identical components (the
+    fallback is otherwise dead code locally — every test frontier is tiny),
+    and the shuffle path must still converge within the logarithmic round
+    budget."""
+    n = 64
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    stats_b: dict = {}
+    broadcast = {
+        r.doc_id: r.cluster_id
+        for r in dd.near_dup_clusters(docs, chain, stats=stats_b).collect()
+    }
+    monkeypatch.setattr(dd, "FRONTIER_BROADCAST_MAX_ROWS", 0)
+    stats_s: dict = {}
+    shuffled = {
+        r.doc_id: r.cluster_id
+        for r in dd.near_dup_clusters(docs, chain, stats=stats_s).collect()
+    }
+    assert broadcast == shuffled == {i: 0 for i in range(n)}
+    assert stats_s["rounds"] <= 10, stats_s  # shuffle jump stays ~log(diameter)
+
+
 def test_near_dup_clusters_matches_union_find(spark):
     """The delta-frontier label propagation (r12 rework: only improved
     labels push, convergence probe fused into the round checkpoint) must
