@@ -865,10 +865,15 @@ def near_dup_clusters(
     directed = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     # materialize the edge list once: the pair detector behind it (an
     # inverted-index join) must not re-execute on every propagation round
+    # eager=False (r17): both pins still materialize exactly once — inside
+    # round 1's single action (the frontier-count probe) — instead of as
+    # two extra blocking driver jobs before the loop starts.
     edges = directed.union(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = docs.select("doc", F.col("doc").alias("label")).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    labels = docs.select("doc", F.col("doc").alias("label")).localCheckpoint(
+        eager=False
+    )
     frontier = None  # round 1: every node pushes its own id (see below)
     frontier_rows = -1  # driver-known frontier size (from the probe)
     rounds = 0

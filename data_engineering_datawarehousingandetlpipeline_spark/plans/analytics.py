@@ -1205,6 +1205,13 @@ def q_incremental_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("day", F.col("o_orderdate")).alias("day_ts"),
             _revenue().alias("rev"),
         )
+        # Pinned (r17): the joined view feeds the per-day states AND the
+        # from-scratch full aggregate — unpinned, the 5-way star join
+        # executed twice (alternating A/B at sf0.1: 3.0-3.8 s → 2.4-2.9 s).
+        # The merge-vs-recompute check still verifies the
+        # aggregation-split identity over the same joined rows; pinning
+        # removes join re-execution, not the recompute being checked.
+        .localCheckpoint(eager=False)
     )
     from data_engineering_datawarehousingandetlpipeline_spark.functions.numeric import (
         ANCHOR_TYPE_WIDE,

@@ -886,6 +886,14 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "user_id", "value"
     )
     qarr = ", ".join(str(q) for q in SKETCH_QUANTILES)
+    # NOT pinned (r17 measured-and-rejected): the sketch aggregate feeds
+    # both the rank-verification broadcast and the final output join, so
+    # a localCheckpoint pin looks like the standard duplicate-subtree
+    # fix — but the alternating A/B measured the PIN slower (3.1 → 4.1 s
+    # at sf0.1): the duplicated subtree is an aggregate that collapses to
+    # one row per event type inside the same job, and the checkpoint's
+    # blocking materialization barrier costs more than the second
+    # 5-row-output aggregation it saves.
     sketched = events.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"),
         F.expr(f"approx_count_distinct(user_id, {SKETCH_HLL_RSD})").alias(
